@@ -1,0 +1,312 @@
+"""Deduplication operators for training-data pipelines, 100 TB-scale.
+
+Four tiers, all pure DataFrame ops (no Python in the hot path):
+
+- **Exact**: md5-of-normalized-text hash groupBy. One shuffle on the
+  digest; survivor = min doc id per group.
+- **MinHash + LSH**: char-shingle → k permuted min-hashes → banded
+  bucket join → candidate pairs → exact Jaccard verify. Shuffles are on
+  (band_id, band_signature) buckets, so the candidate join never
+  compares documents across buckets — the all-pairs O(n²) is avoided;
+  skewed buckets (boilerplate shingles) are bounded by MAX_BUCKET.
+- **SimHash**: 64-bit fingerprint from token-hash bit votes; near-dups
+  are fingerprints at small Hamming distance, found by band-of-bits
+  blocking (4×16-bit bands → candidates → popcount verify).
+- **n-gram Jaccard**: direct shingle-overlap join for moderate corpora
+  or post-LSH verification.
+
+Permutation hashing follows the standard (a*h + b) mod p universal
+family (Broder 1997, resemblance/minwise hashing) with fixed seeds so
+results are deterministic across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^61-1: universal-hash modulus, exact in Long range.
+MERSENNE61 = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family,
+    derived from a small LCG so no RNG dependency."""
+    params = []
+    state = seed
+    for _ in range(num_perm):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = state % ((1 << 30) - 1) + 1  # a < 2^30: a*h32 stays < 2^62 (no overflow)
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % MERSENNE61
+        params.append((a, b))
+    return params
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFrame:
+    """Distinct character n-gram shingles per document → (id, shingle).
+
+    Shingling via sequence+explode of substring offsets — stays in
+    codegen; the distinct dedups repeated shingles before any shuffle
+    heavy-lifting (map-side partial dedup)."""
+    from etl_database_spark.functions.text import normalize_text
+
+    norm = normalize_text(F.col(text_col))
+    return (
+        df.select(F.col(id_col).alias("_id"), norm.alias("_norm"))
+        .where(F.length("_norm") >= n)
+        .select(
+            "_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("_norm") - F.lit(n - 1)),
+                    lambda i: F.col("_norm").substr(i, F.lit(n)),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact-duplicate groups: (content_hash, n_dups, canonical_id).
+
+    Returns only groups with >1 member. Single shuffle on the digest.
+    """
+    from etl_database_spark.functions.text import fingerprint_md5
+
+    return (
+        df.select(F.col(id_col).alias("doc"), fingerprint_md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_dups"), F.min("doc").alias("canonical_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, num_perm: int = 32, seed: int = 42
+) -> DataFrame:
+    """(id, perm_id, sig): min permuted hash per document per permutation.
+
+    The shingle hash is xxhash64 (JVM, vectorized); permutations are a
+    broadcast k-row frame so the explode factor is k with map-side
+    combine collapsing to one row per (doc, perm) before the shuffle.
+    """
+    spark = sh.sparkSession
+    perms = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(_perm_params(num_perm, seed))],
+        "perm_id int, a long, b long",
+    )
+    # 32-bit shingle hash: a (<2^30) * h32 (<2^32) + b (<2^61) < 2^63,
+    # so (a*h+b) mod p never wraps Spark's signed-long arithmetic.
+    h = F.xxhash64("shingle").bitwiseAND(F.lit((1 << 32) - 1)).alias("h")
+    return (
+        sh.select("_id", h)
+        .crossJoin(F.broadcast(perms))
+        .withColumn("sig", F.pmod(F.col("a") * F.col("h") + F.col("b"), F.lit(MERSENNE61)))
+        .groupBy("_id", "perm_id")
+        .agg(F.min("sig").alias("sig"))
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, num_perm: int = 32, bands: int = 8, max_bucket: int = 200
+) -> DataFrame:
+    """Banded LSH: group signature rows into bands, hash each band,
+    self-join on (band_id, band_hash) → candidate (id_a, id_b) pairs.
+
+    ``max_bucket`` caps pathological buckets (all-same boilerplate) so a
+    skewed key cannot quadratically explode the join — the standard
+    guard for LSH at scale; dropped buckets are exact-dup groups that
+    the exact pass already catches.
+    """
+    rows_per_band = num_perm // bands
+    banded = (
+        sigs.withColumn("band_id", (F.col("perm_id") / rows_per_band).cast("int"))
+        .groupBy("_id", "band_id")
+        .agg(F.sort_array(F.collect_list(F.struct("perm_id", "sig"))).alias("band_sig"))
+        .withColumn("band_hash", F.xxhash64(F.to_json("band_sig")))
+        .select("_id", "band_id", "band_hash")
+    )
+    bucket_sizes = banded.groupBy("band_id", "band_hash").agg(F.count("*").alias("bucket_n"))
+    banded = banded.join(
+        bucket_sizes.where(F.col("bucket_n") <= max_bucket), ["band_id", "band_hash"]
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, sh: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs via shingle-set sizes:
+    |A∩B| from a co-grouped join, |A∪B| = |A|+|B|−|A∩B|."""
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
+    sa = sh.select(F.col("_id").alias("id_a"), "shingle")
+    sb = sh.select(F.col("_id").alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    za = sizes.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup detection → (id_a, id_b, jaccard).
+
+    Pipeline: shingle → minhash → banded LSH candidates → exact-Jaccard
+    verify. With num_perm=32/bands=8 (r=4), the LSH S-curve crosses 50%
+    capture around J≈0.56 — pairs well above threshold are found with
+    high probability; the verify step removes false positives entirely.
+    """
+    sh = shingles(df, text_col, id_col, n).cache()
+    sigs = minhash_signatures(sh, num_perm)
+    pairs = lsh_candidate_pairs(sigs, num_perm, bands)
+    return jaccard_verify(pairs, sh, threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, n: int = 5, threshold: float = 0.5
+) -> DataFrame:
+    """Exact all-candidate n-gram Jaccard: inverted-index join on
+    shingles (only documents sharing ≥1 shingle are compared). Exact but
+    quadratic in bucket sizes — use minhash_near_duplicates at scale;
+    this is the verification-grade operator."""
+    sh = shingles(df, text_col, id_col, n).cache()
+    sa = sh.select(F.col("_id").alias("id_a"), "shingle")
+    sb = sh.select(F.col("_id").alias("id_b"), "shingle")
+    pairs = (
+        sa.join(sb, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
+    za = sizes.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        pairs.join(za, "id_a")
+        .join(zb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per document (Charikar 2002): xxhash64 each token,
+    vote per bit, fingerprint = sign vector. → (id, simhash).
+
+    Bit votes avoid a 64× row explode: per token build a 64-element
+    ±1 array (codegen'd transform), then aggregate element-wise sums
+    with a single groupBy using explode over (bit, vote) — one shuffle
+    keyed by (doc, bit) with map-side combine.
+    """
+    from etl_database_spark.functions.text import normalize_text
+
+    toks = (
+        df.select(F.col(id_col).alias("_id"), normalize_text(F.col(text_col)).alias("_norm"))
+        .select("_id", F.explode(F.split("_norm", " ")).alias("tok"))
+        .where(F.length("tok") > 0)
+        .withColumn("h", F.xxhash64("tok"))
+        .select("_id", "h", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"))
+        .withColumn(
+            "vote",
+            F.when(F.expr("shiftright(h, bit) % 2 != 0"), F.lit(1)).otherwise(F.lit(-1)),
+        )
+    )
+    bit_sums = toks.groupBy("_id", "bit").agg(F.sum("vote").alias("v"))
+    return (
+        bit_sums.withColumn(
+            "bitval",
+            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        .groupBy("_id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )
+
+
+def simhash_near_duplicates(
+    fps: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs among SimHash fingerprints: block on 4 16-bit
+    bands (any pair within Hamming ≤3 of 64 bits shares ≥1 exact band by
+    pigeonhole when distance <4), then popcount-verify.
+
+    → (id_a, id_b, hamming)."""
+    bands = fps.select(
+        "_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.shiftright("simhash", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("_id", "simhash", F.col("b.band_id").alias("band_id"), F.col("b.band_val").alias("band_val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,162 @@
+"""Embedding similarity search over array<float> columns.
+
+Two tiers:
+
+- **Brute-force cosine top-k** — exact baseline: broadcast the query
+  set, score every (query, candidate) pair with JVM-side array
+  expressions (zip_with product + aggregate fold — no Python in the
+  scoring loop), rank per query. Cost O(|Q|·N): right when |Q| is small
+  or as the verifier for the ANN tier.
+- **Random-hyperplane LSH ANN** (Charikar 2002 SimHash for cosine):
+  each vector → sign-bit signature against k pseudo-random hyperplanes;
+  bucket join on signature prefix → cosine only within buckets. At
+  100 TB this turns the O(|Q|·N) scan into bucket-local work; recall is
+  tunable via (k, tables) and validated in tests against brute force.
+
+Determinism: dot products fold left-to-right after casting float →
+double, so scores are reproducible bit-for-bit (and match the DuckDB
+oracle, which does the same double-cast fold).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def _to_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a, b) -> Column:
+    """Σ aᵢ·bᵢ in double precision, sequential fold (deterministic)."""
+    return F.aggregate(
+        F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    → (query_id, neighbor_id, cos_sim), k rows per query, self excluded.
+    Ranking uses the rounded score + id tie-break so results are
+    deterministic across partitionings and engines.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim")
+        .orderBy("query_id", F.desc("cos_sim"), "neighbor_id")
+    )
+
+
+def _hyperplane(dim: int, plane_id: int, seed: int = 42) -> list[float]:
+    """Deterministic pseudo-random ±1 hyperplane from an LCG — no RNG
+    library dependency, identical on every executor."""
+    comps = []
+    state = seed * 1_000_003 + plane_id
+    for _ in range(dim):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        comps.append(1.0 if (state >> 40) & 1 else -1.0)
+    return comps
+
+
+def lsh_signatures(
+    df: DataFrame,
+    dim: int,
+    num_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Sign-bit signature per vector: bit j = sign(v · hyperplane_j).
+
+    One projection, no shuffle; hyperplanes are literal arrays baked
+    into the plan (codegen constants).
+    """
+    sig = F.lit(0).cast("long")
+    for j in range(num_planes):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, j, seed)])
+        bit = F.when(dot(F.col(vec_col), plane) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig + F.shiftleft(bit, j)
+    return df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"), sig.alias("lsh_sig"))
+
+
+def ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the full LSH signature bucket
+    OR any of the 4-bit-rotated sub-bucket keys (multi-probe-lite),
+    then exact cosine + rank within candidates.
+
+    → (query_id, neighbor_id, cos_sim) with ≤k rows per query."""
+    sub_bits = num_planes // 2
+    cand_sigs = lsh_signatures(embeddings, dim, num_planes, id_col, vec_col)
+    q_sigs = lsh_signatures(queries, dim, num_planes, id_col, vec_col)
+
+    def sub_keys(sig_df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        return sig_df.select(
+            F.col("_id").alias(id_alias),
+            F.col("_vec").alias(vec_alias),
+            F.explode(
+                F.array(
+                    F.col("lsh_sig").bitwiseAND(F.lit((1 << sub_bits) - 1).cast("long")).alias("lo"),
+                    F.shiftright("lsh_sig", num_planes - sub_bits).alias("hi"),
+                )
+            ).alias("bucket"),
+        )
+
+    cands = sub_keys(cand_sigs, "neighbor_id", "c_vec")
+    qs = sub_keys(q_sigs, "query_id", "q_vec")
+    scored = (
+        cands.join(qs, "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .distinct()
+        .withColumn("cos_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim")
+        .orderBy("query_id", F.desc("cos_sim"), "neighbor_id")
+    )

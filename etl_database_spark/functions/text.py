@@ -1,0 +1,131 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure Column expressions (JVM-side, whole-stage codegen) — no Python
+UDFs, so these run at full scan speed over 100 TB of documents:
+
+- token counting (whitespace split),
+- quality scoring (length / punctuation / stopword / uppercase ratios),
+- language ID (stopword-occurrence n-gram heuristic),
+- document fingerprinting (normalized md5 + rolling 64-bit hash).
+
+Design note: occurrence counting uses the length-difference trick
+``(len(s) - len(replace(s, pat, ''))) / len(pat)`` where cross-engine
+reproducibility matters (it has identical semantics in every SQL
+engine), and regex where expressiveness matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Minimal stopword panels per language for the heuristic language ID.
+# Chosen to be disjoint-ish, high-frequency function words.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "es": ["el", "la", "de", "que", "los", "una", "por", "con"],
+    "de": ["der", "die", "und", "das", "nicht", "ein", "mit", "für"],
+    "fr": ["le", "la", "les", "des", "est", "dans", "pour", "une"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不"],
+}
+
+
+def token_count(col) -> Column:
+    """Whitespace-token count; 0 for empty/blank strings."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    ).cast("long")
+
+
+def word_occurrences(col, word: str) -> Column:
+    """Count occurrences of ``word`` as a whitespace-delimited token,
+    via the engine-portable length-difference trick on a padded string."""
+    c = F.col(col) if isinstance(col, str) else col
+    padded = F.concat(F.lit(" "), c, F.lit(" "))
+    needle = f" {word} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(" "))))
+        / F.lit(len(needle) - 1)
+    ).cast("long")
+
+
+def punct_ratio(col) -> Column:
+    """Fraction of characters that are ASCII punctuation."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(c, r"[!-/:-@\[-`{-~]", "")
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+        (F.length(c) - F.length(stripped)).cast("double") / F.length(c)
+    )
+
+
+def upper_ratio(col) -> Column:
+    """Fraction of characters that are uppercase ASCII letters."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(c, r"[A-Z]", "")
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+        (F.length(c) - F.length(stripped)).cast("double") / F.length(c)
+    )
+
+
+def stopword_score(col, lang: str = "en") -> Column:
+    """Total occurrences of the language's stopword panel (language-ID
+    signal; normalize by token_count for a ratio)."""
+    words = LANG_STOPWORDS[lang]
+    expr = word_occurrences(col, words[0])
+    for w in words[1:]:
+        expr = expr + word_occurrences(col, w)
+    return expr.cast("long")
+
+
+def lang_scores(col) -> dict[str, Column]:
+    """Stopword score per known language."""
+    return {lang: stopword_score(col, lang) for lang in LANG_STOPWORDS}
+
+
+def detect_language(col) -> Column:
+    """Pick the language with the highest stopword score ('und' if all 0).
+
+    Implemented as a greatest/when ladder — still a single projection.
+    """
+    scores = lang_scores(col)
+    langs = list(scores)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    expr = F.when(best == 0, F.lit("und"))
+    # Deterministic preference order on ties: dict order.
+    for lang in langs:
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr
+
+
+def quality_score(col) -> Column:
+    """Composite [0,1] quality heuristic: penalize very short docs,
+    high punctuation, and stopword-free (non-natural) text."""
+    c = F.col(col) if isinstance(col, str) else col
+    ntok = token_count(c)
+    len_component = F.least(ntok.cast("double") / F.lit(20.0), F.lit(1.0))
+    punct_component = F.lit(1.0) - F.least(punct_ratio(c) * 4, F.lit(1.0))
+    stop_component = F.least(
+        stopword_score(c).cast("double") / F.greatest(ntok, F.lit(1)).cast("double") * 5,
+        F.lit(1.0),
+    )
+    return (len_component * 0.4 + punct_component * 0.3 + stop_component * 0.3).cast("double")
+
+
+def normalize_text(col) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint_md5(col) -> Column:
+    """Deterministic content fingerprint: md5 of normalized text
+    (portable across engines — used by the exact-dedup oracle)."""
+    return F.md5(normalize_text(col))
+
+
+def fingerprint_xx64(col) -> Column:
+    """64-bit fingerprint via xxhash64 of normalized text (cheaper than
+    md5; Spark-specific)."""
+    return F.xxhash64(normalize_text(col))

@@ -1,0 +1,246 @@
+"""Training-data pipeline operators as named queries (dedup, text
+analysis, similarity search) over the ``documents`` / ``embeddings``
+tables — the scale extensions beyond the reference's own surface.
+
+Oracles: where the computation is portable (md5, length arithmetic,
+LIKE, list math), a DuckDB oracle is generated — often programmatically
+so the Spark expression and the SQL stay in lockstep. Hash-family ops
+(minhash/simhash/LSH, xxhash64-based) are not SQL-portable; those are
+registered without an oracle (driver records a rows-only check) and are
+instead property-tested against brute-force ground truth in
+tests/test_dedup.py and tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_database_spark.functions import dedup as D
+from etl_database_spark.functions import similarity as S
+from etl_database_spark.functions import text as T
+from etl_database_spark.queries import register, table
+
+
+def _sql_word_count(word: str) -> str:
+    """DuckDB expression mirroring functions.text.word_occurrences."""
+    needle = f" {word} "
+    pad = "(' ' || text || ' ')"
+    return (
+        f"CAST((LENGTH({pad}) - LENGTH(REPLACE({pad}, '{needle}', ' '))) / {len(needle) - 1} AS BIGINT)"
+    )
+
+
+def _sql_lang_score(lang: str) -> str:
+    return "(" + " + ".join(_sql_word_count(w) for w in T.LANG_STOPWORDS[lang]) + ")"
+
+
+_NORM_SQL = "TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy duplicate groups.
+@register(
+    "exact_dedup_groups",
+    oracle=f"""
+    SELECT md5({_NORM_SQL}) AS content_hash,
+           COUNT(*) AS n_dups,
+           MIN(doc_id) AS canonical_id
+    FROM documents
+    GROUP BY content_hash
+    HAVING COUNT(*) > 1
+    ORDER BY content_hash
+    """,
+)
+def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups via md5-of-normalized-text. One shuffle
+    keyed by digest; survivor = min doc_id."""
+    d = table(spark, sf_dir, "documents")
+    return D.exact_duplicates(d, "text", "doc_id").orderBy("content_hash")
+
+
+# ---------------------------------------------------------------------------
+# Content fingerprinting (rolling/canonical hash per doc).
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id, md5({_NORM_SQL}) AS fp
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document canonical fingerprint — pure projection, scan-speed."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint_md5(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Token counting / width stats per source.
+@register(
+    "doc_token_stats",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MAX(LENGTH(text)) AS BIGINT) AS max_len
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counts via the engine-portable length-difference
+    form (single-space corpora); aggregated per source."""
+    d = table(spark, sf_dir, "documents")
+    trimmed = F.trim(F.col("text"))
+    ntok = F.length(trimmed) - F.length(F.replace(trimmed, F.lit(" "), F.lit(""))) + 1
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(ntok).cast("long").alias("total_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.max(F.length("text")).cast("long").alias("max_len"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic (stopword panels) — oracle generated from the
+# same panel dict so Spark and SQL can't drift.
+_LANGS = list(T.LANG_STOPWORDS)
+_SCORES = {lang: _sql_lang_score(lang) for lang in _LANGS}
+_BEST = "GREATEST(" + ", ".join(_SCORES.values()) + ")"
+_LADDER = "CASE WHEN " + _BEST + " = 0 THEN 'und' " + " ".join(
+    f"WHEN {_SCORES[lang]} = {_BEST} THEN '{lang}'" for lang in _LANGS
+) + " END"
+
+
+@register(
+    "lang_id_distribution",
+    oracle=f"""
+    SELECT {_LADDER} AS detected_lang,
+           lang AS labeled_lang,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY detected_lang, labeled_lang
+    ORDER BY detected_lang, labeled_lang
+    """,
+)
+def lang_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword language ID vs the labeled lang column —
+    confusion-matrix-style counts. Pure projection + one aggregate."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("detected_lang", T.detect_language(F.col("text")))
+        .groupBy("detected_lang", F.col("lang").alias("labeled_lang"))
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("detected_lang", "labeled_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring — rows-only (composite float heuristic; verified by
+# pytest determinism + range tests rather than a SQL oracle).
+@register("doc_quality_scores")
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality heuristic in [0,1]: length, punctuation and
+    stopword-density components; JVM-only expressions."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(T.quality_score(F.col("text")), 4).alias("quality"),
+        T.token_count(F.col("text")).alias("n_tokens"),
+        F.round(T.punct_ratio(F.col("text")), 4).alias("punct_ratio"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k (exact ANN baseline).
+_TOPK_K = 10
+_N_QUERIES = 5
+
+
+@register(
+    "cosine_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+               FROM embeddings WHERE vec_id < {_N_QUERIES}),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS c_vec
+               FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id,
+                  ROUND(
+                    list_sum(list_transform(list_zip(q_vec, c_vec), x -> x[1] * x[2]))
+                    / (SQRT(list_sum(list_transform(q_vec, x -> x * x)))
+                       * SQRT(list_sum(list_transform(c_vec, x -> x * x)))),
+                  4) AS cos_sim
+           FROM c, q
+           WHERE neighbor_id <> query_id
+         )
+    SELECT query_id, neighbor_id, cos_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {_TOPK_K}
+    ORDER BY query_id, cos_sim DESC, neighbor_id
+    """,
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k neighbors for the first few vectors: broadcast the
+    query set, JVM zip_with/aggregate dot products, windowed rank."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES)
+    return S.cosine_topk(emb, queries, k=_TOPK_K)
+
+
+# ---------------------------------------------------------------------------
+# ANN via random-hyperplane LSH — rows-only; recall vs brute force is
+# asserted in tests/test_similarity.py.
+@register("ann_topk_lsh")
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via sign-bit LSH bucketing + in-bucket cosine."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES)
+    return S.ann_topk(emb, queries, dim=64, k=_TOPK_K)
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-duplicate pairs — rows-only (hash-family op);
+# correctness vs brute-force Jaccard in tests/test_dedup.py.
+@register("minhash_near_dups")
+def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle → minhash → banded LSH → exact-Jaccard-verified pairs."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        D.minhash_near_duplicates(d, "text", "doc_id", n=5, num_perm=32, bands=8, threshold=0.5)
+        .withColumn("jaccard", F.round("jaccard", 4))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints — rows-only (xxhash64-based).
+@register("simhash_fingerprints")
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (token bit-vote fingerprint)."""
+    d = table(spark, sf_dir, "documents")
+    return D.simhash_fingerprints(d, "text", "doc_id").withColumnRenamed(
+        "_id", "doc_id"
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (exact inverted-index form).
+@register("ngram_jaccard_pairs")
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs ≥0.5 via inverted-index shingle join."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        D.ngram_jaccard_pairs(d, "text", "doc_id", n=5, threshold=0.5)
+        .withColumn("jaccard", F.round("jaccard", 4))
+        .orderBy("id_a", "id_b")
+    )

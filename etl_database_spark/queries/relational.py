@@ -1,0 +1,708 @@
+"""Relational operator inventory (SURVEY.md section 2) as named queries.
+
+Each query re-expresses one operator family from the reference system
+(xnlou/etl-database) against the driver's synthetic star schema, as
+idiomatic Spark DataFrame code, paired with an ANSI-SQL DuckDB oracle.
+
+Cross-engine determinism notes (applied throughout):
+
+- **Float sums**: summing doubles is order-dependent, and Spark/DuckDB
+  reduce in different orders. Every SUM over a double column first
+  casts the addend to DECIMAL(18,6) — the double→decimal rounding is
+  deterministic and identical in both engines, the decimal sum is
+  exact, and the final CAST back to DOUBLE is exact — so the result is
+  bit-identical regardless of partitioning. Averages are computed as
+  exact-decimal-sum / count. This costs nothing at scale: decimal sums
+  are still a single hash-aggregate with partial (map-side) combine.
+- **Int sums**: DuckDB widens SUM(BIGINT) to HUGEINT; oracles CAST the
+  result back to BIGINT to match Spark's LongType.
+- **Top-k / row_number**: every ORDER BY inside a window carries a
+  unique tie-break key so both engines pick identical rows.
+
+Scale notes: dimension joins (region/nation/customer/supplier/part) are
+explicitly ``broadcast()`` — at 100 TB the fact tables shuffle only for
+fact-fact joins and aggregations, never to co-locate a dimension.
+Aggregations are single-pass hash aggregates with map-side partial
+combine (verified via .explain: HashAggregate partial/final pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from etl_database_spark.queries import register, table
+
+# Decimal cast used for deterministic double aggregation (see module doc).
+DEC = "decimal(18,6)"
+
+
+def dsum(col, alias):
+    """Deterministic double sum: decimal-exact accumulate, double result."""
+    return F.sum(col.cast(DEC)).cast("double").alias(alias)
+
+
+# Shared fixed holiday list for business-day calendar queries
+# (reference seeds holidays in dataset_setup.sql:416-419; here a fixed
+# public-holiday-shaped list spanning the orders date range).
+HOLIDAYS = [
+    "1995-01-02", "1995-07-04", "1995-12-25",
+    "1996-01-01", "1996-07-04", "1996-12-25",
+    "1997-01-01", "1997-07-04", "1997-12-25",
+    "1998-01-01", "1998-07-04", "1998-12-25",
+    "1999-01-01", "1999-07-04", "1999-12-25",
+    "2000-01-01", "2000-07-04", "2000-12-25",
+    "2001-01-01", "2001-07-04", "2001-12-25",
+]
+_HOL_SQL = ", ".join(f"DATE '{h}'" for h in HOLIDAYS)
+
+
+# ---------------------------------------------------------------------------
+# A1/A2 — grouped aggregation (pricing summary, TPC-H Q1 shape).
+# Reference: grouped MIN/MAX/aggregates, create_f_get_event_changes.sql:61-88.
+@register(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash aggregate with map-side partial combine; the shipdate filter
+    and 5-column projection push down into the parquet scan."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.to_date("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price"),
+            (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 — multi-way equi-join fact→dims (lineage join shape, usefulqueries.sql:12-21)
+@register(
+    "regional_revenue",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name
+    """,
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join (lineitem-orders) shuffles on orderkey; every
+    dimension is broadcast so no extra shuffle of the fact stream."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3/J3 — global scalar MAX broadcast via cross join
+# (MaxURLCheckDate pattern, create_f_get_event_changes.sql:37-43).
+@register(
+    "latest_window_orders",
+    oracle="""
+    WITH bounds AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS max_date FROM orders)
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+    FROM orders, bounds
+    WHERE CAST(o_orderdate AS DATE) > max_date - 90
+    GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def latest_window_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row aggregate cross-joined (auto-broadcast: BroadcastNestedLoop
+    over a single row) to window the fact table to the trailing 90 days."""
+    o = table(spark, sf_dir, "orders").withColumn("od", F.to_date("o_orderdate"))
+    bounds = o.agg(F.max("od").alias("max_date"))
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .where(F.col("od") > F.date_sub(F.col("max_date"), 90))
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), dsum(F.col("o_totalprice"), "total_price"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1 — business-day calendar build: sequence+explode, DOW, holiday
+# flagging, previous-business-day window (dataset_setup.sql:430-513).
+@register(
+    "business_calendar",
+    oracle=f"""
+    WITH cal AS (
+      SELECT CAST(d AS DATE) AS fulldate,
+             CAST(EXTRACT(DOW FROM d) AS BIGINT) AS downum,
+             EXTRACT(DOW FROM d) NOT IN (0, 6) AS isbusday,
+             CAST(d AS DATE) IN ({_HOL_SQL}) AS isholiday
+      FROM generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '1995-12-31', INTERVAL 1 DAY) t(d)
+    )
+    SELECT * FROM (
+      SELECT fulldate, downum, isbusday, isholiday,
+             MAX(CASE WHEN isbusday AND NOT isholiday THEN fulldate END)
+               OVER (ORDER BY fulldate ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS previous_business_date
+      FROM cal
+    ) WHERE previous_business_date IS NOT NULL
+    ORDER BY fulldate
+    """,
+)
+def business_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar dimension via the library builder (sequence+explode +
+    running-max window). The global-order window is fine here: the
+    calendar is bounded (~4k rows for a decade) however large the facts."""
+    from etl_database_spark.calendar import build_calendar
+
+    return (
+        build_calendar(spark, "1995-01-01", "1995-12-31", HOLIDAYS)
+        .select("fulldate", "downum", "isbusday", "isholiday", "previous_business_date")
+        .where(F.col("previous_business_date").isNotNull())
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5/W1 — as-of previous-business-day lookup applied to fact dates
+# (correlated-subquery shape, create_f_get_event_changes.sql:17-22,
+# rewritten as calendar broadcast join — the scalable form).
+@register(
+    "orders_prev_busday",
+    oracle=f"""
+    WITH cal AS (
+      SELECT CAST(d AS DATE) AS fulldate,
+             EXTRACT(DOW FROM d) NOT IN (0, 6)
+               AND CAST(d AS DATE) NOT IN ({_HOL_SQL}) AS isworkday
+      FROM generate_series(TIMESTAMP '1994-12-20', TIMESTAMP '2001-12-31', INTERVAL 1 DAY) t(d)
+    ),
+    cal2 AS (
+      SELECT fulldate,
+             MAX(CASE WHEN isworkday THEN fulldate END)
+               OVER (ORDER BY fulldate ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS previous_business_date
+      FROM cal
+    )
+    SELECT CAST(o_orderdate AS DATE) AS order_date,
+           previous_business_date,
+           COUNT(*) AS n_orders
+    FROM orders JOIN cal2 ON CAST(o_orderdate AS DATE) = fulldate
+    GROUP BY order_date, previous_business_date
+    ORDER BY order_date
+    """,
+)
+def orders_prev_busday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of lookup as a broadcast equi-join against the calendar dim —
+    the 100 TB-safe rewrite of the reference's per-row correlated
+    MAX(...) subquery: O(1) calendar rows broadcast, no per-row scan."""
+    from etl_database_spark.calendar import build_calendar
+
+    cal = build_calendar(spark, "1994-12-20", "2001-12-31", HOLIDAYS).select(
+        "fulldate", "previous_business_date"
+    )
+    o = table(spark, sf_dir, "orders").withColumn("order_date", F.to_date("o_orderdate"))
+    return (
+        o.join(F.broadcast(cal), o.order_date == cal.fulldate)
+        .groupBy("order_date", "previous_business_date")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("order_date")
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1/U2 — EXCEPT / UNION set-ops (added/removed diff, usefulqueries.sql:30-53).
+@register(
+    "customer_churn_setops",
+    oracle="""
+    WITH cur AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+                 WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '2000-01-01' AND DATE '2000-12-31'),
+         prev AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+                  WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1999-01-01' AND DATE '1999-12-31')
+    SELECT 'Added' AS change_type, custkey FROM (SELECT custkey FROM cur EXCEPT SELECT custkey FROM prev)
+    UNION
+    SELECT 'Removed' AS change_type, custkey FROM (SELECT custkey FROM prev EXCEPT SELECT custkey FROM cur)
+    ORDER BY change_type, custkey
+    """,
+)
+def customer_churn_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT-distinct via subtract; SQL UNION's implicit dedup is made
+    explicit with .distinct() (Spark union is UNION ALL — SURVEY U2)."""
+    o = table(spark, sf_dir, "orders").withColumn("od", F.to_date("o_orderdate"))
+    cur = o.where(F.col("od").between("2000-01-01", "2000-12-31")).select(
+        F.col("o_custkey").alias("custkey")
+    ).distinct()
+    prev = o.where(F.col("od").between("1999-01-01", "1999-12-31")).select(
+        F.col("o_custkey").alias("custkey")
+    ).distinct()
+    added = cur.subtract(prev).select(F.lit("Added").alias("change_type"), "custkey")
+    removed = prev.subtract(cur).select(F.lit("Removed").alias("change_type"), "custkey")
+    return added.union(removed).distinct().orderBy("change_type", "custkey")
+
+
+# ---------------------------------------------------------------------------
+# J7 — anti join (NOT IN subquery shape).
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join; at scale the smaller distinct key-set side is
+    aggregated before the join by Catalyst."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6 — left-semi join (IN subquery shape, dataset_setup.sql:481-483).
+@register(
+    "suppliers_with_shipments",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
+    ORDER BY s_suppkey
+    """,
+)
+def suppliers_with_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join — dedups the probe side inside the join, no
+    post-join distinct needed."""
+    s = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4/A6 — CASE-ladder classification + frequency count
+# (scenario classifier, create_f_get_event_changes.sql:101-107).
+@register(
+    "order_tier_classification",
+    oracle="""
+    SELECT CASE WHEN o_totalprice >= 300000 THEN 'platinum'
+                WHEN o_totalprice >= 150000 THEN 'gold'
+                WHEN o_totalprice >= 50000  THEN 'silver'
+                ELSE 'bronze' END AS tier,
+           o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS tier_value
+    FROM orders
+    GROUP BY tier, o_orderstatus
+    ORDER BY tier, o_orderstatus
+    """,
+)
+def order_tier_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """when/otherwise ladder — the lateral-CASE shape J4 needs no
+    lateral join in Spark, just a derived column."""
+    o = table(spark, sf_dir, "orders")
+    tier = (
+        F.when(F.col("o_totalprice") >= 300000, "platinum")
+        .when(F.col("o_totalprice") >= 150000, "gold")
+        .when(F.col("o_totalprice") >= 50000, "silver")
+        .otherwise("bronze")
+    )
+    return (
+        o.withColumn("tier", tier)
+        .groupBy("tier", "o_orderstatus")
+        .agg(F.count("*").alias("n_orders"), dsum(F.col("o_totalprice"), "tier_value"))
+        .orderBy("tier", "o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON/P7 — semi-structured extraction (JSONB report-config shape,
+# create_treportmanager.sql:31-33).
+@register(
+    "props_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object stays JVM-side (codegen'd Jackson parse) — no
+    Python UDF for JSON at any scale."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P6/P7 — regex predicate + extraction (filename/content regex shapes,
+# generic_import.py:86-125, gmail_inbox_processor.py:83-103).
+@register(
+    "doc_first_word_stats",
+    oracle="""
+    SELECT regexp_extract(text, '^(\\w+)', 1) AS first_word,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE text LIKE '%spark%'
+    GROUP BY first_word
+    ORDER BY first_word
+    """,
+)
+def doc_first_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE predicate + regexp_extract, both JVM expressions."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.where(F.col("text").like("%spark%"))
+        .withColumn("first_word", F.regexp_extract("text", r"^(\w+)", 1))
+        .groupBy("first_word")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("first_word")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2 — latest-snapshot-per-key window (single-active-dataset invariant,
+# dataset_setup.sql:193-216 re-expressed as row_number).
+@register(
+    "latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type
+    FROM (
+      SELECT user_id, event_id, ts, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned window — shuffles once on user_id; deterministic
+    tie-break on event_id."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group (extension past the reference; O1 ordering semantics).
+@register(
+    "top_orders_per_segment",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice
+    FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rn <= 3
+    ORDER BY c_mktsegment, rn
+    """,
+)
+def top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: rank inside partitions then filter — Spark
+    pushes a per-partition top-k (WindowGroupLimit) before the shuffle."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .orderBy("c_mktsegment", F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7/O1 — DISTINCT + multi-key ORDER BY (meetmax_url_download.py:60-81).
+@register(
+    "distinct_segment_status",
+    oracle="""
+    SELECT DISTINCT c_mktsegment, o_orderstatus
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    ORDER BY c_mktsegment, o_orderstatus
+    """,
+)
+def distinct_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_mktsegment", "o_orderstatus")
+        .distinct()
+        .orderBy("c_mktsegment", "o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2/2.8 — GROUP BY expression + string scalar functions
+# (UPPER(COALESCE(...)) keys, create_f_get_event_changes.sql:77-87).
+@register(
+    "part_type_prefix_stats",
+    oracle="""
+    SELECT UPPER(TRIM(SUBSTRING(p_type, 1, 6))) AS type_prefix,
+           COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
+           CAST(MAX(LENGTH(p_name)) AS BIGINT) AS max_name_len
+    FROM part
+    GROUP BY type_prefix
+    ORDER BY type_prefix
+    """,
+)
+def part_type_prefix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression group-by key + upper/trim/substring/length scalar fns."""
+    p = table(spark, sf_dir, "part")
+    return (
+        p.groupBy(F.upper(F.trim(F.substring("p_type", 1, 6))).alias("type_prefix"))
+        .agg(
+            F.count("*").alias("n_parts"),
+            dsum(F.col("p_retailprice"), "total_price"),
+            F.max(F.length("p_name")).cast("long").alias("max_name_len"),
+        )
+        .orderBy("type_prefix")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P9/P5 — IN-list + BETWEEN predicates (usefulqueries.sql:160-163).
+@register(
+    "inlist_between_revenue",
+    oracle="""
+    SELECT l_suppkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_suppkey IN (1, 3, 5, 7)
+      AND CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    GROUP BY l_suppkey
+    ORDER BY l_suppkey
+    """,
+)
+def inlist_between_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """isin + between are pushed to the parquet scan (PushedFilters)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            F.col("l_suppkey").isin(1, 3, 5, 7)
+            & F.to_date("l_shipdate").between("1996-01-01", "1997-12-31")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P10 — COALESCE projection over nullable join output
+# (6-way COALESCE shape, usefulqueries.sql:3-11).
+@register(
+    "coalesce_recent_status",
+    oracle="""
+    SELECT c_mktsegment,
+           COALESCE(o_orderstatus, 'NO_RECENT_ORDER') AS status_or_none,
+           COUNT(*) AS n_customers
+    FROM customer
+    LEFT JOIN (SELECT DISTINCT o_custkey, o_orderstatus FROM orders
+               WHERE CAST(o_orderdate AS DATE) >= DATE '2001-01-01') recent
+      ON c_custkey = o_custkey
+    GROUP BY c_mktsegment, status_or_none
+    ORDER BY c_mktsegment, status_or_none
+    """,
+)
+def coalesce_recent_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    recent = (
+        o.where(F.to_date("o_orderdate") >= F.lit("2001-01-01").cast("date"))
+        .select("o_custkey", "o_orderstatus")
+        .distinct()
+    )
+    return (
+        c.join(recent, c.c_custkey == recent.o_custkey, "left")
+        .withColumn("status_or_none", F.coalesce("o_orderstatus", F.lit("NO_RECENT_ORDER")))
+        .groupBy("c_mktsegment", "status_or_none")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_mktsegment", "status_or_none")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 — correlated scalar subquery kept in SQL form (Catalyst decorrelates;
+# create_f_get_event_changes.sql:17-22 shape).
+@register(
+    "above_nation_avg_balance",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+    ORDER BY c_custkey
+    """,
+)
+def above_nation_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery via spark.sql — Catalyst's subquery
+    decorrelation rewrites it to an aggregate + join, so the physical
+    plan is one shuffle, not a per-row probe."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        ORDER BY c_custkey
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 — value_counts (meetmax_url_download.py:99).
+@register(
+    "event_type_counts",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type ORDER BY n DESC, event_type
+    """,
+)
+def event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users"))
+        .orderBy(F.desc("n"), "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 — max-string-length width profiling (generic_import.py:183-193).
+@register(
+    "document_width_profile",
+    oracle="""
+    SELECT CAST(MAX(LENGTH(text)) AS BIGINT) AS text_width,
+           CAST(MAX(LENGTH(lang)) AS BIGINT) AS lang_width,
+           CAST(MAX(LENGTH(source)) AS BIGINT) AS source_width,
+           COUNT(*) AS n_rows
+    FROM documents
+    """,
+)
+def document_width_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass multi-column width profile — one aggregate over one
+    scan, vs the reference's per-column pandas passes."""
+    d = table(spark, sf_dir, "documents")
+    return d.agg(
+        F.max(F.length("text")).cast("long").alias("text_width"),
+        F.max(F.length("lang")).cast("long").alias("lang_width"),
+        F.max(F.length("source")).cast("long").alias("source_width"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2.8 date functions — EXTRACT/year-month rollup of order dates.
+@register(
+    "orders_by_month",
+    oracle="""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS order_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS month_value
+    FROM orders
+    GROUP BY order_year, order_month
+    ORDER BY order_year, order_month
+    """,
+)
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.month("o_orderdate").cast("long").alias("order_month"),
+        )
+        .agg(F.count("*").alias("n_orders"), dsum(F.col("o_totalprice"), "month_value"))
+        .orderBy("order_year", "order_month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# U2 — UNION with dedup across two derived sets.
+@register(
+    "nations_union",
+    oracle="""
+    SELECT n_name FROM nation JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = (SELECT MIN(r_name) FROM region)
+    UNION
+    SELECT n_name FROM nation WHERE EXISTS
+      (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey)
+    ORDER BY n_name
+    """,
+)
+def nations_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    s = table(spark, sf_dir, "supplier")
+    first_region = r.agg(F.min("r_name").alias("r_name"))
+    a = (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(first_region), "r_name", "left_semi")
+        .select("n_name")
+    )
+    b = n.join(s, n.n_nationkey == s.s_nationkey, "left_semi").select("n_name")
+    return a.union(b).distinct().orderBy("n_name")
