@@ -1,0 +1,84 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": <sf>}
+
+Each query is executed once after a shared session warmup; timing is
+end-to-end (plan + execute + collect-to-count) per query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "event_changes",
+    "pricing_summary",
+    "regional_revenue",
+    "latest_window_orders",
+    "orders_prev_busday",
+    "customer_churn_setops",
+    "order_tier_classification",
+    "latest_event_per_user",
+    "top_orders_per_segment",
+    "props_json_extract",
+    "above_nation_avg_balance",
+    "exact_dedup_groups",
+    "doc_token_stats",
+    "lang_id_distribution",
+    "cosine_topk_bruteforce",
+    "minhash_near_dups",
+    "simhash_fingerprints",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from etl_database_spark.queries import load_all
+    from etl_database_spark.session import get_spark
+
+    spark = get_spark("bench")
+    registry = load_all()
+
+    # Warm up the JVM/codegen path so query 1 doesn't absorb startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        rq = registry.get(name)
+        if rq is None:
+            continue
+        t0 = time.time()
+        df = rq.fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

