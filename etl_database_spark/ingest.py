@@ -1,0 +1,308 @@
+"""Config-driven generic import: the reference's core pipeline
+(systemscripts/generic_import.py) re-built on Spark readers and a
+schema-evolving versioned Parquet write path.
+
+Pipeline per config (mirrors generic_import.py:492-819):
+
+1. discover files in ``source_directory`` matching ``file_pattern``
+   (regex over listdir, generic_import.py:520-545);
+2. per file: extract (label, date) metadata from the filename
+   (metadata.py), register a dataset snapshot (registry.py) —
+   superseding any earlier snapshot of the same key;
+3. validate: empty file / "Invalid Event ID" content marks the dataset
+   Empty and archives without loading (generic_import.py:353-377,
+   612-640);
+4. read CSV all-string (the reference lands everything as VARCHAR,
+   generic_import.py:183-193) — or Excel via the driver-side converter
+   (sources/excel.py);
+5. transform: normalize column names (lowercase, space/hyphen →
+   underscore, generic_import.py:392), inject ``datasetid`` +
+   metadata columns (generic_import.py:399-403), optionally truncate
+   values to profiled widths (generic_import.py:446-456);
+6. append to the target Parquet table partitioned by ``datasetdate``
+   with schema evolution per import strategy
+   (create_importconfig_table.sql:13-17):
+   - strategy 1: new columns are added (union-by-name, mergeSchema);
+   - strategy 2: only columns already in the target are loaded;
+   - strategy 3: fail if the file is missing target columns;
+7. archive the consumed file (generic_import.py:780-796).
+
+Scale notes: the per-file loop is config-driven control flow; the data
+path is pure Spark. For bulk backfills use ``load_directory`` which
+reads every matching file in ONE ``spark.read`` (with
+``input_file_name()``-derived metadata columns) — one job regardless
+of file count. Data tables partition by ``datasetdate`` so snapshot
+queries prune; truncation/profiling are single-pass JVM aggregates.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import re
+import shutil
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_database_spark.metadata import MetadataSpec, parse_date, parse_label
+from etl_database_spark.registry import STATUS_ID, DatasetRegistry
+
+DEFAULT_WIDTH = 1000  # generic_import.py:328
+WIDTH_CAP = 4000  # generic_import.py:191
+WIDTH_FACTOR = 1.5  # generic_import.py:191
+
+
+@dataclass
+class ImportConfig:
+    """One row of the import-config surface
+    (create_importconfig_table.sql:20-51)."""
+
+    config_name: str
+    source_directory: str
+    archive_directory: str
+    file_pattern: str
+    target_table: str
+    file_type: str = "CSV"  # CSV | XLS | XLSX
+    datasource: str = "file"
+    datasettype: str = "Generic"
+    delimiter: str = ","
+    import_strategy: int = 1  # 1 evolve, 2 intersect, 3 strict
+    truncate_to_width: bool = False
+    metadata: MetadataSpec = field(default_factory=MetadataSpec)
+    is_active: bool = True
+
+
+def normalize_name(name: str) -> str:
+    """lowercase; spaces/hyphens → underscores (generic_import.py:327,392)."""
+    return re.sub(r"[ \-]", "_", name.strip().lower())
+
+
+def normalize_columns(df: DataFrame) -> DataFrame:
+    return df.toDF(*[normalize_name(c) for c in df.columns])
+
+
+def profile_widths(df: DataFrame, columns: list[str] | None = None) -> dict[str, int]:
+    """Per-column VARCHAR-width rule: max_len × 1.5, floor DEFAULT,
+    cap 4000 (generic_import.py:183-193) — one aggregate pass over the
+    scan, not per-column passes."""
+    cols = columns or [c for c, t in df.dtypes if t == "string"]
+    if not cols:
+        return {}
+    row = df.agg(
+        *[F.max(F.length(F.col(c))).alias(c) for c in cols]
+    ).first()
+    out = {}
+    for c in cols:
+        max_len = row[c] or 0
+        out[c] = min(int(max_len * WIDTH_FACTOR) or DEFAULT_WIDTH, WIDTH_CAP)
+    return out
+
+
+def truncate_to_widths(df: DataFrame, widths: dict[str, int]) -> DataFrame:
+    """Explicit substring truncation stage (generic_import.py:446-456);
+    the reference warns per truncated column — we return the frame and
+    let the caller count truncations if it cares."""
+    for c, w in widths.items():
+        if c in df.columns:
+            df = df.withColumn(c, F.substring(F.col(c), 1, w))
+    return df
+
+
+class TargetTable:
+    """A Parquet data table partitioned by datasetdate, with
+    union-by-name schema evolution (SURVEY.md §4.2.2)."""
+
+    def __init__(self, spark: SparkSession, root: str, name: str):
+        self.spark = spark
+        self.name = name
+        self.path = os.path.join(root, name)
+
+    def exists(self) -> bool:
+        return os.path.exists(self.path)
+
+    def read(self) -> DataFrame:
+        return self.spark.read.option("mergeSchema", "true").parquet(self.path)
+
+    def columns(self) -> list[str]:
+        return self.read().columns if self.exists() else []
+
+    def append(self, df: DataFrame, strategy: int = 1) -> list[str]:
+        """Append with per-strategy schema reconciliation
+        (create_importconfig_table.sql:13-17; generic_import.py:320-351,
+        405-424). Returns the list of new columns added (strategy 1).
+
+        Matching is case-insensitive on normalized names (the reference
+        lowercases both sides, generic_import.py:405-414).
+        """
+        new_cols: list[str] = []
+        if self.exists():
+            existing = self.columns()
+            incoming = df.columns
+            missing_in_file = [c for c in existing if c not in incoming and c != "datasetdate"]
+            extra_in_file = [c for c in incoming if c not in existing]
+            if strategy == 3 and missing_in_file:
+                raise ValueError(
+                    f"strategy 3: source file missing target columns {missing_in_file}"
+                )
+            if strategy == 2 and extra_in_file:
+                df = df.drop(*extra_in_file)
+            elif strategy in (1, 3):
+                new_cols = extra_in_file
+        (
+            df.write.mode("append")
+            .partitionBy("datasetdate")
+            .parquet(self.path)
+        )
+        return new_cols
+
+
+@dataclass
+class ImportResult:
+    filename: str
+    datasetid: int
+    rows: int
+    status: str
+    new_columns: list[str] = field(default_factory=list)
+
+
+class ImportJob:
+    """Entry point A (SURVEY.md §3.1): run one import config."""
+
+    def __init__(self, spark: SparkSession, config: ImportConfig, registry: DatasetRegistry,
+                 data_root: str):
+        self.spark = spark
+        self.config = config
+        self.registry = registry
+        self.table = TargetTable(spark, data_root, config.target_table)
+
+    def discover(self) -> list[str]:
+        """Regex file discovery (generic_import.py:520-545)."""
+        pat = re.compile(self.config.file_pattern)
+        src = self.config.source_directory
+        if not os.path.isdir(src):
+            return []
+        return sorted(
+            os.path.join(src, f) for f in os.listdir(src) if pat.match(f)
+        )
+
+    def _read_file(self, path: str) -> DataFrame:
+        cfg = self.config
+        if cfg.file_type.upper() in ("XLS", "XLSX"):
+            from etl_database_spark.sources.excel import excel_to_csv
+
+            path = excel_to_csv(path)
+        return (
+            self.spark.read.option("header", "true")
+            .option("sep", cfg.delimiter)
+            .option("inferSchema", "false")  # all-string, reference semantics
+            .csv(path)
+        )
+
+    def _archive(self, path: str) -> None:
+        os.makedirs(self.config.archive_directory, exist_ok=True)
+        shutil.move(path, os.path.join(self.config.archive_directory, os.path.basename(path)))
+
+    def run_file(self, path: str) -> ImportResult:
+        cfg = self.config
+        label = parse_label(path, cfg.metadata) or cfg.config_name
+        snap_date = parse_date(path, cfg.metadata)
+        type_id = self.registry.ensure_type(cfg.datasettype)
+        source_id = self.registry.ensure_source(cfg.datasource)
+        dataset_id = self.registry.register_snapshot(
+            snap_date, label, type_id, source_id, STATUS_ID["New"]
+        )
+        try:
+            df = self._read_file(path)
+        except Exception:  # unreadable file → Empty, archive (generic_import.py:612-640)
+            self.registry.set_status(dataset_id, "Empty")
+            self._archive(path)
+            return ImportResult(path, dataset_id, 0, "Empty")
+
+        if not df.columns or df.isEmpty():
+            self.registry.set_status(dataset_id, "Empty")
+            self._archive(path)
+            return ImportResult(path, dataset_id, 0, "Empty")
+
+        # Content gate: first column contains 'Invalid Event ID'
+        # (generic_import.py:353-362).
+        first_col = df.columns[0]
+        invalid = (
+            df.where(F.lower(F.col(first_col).cast("string")).contains("invalid event id"))
+            .limit(1)
+            .count()
+            > 0
+        )
+        if invalid:
+            self.registry.set_status(dataset_id, "Empty")
+            self._archive(path)
+            return ImportResult(path, dataset_id, 0, "Empty")
+
+        df = normalize_columns(df)
+        if cfg.truncate_to_width:
+            df = truncate_to_widths(df, profile_widths(df))
+        df = (
+            df.withColumn("datasetid", F.lit(dataset_id).cast("long"))
+            .withColumn("datasetdate", F.lit(snap_date).cast("date"))
+        )
+        try:
+            new_cols = self.table.append(df, cfg.import_strategy)
+        except ValueError:
+            self.registry.set_status(dataset_id, "Failed")
+            raise
+        rows = df.count()
+        self.registry.set_status(dataset_id, "Active")
+        self._archive(path)
+        return ImportResult(path, dataset_id, rows, "Active", new_cols)
+
+    def run(self) -> list[ImportResult]:
+        return [self.run_file(p) for p in self.discover()]
+
+
+def load_directory(
+    spark: SparkSession,
+    config: ImportConfig,
+    registry: DatasetRegistry,
+    data_root: str,
+) -> int:
+    """Bulk path: ingest every matching file in ONE spark.read — the
+    100 TB shape. Metadata (label, datasetdate) is derived per-row from
+    ``input_file_name()`` (distributed, no per-file driver loop); one
+    dataset row is registered per distinct (label, date) after the fact.
+
+    Returns total rows loaded.
+    """
+    from etl_database_spark.metadata import file_metadata_columns
+
+    pattern = config.file_pattern
+    src = config.source_directory
+    df = (
+        spark.read.option("header", "true")
+        .option("sep", config.delimiter)
+        .option("inferSchema", "false")
+        .option("pathGlobFilter", "*.csv")
+        .csv(src)
+        .where(F.element_at(F.split(F.input_file_name(), "/"), -1).rlike(pattern))
+    )
+    label_col, date_col = file_metadata_columns(config.metadata)
+    df = normalize_columns(df).withColumn("label", label_col).withColumn(
+        "datasetdate", date_col
+    )
+    keys = [(r["label"], r["datasetdate"]) for r in df.select("label", "datasetdate").distinct().collect()]
+    type_id = registry.ensure_type(config.datasettype)
+    source_id = registry.ensure_source(config.datasource)
+    id_map = {
+        (label, d): registry.register_snapshot(d, label, type_id, source_id)
+        for label, d in keys
+    }
+    mapping = spark.createDataFrame(
+        [(label, d, i) for (label, d), i in id_map.items()],
+        "label string, datasetdate date, datasetid long",
+    )
+    out = df.join(F.broadcast(mapping), ["label", "datasetdate"]).drop("label")
+    table = TargetTable(spark, data_root, config.target_table)
+    table.append(out, config.import_strategy)
+    return table.read().join(
+        F.broadcast(mapping.select("datasetid")), "datasetid", "left_semi"
+    ).count()

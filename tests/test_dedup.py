@@ -1,0 +1,97 @@
+"""Dedup operators vs brute-force ground truth on a corpus with planted
+near-duplicates (hash-family ops get no SQL oracle — this is their
+correctness gate, per llmdata.py)."""
+
+import itertools
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_database_spark.functions import dedup as D
+
+WORDS = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi "
+    "omicron pi rho sigma tau upsilon phi chi psi omega red green blue yellow"
+).split()
+
+
+def _mk_corpus():
+    rng = random.Random(7)
+    docs = []
+    for i in range(60):
+        docs.append((i, " ".join(rng.choice(WORDS) for _ in range(40))))
+    # planted near-dups: copy with small real edits (case/whitespace
+    # changes alone would normalize back to exact dups)
+    base = docs[3][1]
+    docs.append((100, base.replace(base.split()[0], "edited", 1)))
+    docs.append((101, base + " extra tail words here"))
+    base2 = docs[10][1]
+    docs.append((102, base2))  # exact dup
+    return docs
+
+
+def _brute_force_jaccard(docs, n=5, threshold=0.5):
+    def shingle_set(text):
+        norm = " ".join(text.lower().split())
+        return {norm[i : i + n] for i in range(len(norm) - n + 1)}
+
+    sets = {i: shingle_set(t) for i, t in docs}
+    out = {}
+    for (a, sa), (b, sb) in itertools.combinations(sorted(sets.items()), 2):
+        inter = len(sa & sb)
+        j = inter / (len(sa) + len(sb) - inter)
+        if j >= threshold:
+            out[(a, b)] = round(j, 4)
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(_mk_corpus(), "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, corpus):
+    groups = D.exact_duplicates(corpus, "text", "doc_id").collect()
+    assert len(groups) == 1
+    assert groups[0].canonical_id == 10 and groups[0].n_dups == 2
+
+
+def test_minhash_matches_brute_force(spark, corpus):
+    truth = _brute_force_jaccard(_mk_corpus())
+    found = {
+        (r.id_a, r.id_b): round(r.jaccard, 4)
+        for r in D.minhash_near_duplicates(corpus, "text", "doc_id").collect()
+    }
+    # verified pairs are exact-Jaccard → values must equal brute force
+    for pair, j in found.items():
+        assert pair in truth and abs(truth[pair] - j) < 1e-6
+    # high-similarity planted pairs must be captured (LSH S-curve makes
+    # J≥0.8 near-certain at num_perm=32, bands=8)
+    high = {p for p, j in truth.items() if j >= 0.8}
+    assert high <= set(found)
+
+
+def test_ngram_jaccard_is_exhaustive(spark, corpus):
+    truth = _brute_force_jaccard(_mk_corpus())
+    found = {
+        (r.id_a, r.id_b): round(r.jaccard, 4)
+        for r in D.ngram_jaccard_pairs(corpus, "text", "doc_id").collect()
+    }
+    assert found == truth
+
+
+def test_simhash_near_duplicates(spark, corpus):
+    fps = D.simhash_fingerprints(corpus, "text", "doc_id")
+    assert fps.count() == corpus.count()
+    # exact dup must have identical simhash (hamming 0)
+    vals = {r._id: r.simhash for r in fps.collect()}
+    assert vals[10] == vals[102]
+    pairs = {(r.id_a, r.id_b): r.hamming for r in D.simhash_near_duplicates(fps, 3).collect()}
+    assert (10, 102) in pairs and pairs[(10, 102)] == 0
+
+
+def test_minhash_deterministic(spark, corpus):
+    a = sorted(map(tuple, D.minhash_near_duplicates(corpus, "text", "doc_id").collect()))
+    b = sorted(map(tuple, D.minhash_near_duplicates(corpus, "text", "doc_id").collect()))
+    assert a == b

@@ -1,0 +1,184 @@
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_database_spark.ingest import (
+    ImportConfig,
+    ImportJob,
+    TargetTable,
+    normalize_columns,
+    normalize_name,
+    profile_widths,
+    truncate_to_widths,
+)
+from etl_database_spark.metadata import MetadataSpec
+from etl_database_spark.registry import DatasetRegistry
+
+
+def _config(tmp_path, **kw):
+    src = tmp_path / "watch"
+    arch = tmp_path / "archive"
+    src.mkdir(exist_ok=True)
+    defaults = dict(
+        config_name="TestImport",
+        source_directory=str(src),
+        archive_directory=str(arch),
+        file_pattern=r"\d{8}T\d{6}_MeetMax_\d+\.csv",
+        target_table="tmeetmaxevent",
+        datasettype="MeetMaxEvents",
+        metadata=MetadataSpec(label_location="2", date_location="0"),
+    )
+    defaults.update(kw)
+    return ImportConfig(**defaults)
+
+
+def test_normalize_name():
+    # lowercase, space/hyphen → underscore (generic_import.py:327,392)
+    assert normalize_name("Company Name") == "company_name"
+    assert normalize_name("Ticker-Symbol") == "ticker_symbol"
+    assert normalize_name("  Description ") == "description"
+
+
+def test_profile_and_truncate(spark):
+    df = spark.createDataFrame([("ab", "x" * 100), ("abcd", "y")], "a string, b string")
+    w = profile_widths(df)
+    assert w["a"] == 6  # 4 * 1.5
+    assert w["b"] == 150
+    t = truncate_to_widths(df, {"b": 10}).collect()
+    assert max(len(r.b) for r in t) == 10
+
+
+def test_profile_width_cap(spark):
+    df = spark.createDataFrame([("z" * 5000,)], "a string")
+    assert profile_widths(df)["a"] == 4000  # cap (generic_import.py:191)
+
+
+def test_import_end_to_end(spark, tmp_path):
+    cfg = _config(tmp_path)
+    (tmp_path / "watch" / "20250301T120000_MeetMax_94583.csv").write_text(
+        "Company Name,Ticker\nAcme Corp,ACME\nBeta LLC,BETA\n"
+    )
+    (tmp_path / "watch" / "ignored.txt").write_text("not matched")
+    reg = DatasetRegistry(spark, str(tmp_path / "registry"))
+    job = ImportJob(spark, cfg, reg, str(tmp_path / "data"))
+    results = job.run()
+    assert len(results) == 1
+    res = results[0]
+    assert res.rows == 2 and res.status == "Active"
+    # archived out of the watch dir (generic_import.py:780-796)
+    assert not os.path.exists(res.filename)
+    assert os.path.exists(tmp_path / "archive" / "20250301T120000_MeetMax_94583.csv")
+    # loaded with normalized columns + lineage
+    out = job.table.read()
+    assert set(out.columns) >= {"company_name", "ticker", "datasetid", "datasetdate"}
+    rows = out.collect()
+    assert {r.company_name for r in rows} == {"Acme Corp", "Beta LLC"}
+    assert all(r.datasetid == res.datasetid for r in rows)
+    # registry row active with filename-derived label/date
+    ds = reg.datasets().where(F.col("datasetid") == res.datasetid).first()
+    assert ds.label == "94583" and ds.datasetdate == dt.date(2025, 3, 1) and ds.isactive
+
+
+def test_schema_evolution_strategy1(spark, tmp_path):
+    """Ragged snapshot headers (FIXTURES.md F1): later file brings a new
+    column; earlier rows read as null for it (union-by-name semantics)."""
+    cfg = _config(tmp_path)
+    reg = DatasetRegistry(spark, str(tmp_path / "registry"))
+    job = ImportJob(spark, cfg, reg, str(tmp_path / "data"))
+    (tmp_path / "watch" / "20250301T120000_MeetMax_1.csv").write_text(
+        "Company Name,Ticker\nAcme,ACME\n"
+    )
+    job.run()
+    (tmp_path / "watch" / "20250302T120000_MeetMax_1.csv").write_text(
+        "Company/Organization,Company Ticker\nAcme2,AC2\n"
+    )
+    results = job.run()
+    assert set(results[0].new_columns) == {"company/organization", "company_ticker"}
+    out = job.table.read()
+    assert {"company_name", "ticker", "company/organization", "company_ticker"} <= set(out.columns)
+    assert out.count() == 2
+    # COALESCE chain works across ragged snapshots (usefulqueries.sql:3-11)
+    names = [
+        r.n
+        for r in out.select(
+            F.coalesce("company_name", "company/organization").alias("n")
+        ).collect()
+    ]
+    assert sorted(names) == ["Acme", "Acme2"]
+
+
+def test_strategy2_ignores_new_columns(spark, tmp_path):
+    cfg = _config(tmp_path, import_strategy=2)
+    reg = DatasetRegistry(spark, str(tmp_path / "registry"))
+    job = ImportJob(spark, cfg, reg, str(tmp_path / "data"))
+    (tmp_path / "watch" / "20250301T120000_MeetMax_1.csv").write_text("A,B\n1,2\n")
+    job.run()
+    (tmp_path / "watch" / "20250302T120000_MeetMax_1.csv").write_text("A,B,C\n3,4,5\n")
+    job.run()
+    assert "c" not in job.table.read().columns
+
+
+def test_strategy3_fails_on_missing_columns(spark, tmp_path):
+    cfg = _config(tmp_path, import_strategy=3)
+    reg = DatasetRegistry(spark, str(tmp_path / "registry"))
+    job = ImportJob(spark, cfg, reg, str(tmp_path / "data"))
+    (tmp_path / "watch" / "20250301T120000_MeetMax_1.csv").write_text("A,B\n1,2\n")
+    job.run()
+    (tmp_path / "watch" / "20250302T120000_MeetMax_1.csv").write_text("A\n3\n")
+    with pytest.raises(ValueError, match="strategy 3"):
+        job.run()
+    failed = reg.datasets().orderBy(F.desc("datasetid")).first()
+    assert failed.datastatusid == 5  # Failed
+
+
+def test_invalid_event_id_gate(spark, tmp_path):
+    """'Invalid Event ID' content → dataset Empty, file archived, no
+    load (generic_import.py:353-377)."""
+    cfg = _config(tmp_path)
+    reg = DatasetRegistry(spark, str(tmp_path / "registry"))
+    job = ImportJob(spark, cfg, reg, str(tmp_path / "data"))
+    (tmp_path / "watch" / "20250301T120000_MeetMax_2.csv").write_text(
+        "Message\nINVALID EVENT ID provided\n"
+    )
+    results = job.run()
+    assert results[0].status == "Empty" and results[0].rows == 0
+    assert not job.table.exists()
+    assert os.path.exists(tmp_path / "archive" / "20250301T120000_MeetMax_2.csv")
+
+
+def test_empty_file_gate(spark, tmp_path):
+    cfg = _config(tmp_path)
+    reg = DatasetRegistry(spark, str(tmp_path / "registry"))
+    job = ImportJob(spark, cfg, reg, str(tmp_path / "data"))
+    (tmp_path / "watch" / "20250301T120000_MeetMax_3.csv").write_text("A,B\n")
+    results = job.run()
+    assert results[0].status == "Empty"
+    assert not job.table.exists()
+
+
+def test_reimport_supersedes_snapshot(spark, tmp_path):
+    """Late re-import of the same (label, date): versioning absorbs it —
+    the single-active invariant keeps exactly one active datasetid and
+    active-filtered queries see only the newest rows (SURVEY.md W2)."""
+    cfg = _config(tmp_path)
+    reg = DatasetRegistry(spark, str(tmp_path / "registry"))
+    job = ImportJob(spark, cfg, reg, str(tmp_path / "data"))
+    (tmp_path / "watch" / "20250301T120000_MeetMax_9.csv").write_text(
+        "Company Name\nOldCo\n"
+    )
+    r1 = job.run()[0]
+    (tmp_path / "watch" / "20250301T130000_MeetMax_9.csv").write_text(
+        "Company Name\nNewCo\n"
+    )
+    r2 = job.run()[0]
+    active = reg.active().where(F.col("label") == "9").collect()
+    assert [r.datasetid for r in active] == [r2.datasetid]
+    data = job.table.read().join(
+        reg.active().select("datasetid"), "datasetid", "left_semi"
+    )
+    assert [r.company_name for r in data.collect()] == ["NewCo"]
+    # superseded rows still present for lineage/audit
+    assert job.table.read().count() == 2
+    assert r1.datasetid != r2.datasetid

@@ -1,0 +1,44 @@
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_database_spark.functions import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [(i, bytes([i % 256]) * (100 + i)) for i in range(20)]
+    return spark.createDataFrame(rows, "id long, media binary")
+
+
+def test_image_features_fake_decoder(spark, media):
+    out = M.image_features(media, fake=True).orderBy("id").collect()
+    assert len(out) == 20
+    r = out[0]
+    assert r.n_bytes == 100
+    assert r.sha256 == hashlib.sha256(bytes([0]) * 100).hexdigest()
+    assert 1 <= r.width <= 64 and 1 <= r.height <= 64
+    assert len(r.features) == 8 and all(0.0 <= f <= 1.0 for f in r.features)
+    # deterministic across runs
+    again = M.image_features(media, fake=True).orderBy("id").collect()
+    assert [tuple(r.features) for r in out] == [tuple(r.features) for r in again]
+
+
+def test_real_decoder_is_explicit_stub(spark, media):
+    with pytest.raises(Exception, match="NotImplementedError|image decode"):
+        M.image_features(media, fake=False).collect()
+
+
+def test_media_stats(spark, media):
+    r = M.media_stats(media).first()
+    assert r.n_media == 20
+    assert r.total_bytes == sum(100 + i for i in range(20))
+    assert r.max_bytes == 119 and r.min_bytes == 100
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([(1, 25), (2, 5)], "id long, frame_count int")
+    out = M.frame_sample_plan(df, every_n=10).collect()
+    got = {(r.id, r.frame_idx) for r in out}
+    assert got == {(1, 0), (1, 10), (1, 20), (2, 0)}

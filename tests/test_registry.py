@@ -1,0 +1,61 @@
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from etl_database_spark.registry import STATUS_ID, DatasetRegistry
+
+
+def test_lookup_idempotent(spark, tmp_path):
+    reg = DatasetRegistry(spark, str(tmp_path / "registry"))
+    a = reg.ensure_type("MeetMaxEvents")
+    b = reg.ensure_type("MeetMaxURL")
+    assert reg.ensure_type("MeetMaxEvents") == a
+    assert a != b
+
+
+def test_single_active_invariant(spark, tmp_path):
+    """Reference trigger semantics (dataset_setup.sql:193-216): any
+    insert sequence leaves ≤1 active row per (label, type, date), the
+    newest wins, superseded rows get effthrudate closed."""
+    reg = DatasetRegistry(spark, str(tmp_path / "registry"))
+    t = reg.ensure_type("T")
+    d = dt.date(2025, 3, 1)
+    id1 = reg.register_snapshot(d, "evt1", t)
+    id2 = reg.register_snapshot(d, "evt1", t)  # supersedes id1
+    id3 = reg.register_snapshot(d, "evt2", t)  # different label — untouched
+    rows = {r.datasetid: r for r in reg.datasets().collect()}
+    assert not rows[id1].isactive
+    assert rows[id1].effthrudate < dt.datetime(9999, 1, 1)
+    assert rows[id2].isactive
+    assert rows[id3].isactive
+    # invariant over all keys
+    counts = (
+        reg.datasets()
+        .where(F.col("isactive"))
+        .groupBy("label", "datasettypeid", "datasetdate")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] == 1 for r in counts)
+
+
+def test_single_active_invariant_many_inserts(spark, tmp_path):
+    reg = DatasetRegistry(spark, str(tmp_path / "registry"))
+    t = reg.ensure_type("T")
+    last_ids = {}
+    for i in range(8):
+        label = f"evt{i % 3}"
+        d = dt.date(2025, 1, 1 + (i % 2))
+        last_ids[(label, d)] = reg.register_snapshot(d, label, t)
+    active = {(r.label, r.datasetdate): r.datasetid for r in reg.active().collect()}
+    assert active == last_ids
+
+
+def test_status_transition(spark, tmp_path):
+    reg = DatasetRegistry(spark, str(tmp_path / "registry"))
+    t = reg.ensure_type("T")
+    i = reg.register_snapshot(dt.date(2025, 1, 1), "x", t)
+    reg.set_status(i, "Empty")
+    row = reg.datasets().where(F.col("datasetid") == i).first()
+    assert row.datastatusid == STATUS_ID["Empty"]
+    assert not row.isactive

@@ -1,0 +1,44 @@
+import datetime as dt
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_database_spark.ingest import ImportConfig
+from etl_database_spark.metadata import MetadataSpec
+from etl_database_spark.registry import DatasetRegistry
+from etl_database_spark.streaming.file_ingest import run_once
+
+
+def test_streaming_ingest_exactly_once(spark, tmp_path):
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    cfg = ImportConfig(
+        config_name="StreamImport",
+        source_directory=str(watch),
+        archive_directory=str(tmp_path / "arch"),
+        file_pattern=r".*\.csv",
+        target_table="tstream",
+        metadata=MetadataSpec(label_location="2", date_location="0"),
+    )
+    schema = T.StructType(
+        [T.StructField("company", T.StringType()), T.StructField("ticker", T.StringType())]
+    )
+    reg = DatasetRegistry(spark, str(tmp_path / "registry"))
+    (watch / "20250301T120000_MeetMax_5.csv").write_text("company,ticker\nAcme,AC\n")
+
+    n1 = run_once(spark, cfg, schema, reg, str(tmp_path / "data"), str(tmp_path / "ckpt"))
+    assert n1 == 1
+    # second run with no new files: checkpoint prevents reprocessing
+    n2 = run_once(spark, cfg, schema, reg, str(tmp_path / "data"), str(tmp_path / "ckpt"))
+    assert n2 == 0
+    # new file arrives → only it is processed
+    (watch / "20250302T120000_MeetMax_5.csv").write_text("company,ticker\nBeta,BE\n")
+    n3 = run_once(spark, cfg, schema, reg, str(tmp_path / "data"), str(tmp_path / "ckpt"))
+    assert n3 == 1
+
+    out = spark.read.option("mergeSchema", "true").parquet(str(tmp_path / "data" / "tstream"))
+    assert out.count() == 2
+    assert set(out.columns) >= {"company", "ticker", "datasetid", "datasetdate"}
+    # each file registered its own dataset snapshot with the filename date
+    ds = reg.datasets().orderBy("datasetid").collect()
+    assert [d.datasetdate for d in ds] == [dt.date(2025, 3, 1), dt.date(2025, 3, 2)]

@@ -1,0 +1,52 @@
+from pyspark.sql import functions as F
+
+from etl_database_spark.functions import text as T
+
+
+def _one(spark, s, col):
+    return spark.createDataFrame([(s,)], "t string").select(col.alias("v")).first().v
+
+
+def test_token_count(spark):
+    assert _one(spark, "hello world foo", T.token_count("t")) == 3
+    assert _one(spark, "  spaced   out  ", T.token_count("t")) == 2
+    assert _one(spark, "", T.token_count("t")) == 0
+    assert _one(spark, "   ", T.token_count("t")) == 0
+
+
+def test_word_occurrences(spark):
+    assert _one(spark, "the cat the dog the", T.word_occurrences("t", "the")) == 3
+    assert _one(spark, "theater theory", T.word_occurrences("t", "the")) == 0
+
+
+def test_punct_and_upper_ratio(spark):
+    assert _one(spark, "ab!!", T.punct_ratio("t")) == 0.5
+    assert _one(spark, "", T.punct_ratio("t")) == 0.0
+    assert _one(spark, "ABcd", T.upper_ratio("t")) == 0.5
+
+
+def test_detect_language(spark):
+    assert _one(spark, "the cat and the dog is here", T.detect_language("t")) == "en"
+    assert _one(spark, "el perro de la casa que ladra", T.detect_language("t")) == "es"
+    assert _one(spark, "der hund und die katze nicht", T.detect_language("t")) == "de"
+    assert _one(spark, "xyzzy plugh qwerty", T.detect_language("t")) == "und"
+
+
+def test_quality_score_bounds(spark):
+    df = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog and runs far away today",),
+         ("!!! ### $$$ %%%",), ("",)],
+        "t string",
+    )
+    vals = [r.q for r in df.select(T.quality_score("t").alias("q")).collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+    assert vals[0] > vals[1]  # natural text beats punctuation soup
+
+
+def test_fingerprints_normalize(spark):
+    a = _one(spark, "Hello   World", T.fingerprint_md5("t"))
+    b = _one(spark, "hello world", T.fingerprint_md5("t"))
+    assert a == b
+    x = _one(spark, "Hello   World", T.fingerprint_xx64("t"))
+    y = _one(spark, "hello world", T.fingerprint_xx64("t"))
+    assert x == y
