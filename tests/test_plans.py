@@ -1,0 +1,78 @@
+"""Physical-plan assertions: the scale design is a set of plan
+properties — pin them so regressions fail tests, not clusters.
+
+Runs against sf0.001 (plans don't depend on data volume)."""
+
+import os
+
+import pytest
+
+from etl_database_spark.plans import (
+    count_broadcast_joins,
+    formatted_plan,
+    has_partial_aggregate,
+    has_pushed_filters,
+    scan_read_schema,
+    whole_stage_codegen_ids,
+)
+
+SF = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(SF), reason="testdata not present")
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from etl_database_spark.queries import load_all
+
+    return load_all()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, registry):
+    df = registry["inlist_between_revenue"].fn(spark, SF)
+    assert has_pushed_filters(df), formatted_plan(df)
+
+
+def test_column_pruning(spark, registry):
+    """pricing_summary touches 7 of lineitem's 11 columns — the scan
+    must not read the rest."""
+    df = registry["pricing_summary"].fn(spark, SF)
+    cols = scan_read_schema(df)
+    assert 0 < len(cols) <= 7, cols
+    assert "l_comment" not in cols and "l_partkey" not in cols
+
+
+def test_dimension_joins_broadcast(spark, registry):
+    """regional_revenue: all 4 dimension joins must be broadcast — the
+    fact stream shuffles only for the fact-fact join + aggregate."""
+    df = registry["regional_revenue"].fn(spark, SF)
+    assert count_broadcast_joins(df) >= 4, formatted_plan(df)
+
+
+def test_aggregates_have_mapside_partial(spark, registry):
+    df = registry["pricing_summary"].fn(spark, SF)
+    assert has_partial_aggregate(df), formatted_plan(df)
+
+
+def test_calendar_asof_is_broadcast_join(spark, registry):
+    df = registry["orders_prev_busday"].fn(spark, SF)
+    assert count_broadcast_joins(df) >= 1, formatted_plan(df)
+
+
+def test_hot_path_is_codegen(spark, registry):
+    """AQE only annotates codegen in the executed plan — run the query,
+    then check the final physical plan has WholeStageCodegen spans."""
+    df = registry["pricing_summary"].fn(spark, SF)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # codegen'd operators carry the *(N) star marker
+    assert "*(" in executed, executed[:2000]
+
+
+def test_correlated_subquery_decorrelates(spark, registry):
+    """above_nation_avg_balance must plan as aggregate+join, not a
+    per-row subquery probe."""
+    df = registry["above_nation_avg_balance"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "HashAggregate" in plan
+    assert "Join" in plan
