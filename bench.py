@@ -30,6 +30,7 @@ HEADLINE = [
     "top_orders_per_segment",
     "props_json_extract",
     "above_nation_avg_balance",
+    "windowed_event_counts",
     "exact_dedup_groups",
     "doc_token_stats",
     "lang_id_distribution",
@@ -65,6 +66,9 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+        # Queries that cache intermediates would otherwise pollute later
+        # timings (memory churn); each query is measured cold.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -87,7 +87,9 @@ def lang_scores(col) -> dict[str, Column]:
 def detect_language(col) -> Column:
     """Pick the language with the highest stopword score ('und' if all 0).
 
-    Implemented as a greatest/when ladder — still a single projection.
+    Single-Column form — each score expression is repeated inside the
+    greatest/when ladder, so for wide scans prefer ``with_language``
+    (computes each score once in an intermediate projection).
     """
     scores = lang_scores(col)
     langs = list(scores)
@@ -97,6 +99,23 @@ def detect_language(col) -> Column:
     for lang in langs:
         expr = expr.when(scores[lang] == best, F.lit(lang))
     return expr
+
+
+def with_language(df, text_col: str, out_col: str = "detected_lang"):
+    """Add ``out_col`` with the detected language — two projections:
+    one evaluating each stopword score once, one running the
+    greatest/when ladder over the score columns. Same results as
+    ``detect_language`` with ~5× less expression work per row."""
+    langs = list(LANG_STOPWORDS)
+    score_cols = {lang: f"_langscore_{lang}" for lang in langs}
+    scored = df.withColumns(
+        {name: stopword_score(F.col(text_col), lang) for lang, name in score_cols.items()}
+    )
+    best = F.greatest(*[F.col(c) for c in score_cols.values()])
+    expr = F.when(best == 0, F.lit("und"))
+    for lang in langs:
+        expr = expr.when(F.col(score_cols[lang]) == best, F.lit(lang))
+    return scored.withColumn(out_col, expr).drop(*score_cols.values())
 
 
 def quality_score(col) -> Column:

@@ -135,7 +135,7 @@ def lang_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     confusion-matrix-style counts. Pure projection + one aggregate."""
     d = table(spark, sf_dir, "documents")
     return (
-        d.withColumn("detected_lang", T.detect_language(F.col("text")))
+        T.with_language(d, "text", "detected_lang")
         .groupBy("detected_lang", F.col("lang").alias("labeled_lang"))
         .agg(F.count("*").alias("n_docs"))
         .orderBy("detected_lang", "labeled_lang")
@@ -143,12 +143,39 @@ def lang_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Quality scoring — rows-only (composite float heuristic; verified by
-# pytest determinism + range tests rather than a SQL oracle).
-@register("doc_quality_scores")
+# Quality scoring — oracle generated to mirror functions.text expression
+# by expression (same IEEE double arithmetic, same rounding).
+_PUNCT_CLASS = "[!-/:-@\\[-`{-~]"
+_NTOK_SQL = (
+    "CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 "
+    "ELSE len(str_split_regex(TRIM(text), '\\s+')) END"
+)
+_PR_SQL = (
+    "CASE WHEN LENGTH(text) = 0 THEN 0.0 "
+    "ELSE CAST(LENGTH(text) - LENGTH(regexp_replace(text, '" + _PUNCT_CLASS + "', '', 'g')) AS DOUBLE)"
+    " / LENGTH(text) END"
+)
+_QUALITY_ORACLE = (
+    "WITH base AS (SELECT doc_id, "
+    + _NTOK_SQL + " AS ntok, "
+    + _PR_SQL + " AS pr, "
+    + _sql_lang_score("en") + " AS stop_score FROM documents) "
+    "SELECT doc_id, "
+    "ROUND(LEAST(CAST(ntok AS DOUBLE) / 20.0, 1.0) * 0.4 "
+    "  + (1.0 - LEAST(pr * 4, 1.0)) * 0.3 "
+    "  + LEAST(CAST(stop_score AS DOUBLE) / CAST(GREATEST(ntok, 1) AS DOUBLE) * 5, 1.0) * 0.3, "
+    "4) AS quality, "
+    "CAST(ntok AS BIGINT) AS n_tokens, "
+    "ROUND(pr, 4) AS punct_ratio "
+    "FROM base ORDER BY doc_id"
+)
+
+
+@register("doc_quality_scores", oracle=_QUALITY_ORACLE)
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality heuristic in [0,1]: length, punctuation and
-    stopword-density components; JVM-only expressions."""
+    stopword-density components; JVM-only expressions. Uses the en
+    stopword panel — the oracle regenerates the identical arithmetic."""
     d = table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",

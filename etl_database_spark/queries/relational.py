@@ -706,3 +706,27 @@ def nations_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = n.join(s, n.n_nationkey == s.s_nationkey, "left_semi").select("n_name")
     return a.union(b).distinct().orderBy("n_name")
+
+
+# ---------------------------------------------------------------------------
+# §2.9 — event-time tumbling-window aggregation (batch form of the
+# streaming operator; the stream variant adds a watermark — see
+# streaming/windowed.py and tests/test_streaming.py for equivalence).
+@register(
+    "windowed_event_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY window_start, window_end, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def windowed_event_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_database_spark.streaming.windowed import windowed_event_counts
+
+    ev = table(spark, sf_dir, "events")
+    return windowed_event_counts(ev, "1 hour").orderBy("window_start", "event_type")

@@ -42,3 +42,44 @@ def test_streaming_ingest_exactly_once(spark, tmp_path):
     # each file registered its own dataset snapshot with the filename date
     ds = reg.datasets().orderBy("datasetid").collect()
     assert [d.datasetdate for d in ds] == [dt.date(2025, 3, 1), dt.date(2025, 3, 2)]
+
+
+def test_windowed_stream_matches_batch(spark, tmp_path):
+    """Stream (watermarked, append mode) emits exactly the batch
+    windowed aggregate for windows the final watermark closed."""
+    import datetime as dt
+
+    from etl_database_spark.streaming.windowed import (
+        run_windowed_once,
+        windowed_event_counts,
+    )
+
+    base = dt.datetime(2025, 3, 1, 0, 0, 0)
+    rows = []
+    for i in range(200):
+        rows.append(
+            (i, base + dt.timedelta(minutes=4 * i), i % 7, "click" if i % 2 else "view", float(i))
+        )
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    src = str(tmp_path / "events_src")
+    events.coalesce(2).write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = str(tmp_path / "windowed_out")
+    run_windowed_once(stream, out, str(tmp_path / "ckpt"), "1 hour", "2 hours")
+
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    max_ts = max(r[1] for r in rows)
+    closed = max_ts - dt.timedelta(hours=2)
+    expected = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in windowed_event_counts(events, "1 hour").collect()
+        if r.window_end <= closed
+    }
+    assert got == expected
+    assert len(got) > 0
