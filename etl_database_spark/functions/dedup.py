@@ -357,3 +357,78 @@ def simhash_near_duplicates(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Cluster near-duplicate pairs into components → (_id, component)
+    where ``component`` is the minimum member id (the canonical doc).
+
+    Iterative min-label propagation over the undirected pair graph —
+    the standard large-graph connected-components shape (each iteration
+    is one join + aggregate; converges in O(diameter) rounds, and dedup
+    graphs are shallow: near-dup clusters are cliques-ish, so 2-3
+    rounds typical). Each round materializes via cache+count so the
+    lineage doesn't grow unboundedly.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("_id"))
+        .distinct()
+        .withColumn("component", F.col("_id"))
+        .cache()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels._id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels._id == neighbor_min.src, "left")
+            .select(
+                "_id",
+                F.least(F.col("component"), F.coalesce("nbr_min", F.col("component"))).alias(
+                    "component"
+                ),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "_id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def near_duplicate_clusters(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    **minhash_kwargs,
+) -> DataFrame:
+    """End-to-end dedup clustering: minhash near-dup pairs → connected
+    components → (doc id, component, is_survivor). Survivor = the
+    minimum id per component (deterministic canonical choice); docs in
+    no pair are their own singleton survivors implicitly and are not
+    listed."""
+    pairs = minhash_near_duplicates(df, text_col, id_col, threshold=threshold, **minhash_kwargs)
+    comps = connected_components(pairs)
+    return comps.select(
+        F.col("_id").alias(id_col),
+        "component",
+        (F.col("_id") == F.col("component")).alias("is_survivor"),
+    )

@@ -275,3 +275,15 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jaccard", F.round("jaccard", 4))
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering: near-dup pairs → connected components → survivors.
+# Rows-only (pairs come from the hash-family LSH pipeline); the
+# component algorithm is verified against union-find in tests.
+@register("near_dup_clusters")
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over verified near-dup pairs; survivor =
+    min doc_id per component (iterative min-label propagation)."""
+    d = table(spark, sf_dir, "documents")
+    return D.near_duplicate_clusters(d, "text", "doc_id", threshold=0.5).orderBy("doc_id")

@@ -15,6 +15,7 @@ def spark():
     s = (
         SparkSession.builder.master("local[4]")
         .appName("etl_database_spark_tests")
+        .config("spark.driver.memory", "6g")
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")

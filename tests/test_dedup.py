@@ -95,3 +95,41 @@ def test_minhash_deterministic(spark, corpus):
     a = sorted(map(tuple, D.minhash_near_duplicates(corpus, "text", "doc_id").collect()))
     b = sorted(map(tuple, D.minhash_near_duplicates(corpus, "text", "doc_id").collect()))
     assert a == b
+
+
+def test_connected_components_vs_union_find(spark):
+    edges = [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (3, 11)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r._id: r.component for r in D.connected_components(pairs).collect()
+    }
+    # python union-find ground truth
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    truth = {x: find(x) for x in parent}
+    assert got == truth
+    assert got[11] == 1 and got[10] == 8 and got[6] == 5
+
+
+def test_near_duplicate_clusters(spark, corpus):
+    out = D.near_duplicate_clusters(corpus, "text", "doc_id").collect()
+    by_id = {r.doc_id: r for r in out}
+    # planted: 3-100-101 form one cluster with 3 canonical;
+    # 10-102 exact dups cluster with 10 canonical
+    assert by_id[100].component == 3 and by_id[101].component == 3
+    assert by_id[3].is_survivor and not by_id[100].is_survivor
+    assert by_id[102].component == 10 and by_id[10].is_survivor
