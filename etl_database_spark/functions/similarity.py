@@ -160,3 +160,149 @@ def ann_topk(
         .select("query_id", "neighbor_id", "cos_sim")
         .orderBy("query_id", F.desc("cos_sim"), "neighbor_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF tier: k-means coarse quantizer + inverted-list probing.
+
+
+def kmeans_fit(
+    df: DataFrame,
+    dim: int,
+    k: int = 16,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Fixed-iteration Lloyd's k-means on an embedding column, pure
+    DataFrame ops: assignment = argmin squared-L2 against broadcast
+    centroid literals; update = groupBy mean per dimension via
+    element-wise array aggregation (posexplode + avg).
+
+    Deterministic: seeds are the k lowest-id vectors (no RNG), and
+    ties in assignment break toward the lower centroid id. Each
+    iteration is one scan + one shuffle of (n, dim) values — the
+    classic scalable k-means shape; k and dim are driver-side small.
+    """
+    seeds = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(_to_double(F.col(vec_col)).alias("c"))
+        .collect()
+    )
+    centroids = [list(r.c) for r in seeds]
+    vecs = df.select(F.col(id_col).alias("_id"), _to_double(F.col(vec_col)).alias("v"))
+    for _ in range(max_iter):
+        assigned = vecs.withColumn(
+            "centroid", _nearest_centroid_expr(centroids)
+        )
+        new_rows = (
+            assigned.select("centroid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("centroid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new_centroids = [list(c) for c in centroids]
+        for r in new_rows:
+            new_centroids[r.centroid][r.pos] = r.m
+        if all(
+            abs(a - b) < 1e-9
+            for nc, oc in zip(new_centroids, centroids)
+            for a, b in zip(nc, oc)
+        ):
+            break
+        centroids = new_centroids
+    return centroids
+
+
+def _nearest_centroid_expr(centroids: list[list[float]]) -> Column:
+    """argmin_c ||v - c||² as a when-ladder over centroid literals —
+    squared-L2 per centroid is a codegen'd fold; ties → lower id."""
+    dists = []
+    for c in centroids:
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(F.col("v"), lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dists.append(d)
+    best = F.least(*dists) if len(dists) > 1 else dists[0]
+    expr = None
+    for i, d in enumerate(dists):
+        expr = F.when(d == best, F.lit(i)) if expr is None else expr.when(d == best, F.lit(i))
+    return expr
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid → inverted lists.
+    At scale this frame is written partitioned by ``centroid`` so a
+    probe only scans the probed partitions."""
+    vecs = df.select(F.col(id_col).alias("_id"), _to_double(F.col(vec_col)).alias("v"))
+    return vecs.withColumn("centroid", _nearest_centroid_expr(centroids))
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: each query probes its ``n_probe`` nearest centroids
+    and ranks by cosine only within those inverted lists — the scan
+    shrinks by ~k/n_probe vs brute force, the standard IVF tradeoff.
+    """
+    lists = ivf_assign(df, centroids, id_col, vec_col)
+    q = ivf_probe_targets(queries, centroids, n_probe, id_col, vec_col)
+    scored = (
+        lists.join(q, "centroid")
+        .where(F.col("_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("q_vec"), F.col("v")), 4))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", F.col("_id").alias("neighbor_id"), "cos_sim")
+        .orderBy("query_id", F.desc("cos_sim"), "neighbor_id")
+    )
+
+
+def ivf_probe_targets(
+    queries: DataFrame,
+    centroids: list[list[float]],
+    n_probe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, q_vec, centroid) for each query's n_probe nearest
+    centroids — built with an exploded distance array + rank."""
+    vecs = queries.select(
+        F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("q_vec")
+    )
+    dist_structs = []
+    for i, c in enumerate(centroids):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(F.col("q_vec"), lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dist_structs.append(F.struct(d.alias("dist"), F.lit(i).alias("centroid")))
+    exploded = vecs.withColumn(
+        "ds", F.explode(F.array(*dist_structs))
+    ).select("query_id", "q_vec", F.col("ds.dist").alias("dist"), F.col("ds.centroid").alias("centroid"))
+    w = W.partitionBy("query_id").orderBy("dist", "centroid")
+    return (
+        exploded.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "q_vec", "centroid")
+    )

@@ -287,3 +287,16 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     min doc_id per component (iterative min-label propagation)."""
     d = table(spark, sf_dir, "documents")
     return D.near_duplicate_clusters(d, "text", "doc_id", threshold=0.5).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN: k-means coarse quantizer + inverted-list probe — the "scale
+# path" ANN variant (rows-only; recall vs brute force in tests).
+@register("ivf_topk_ann")
+def ivf_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over the embeddings table: fit a small coarse
+    quantizer, then each query probes its 3 nearest inverted lists."""
+    emb = table(spark, sf_dir, "embeddings")
+    cents = S.kmeans_fit(emb, dim=64, k=8, max_iter=5)
+    queries = emb.where(F.col("vec_id") < _N_QUERIES)
+    return S.ivf_topk(emb, queries, cents, k=_TOPK_K, n_probe=3)

@@ -730,3 +730,148 @@ def windowed_event_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     return windowed_event_counts(ev, "1 hour").orderBy("window_start", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# §2.9 stateful shape — sessionization (batch form; the streaming
+# variant is applyInPandasWithState, tested for equivalence in
+# tests/test_streaming.py).
+@register(
+    "user_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                     > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM s
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_database_spark.streaming.sessions import sessionize_batch
+
+    ev = table(spark, sf_dir, "events")
+    return sessionize_batch(ev, gap_minutes=30).orderBy("user_id", "session_start")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape — shipping-priority join + top-10 by revenue.
+@register(
+    "shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           CAST(o_orderdate AS DATE) AS order_date,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND CAST(o_orderdate AS DATE) < DATE '1998-03-15'
+      AND CAST(l_shipdate AS DATE) > DATE '1998-03-15'
+    GROUP BY l_orderkey, order_date, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective dimension filter broadcasts; both fact filters push to
+    the scans; top-10 via TakeOrderedAndProject (no global sort)."""
+    c = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").where(
+        F.to_date("o_orderdate") < F.lit("1998-03-15").cast("date")
+    )
+    li = table(spark, sf_dir, "lineitem").where(
+        F.to_date("l_shipdate") > F.lit("1998-03-15").cast("date")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("order_date"), "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape — returned-item customers ranked by lost revenue.
+@register(
+    "returned_item_customers",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS lost_revenue,
+           COUNT(*) AS n_returned_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY lost_revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returnflag filter pushes to the lineitem scan; nation broadcast;
+    top-20 avoids a full sort."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "lost_revenue"),
+            F.count("*").alias("n_returned_items"),
+        )
+        .orderBy(F.desc("lost_revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew-resilient aggregation: salted two-phase sum — results must be
+# bit-identical to the plain aggregate (decimal-sum determinism), which
+# the oracle verifies with a plain SQL GROUP BY.
+@register(
+    "salted_revenue_by_suppkey",
+    oracle="""
+    SELECT l_suppkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_suppkey
+    ORDER BY l_suppkey
+    """,
+)
+def salted_revenue_by_suppkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators.skew) against the plain
+    SQL aggregate — proves salting preserves exact results while
+    spreading a hot key over many reducers."""
+    from etl_database_spark.operators.skew import salted_sum_count
+
+    li = table(spark, sf_dir, "lineitem")
+    return salted_sum_count(
+        li, ["l_suppkey"], "l_extendedprice", num_salts=16, unique_col="l_orderkey"
+    ).orderBy("l_suppkey")

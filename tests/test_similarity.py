@@ -83,3 +83,36 @@ def test_lsh_signatures_deterministic(spark, vectors):
     a = {r._id: r.lsh_sig for r in S.lsh_signatures(vectors, DIM, 12).collect()}
     b = {r._id: r.lsh_sig for r in S.lsh_signatures(vectors, DIM, 12).collect()}
     assert a == b
+
+
+def test_kmeans_converges_and_clusters(spark, vectors):
+    from etl_database_spark.functions.similarity import ivf_assign, kmeans_fit
+
+    cents = kmeans_fit(vectors, DIM, k=8, max_iter=10)
+    assert len(cents) == 8 and all(len(c) == DIM for c in cents)
+    assigned = ivf_assign(vectors, cents)
+    # clustered synthetic data (8 generator clusters): members of the
+    # same generator cluster should mostly co-assign
+    rows = {r._id: r.centroid for r in assigned.collect()}
+    from collections import Counter
+
+    agreement = 0
+    for g in range(8):
+        members = [rows[i] for i in rows if i % 8 == g]
+        agreement += Counter(members).most_common(1)[0][1] / len(members)
+    assert agreement / 8 > 0.8
+
+
+def test_ivf_topk_recall(spark, vectors):
+    from etl_database_spark.functions.similarity import ivf_topk, kmeans_fit
+
+    qids = list(range(10))
+    queries = vectors.where(F.col("vec_id").isin(qids))
+    cents = kmeans_fit(vectors, DIM, k=8, max_iter=5)
+    got = {}
+    for r in ivf_topk(vectors, queries, cents, k=5, n_probe=3).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    truth = _brute_topk(_mk_vectors(), qids, k=5)
+    hits = sum(len(got.get(q, set()) & set(t)) for q, t in truth.items())
+    total = sum(len(t) for t in truth.values())
+    assert hits / total >= 0.8, f"IVF recall {hits}/{total}"

@@ -83,3 +83,60 @@ def test_windowed_stream_matches_batch(spark, tmp_path):
     }
     assert got == expected
     assert len(got) > 0
+
+
+def test_stateful_sessionization_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessions == batch window-function sessions
+    for sessions the final watermark closed."""
+    import datetime as dt
+
+    from etl_database_spark.streaming.sessions import (
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    base = dt.datetime(2025, 3, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for user in range(5):
+        t = base + dt.timedelta(minutes=user * 3)
+        for burst in range(4):
+            for i in range(3):  # 3 events 5 min apart → one session
+                rows.append((eid, t, user, "click", float(eid)))
+                eid += 1
+                t += dt.timedelta(minutes=5)
+            t += dt.timedelta(minutes=90)  # gap > 30min → session break
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    src = str(tmp_path / "sess_src")
+    events.coalesce(2).write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    sessions = sessionize_stream(stream, gap_minutes=30, watermark="1 hour")
+    out = str(tmp_path / "sess_out")
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.total_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    max_ts = max(r[1] for r in rows)
+    batch = sessionize_batch(events, 30).collect()
+    # stream emits sessions whose timeout (< last+gap) precedes the
+    # final watermark (max_ts - 1h)
+    expected = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.total_value)
+        for r in batch
+        if r.session_end + dt.timedelta(minutes=30) < max_ts - dt.timedelta(hours=1)
+    }
+    assert len(got) > 0
+    assert got == expected
