@@ -66,3 +66,12 @@ def whole_stage_codegen_ids(df: DataFrame) -> int:
 
     plan = formatted_plan(df)
     return len(set(re.findall(r"\[codegen id : (\d+)\]", plan)))
+
+
+def has_partition_filters(df: DataFrame) -> bool:
+    """Scan reports non-empty PartitionFilters (partition pruning)."""
+    plan = formatted_plan(df)
+    for line in plan.splitlines():
+        if "PartitionFilters:" in line and "PartitionFilters: []" not in line:
+            return True
+    return False

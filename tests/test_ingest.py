@@ -182,3 +182,16 @@ def test_reimport_supersedes_snapshot(spark, tmp_path):
     # superseded rows still present for lineage/audit
     assert job.table.read().count() == 2
     assert r1.datasetid != r2.datasetid
+
+
+def test_excel_gate_without_libs(spark, tmp_path):
+    """No Excel engine in this environment: the conversion raises a
+    clear ImportError instead of failing obscurely (sources/excel.py)."""
+    import pytest as _pytest
+
+    from etl_database_spark.sources.excel import excel_to_csv
+
+    fake = tmp_path / "file.xlsx"
+    fake.write_bytes(b"not a real workbook")
+    with _pytest.raises(ImportError, match="openpyxl/xlrd unavailable|cannot read Excel"):
+        excel_to_csv(str(fake))

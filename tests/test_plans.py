@@ -76,3 +76,25 @@ def test_correlated_subquery_decorrelates(spark, registry):
     plan = formatted_plan(df)
     assert "HashAggregate" in plan
     assert "Join" in plan
+
+
+def test_ingested_table_partition_pruning(spark, tmp_path):
+    """Data tables partition by datasetdate; a snapshot-date filter must
+    prune partitions at the scan (the engine's replacement for the
+    reference's tdataset(datasetdate) index)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from etl_database_spark.ingest import TargetTable
+    from etl_database_spark.plans import has_partition_filters
+
+    t = TargetTable(spark, str(tmp_path), "tsnap")
+    for d in ["2025-03-01", "2025-03-02", "2025-03-03"]:
+        df = spark.createDataFrame(
+            [(1, "x", dt.date.fromisoformat(d))], "datasetid long, v string, datasetdate date"
+        )
+        t.append(df)
+    q = t.read().where(F.col("datasetdate") == "2025-03-02")
+    assert has_partition_filters(q)
+    assert q.count() == 1
