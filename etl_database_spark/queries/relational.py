@@ -875,3 +875,151 @@ def salted_revenue_by_suppkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_sum_count(
         li, ["l_suppkey"], "l_extendedprice", num_salts=16, unique_col="l_orderkey"
     ).orderBy("l_suppkey")
+
+
+# ---------------------------------------------------------------------------
+# Pivot (cross-tab) — orderstatus counts per segment as columns.
+@register(
+    "segment_status_pivot",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def segment_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit value list (no extra pass to discover
+    values); absent combinations filled to 0 to match SQL FILTER."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP — region/nation revenue with subtotals and a grand total.
+@register(
+    "rollup_revenue",
+    oracle="""
+    SELECT COALESCE(r_name, 'ALL') AS region,
+           COALESCE(n_name, 'ALL') AS nation,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY region, nation
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rollup() grouping sets — subtotal rows labeled 'ALL' (portable
+    null-free output)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(dsum(F.col("o_totalprice"), "revenue"), F.count("*").alias("n_orders"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "revenue",
+            "n_orders",
+        )
+        .orderBy("region", "nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact distinct counts per group (COUNT(DISTINCT) — expand-based in
+# Spark, two-level aggregate; approx_count_distinct is the sketch
+# alternative when 2% error is acceptable at 100 TB).
+@register(
+    "nation_distinct_parts",
+    oracle="""
+    SELECT n_name,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def nation_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles without interpolation-definition drift: the p-th
+# percentile = smallest value whose rank ≥ ceil(p·n) — identical
+# row_number selection in both engines.
+@register(
+    "price_percentiles",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderstatus, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           MIN(CASE WHEN rn >= CAST(CEIL(0.50 * n) AS BIGINT) THEN o_totalprice END) AS p50,
+           MIN(CASE WHEN rn >= CAST(CEIL(0.90 * n) AS BIGINT) THEN o_totalprice END) AS p90,
+           MIN(CASE WHEN rn >= CAST(CEIL(0.99 * n) AS BIGINT) THEN o_totalprice END) AS p99
+    FROM ranked
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank percentiles via a single window + conditional
+    MIN — one shuffle; at 100 TB swap for approx_percentile when the
+    sketch error is acceptable."""
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wn = W.partitionBy("o_orderstatus")
+    ranked = o.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    def pick(p, alias):
+        return F.min(
+            F.when(F.col("rn") >= F.ceil(F.lit(p) * F.col("n")).cast("long"), F.col("o_totalprice"))
+        ).alias(alias)
+    return (
+        ranked.groupBy("o_orderstatus")
+        .agg(pick(0.50, "p50"), pick(0.90, "p90"), pick(0.99, "p99"))
+        .orderBy("o_orderstatus")
+    )

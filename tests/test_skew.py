@@ -34,3 +34,35 @@ def test_salted_broadcast_join_equals_plain(spark):
     s = {(r.fact_id, r.name) for r in salted.collect()}
     p = {(r.fact_id, r.name) for r in plain.collect()}
     assert s == p
+
+
+def test_bucketed_join_elides_shuffle(spark, tmp_path):
+    """Same-bucketed tables join without exchanging either side —
+    the repeated-join co-location strategy (operators/bucketing.py)."""
+    from pyspark.sql import functions as F
+
+    from etl_database_spark.operators.bucketing import bucketed_join, write_bucketed
+
+    left = spark.range(10000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("a"))
+    right = spark.range(10000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("b"))
+    write_bucketed(left, "bk_left", "k", num_buckets=4)
+    write_bucketed(right, "bk_right", "k", num_buckets=4)
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = bucketed_join(spark, "bk_left", "bk_right", "k")
+            assert joined.count() == 10000
+            executed = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in executed, executed[:2000]
+
+            # control: the same join on unbucketed frames shuffles
+            plain = left.join(right, "k")
+            plain.count()
+            control = plain._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" in control
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")
