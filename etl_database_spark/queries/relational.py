@@ -1023,3 +1023,66 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(pick(0.50, "p50"), pick(0.90, "p90"), pick(0.99, "p99"))
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of (point-in-time) join — each click paired with the user's most
+# recent prior-or-simultaneous purchase. DuckDB's native ASOF JOIN is
+# the oracle; the Spark implementation is the union+carry-forward
+# window (operators/asof.py), one shuffle on the key.
+@register(
+    "clicks_last_purchase_asof",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts AS click_ts,
+           p.ts AS purchase_ts, p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    ORDER BY c.event_id
+    """,
+)
+def clicks_last_purchase_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_database_spark.operators.asof import asof_join_backward
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    return (
+        asof_join_backward(clicks, purchases, "user_id", right_cols=["value"])
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("ts_right").alias("purchase_ts"),
+            F.col("value_right").alias("purchase_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join — error events within 10 minutes after a click
+# by the same user. Banded-bucket equi-join (operators/asof.py) vs the
+# oracle's plain inequality join.
+@register(
+    "click_error_range_join",
+    oracle="""
+    SELECT c.user_id, c.event_id AS left_id, e.event_id AS right_id,
+           epoch_us(c.ts) - epoch_us(e.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'error') c
+    JOIN (SELECT * FROM events WHERE event_type = 'click') e
+      ON c.user_id = e.user_id
+     AND epoch_us(c.ts) > epoch_us(e.ts)
+     AND epoch_us(c.ts) - epoch_us(e.ts) <= 600000000
+    ORDER BY c.user_id, left_id, right_id
+    """,
+)
+def click_error_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_database_spark.operators.asof import range_join
+
+    ev = table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error")
+    clicks = ev.where(F.col("event_type") == "click")
+    return range_join(errors, clicks, "user_id", window_us=600_000_000).orderBy(
+        "user_id", "left_id", "right_id"
+    )
