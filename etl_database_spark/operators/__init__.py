@@ -52,3 +52,15 @@ from etl_database_spark.ingest import (  # noqa: F401
     profile_widths,
     truncate_to_widths,
 )
+from etl_database_spark.operators.asof import (  # noqa: F401
+    asof_join_backward,
+    range_join,
+)
+from etl_database_spark.operators.bucketing import (  # noqa: F401
+    bucketed_join,
+    write_bucketed,
+)
+from etl_database_spark.operators.skew import (  # noqa: F401
+    salted_broadcast_join,
+    salted_sum_count,
+)
