@@ -120,16 +120,39 @@ def with_language(df, text_col: str, out_col: str = "detected_lang"):
 
 def quality_score(col) -> Column:
     """Composite [0,1] quality heuristic: penalize very short docs,
-    high punctuation, and stopword-free (non-natural) text."""
+    high punctuation, and stopword-free (non-natural) text.
+
+    Computed entirely in integer micro-units (1e-6) — float-weighted
+    sums differ in the last ulp across engines (FMA/associativity),
+    which flips rounding on boundary values; integer arithmetic is
+    bit-identical everywhere, so the oracle can mirror it exactly.
+    """
     c = F.col(col) if isinstance(col, str) else col
     ntok = token_count(c)
-    len_component = F.least(ntok.cast("double") / F.lit(20.0), F.lit(1.0))
-    punct_component = F.lit(1.0) - F.least(punct_ratio(c) * 4, F.lit(1.0))
-    stop_component = F.least(
-        stopword_score(c).cast("double") / F.greatest(ntok, F.lit(1)).cast("double") * 5,
-        F.lit(1.0),
+    total_chars = F.length(c).cast("long")
+    punct_chars = (
+        F.length(c) - F.length(F.regexp_replace(c, r"[!-/:-@\[-`{-~]", ""))
+    ).cast("long")
+    stop = stopword_score(c)
+    # basis points (1e-4): ≤4 decimal digits, so no post-hoc rounding is
+    # ever needed (rounding a 5+-digit double differs across engines).
+    m = F.lit(10_000).cast("long")
+    len_u = F.least(ntok * 500, m)
+    punct_u = m - F.least(
+        _idiv(punct_chars * 40_000, F.greatest(total_chars, F.lit(1).cast("long"))), m
     )
-    return (len_component * 0.4 + punct_component * 0.3 + stop_component * 0.3).cast("double")
+    stop_u = F.least(_idiv(stop * 50_000, F.greatest(ntok, F.lit(1).cast("long"))), m)
+    quality_u = _idiv(len_u * 4 + punct_u * 3 + stop_u * 3, F.lit(10).cast("long"))
+    return (quality_u.cast("double") / F.lit(10_000.0)).cast("double")
+
+
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact integer division for nonnegative longs: (a − a mod b) / b.
+
+    The numerator is exactly divisible, and both operands stay well
+    under 2^53, so the double division is exact — identical in every
+    engine (equivalent to SQL's DIV / //)."""
+    return ((a - F.pmod(a, b)) / b).cast("long")
 
 
 def normalize_text(col) -> Column:

@@ -155,19 +155,28 @@ _PR_SQL = (
     "ELSE CAST(LENGTH(text) - LENGTH(regexp_replace(text, '" + _PUNCT_CLASS + "', '', 'g')) AS DOUBLE)"
     " / LENGTH(text) END"
 )
+# Integer micro-unit formula (mirrors functions.text.quality_score):
+# float-weighted sums differ in the last ulp across engines, so the
+# composite is exact integer arithmetic; only the final /1e6 and the
+# single-ratio column touch doubles (single ops — IEEE-identical).
 _QUALITY_ORACLE = (
     "WITH base AS (SELECT doc_id, "
-    + _NTOK_SQL + " AS ntok, "
-    + _PR_SQL + " AS pr, "
-    + _sql_lang_score("en") + " AS stop_score FROM documents) "
+    "CAST(" + _NTOK_SQL + " AS BIGINT) AS ntok, "
+    "CAST(LENGTH(text) - LENGTH(regexp_replace(text, '" + _PUNCT_CLASS + "', '', 'g')) AS BIGINT) AS punct_chars, "
+    "CAST(LENGTH(text) AS BIGINT) AS total_chars, "
+    "CAST(" + _sql_lang_score("en") + " AS BIGINT) AS stop_score FROM documents), "
+    "u AS (SELECT doc_id, ntok, punct_chars, total_chars, "
+    "LEAST(ntok * 500, 10000) AS len_u, "
+    "10000 - LEAST((punct_chars * 40000) // GREATEST(total_chars, 1), 10000) AS punct_u, "
+    "LEAST((stop_score * 50000) // GREATEST(ntok, 1), 10000) AS stop_u "
+    "FROM base) "
     "SELECT doc_id, "
-    "ROUND(LEAST(CAST(ntok AS DOUBLE) / 20.0, 1.0) * 0.4 "
-    "  + (1.0 - LEAST(pr * 4, 1.0)) * 0.3 "
-    "  + LEAST(CAST(stop_score AS DOUBLE) / CAST(GREATEST(ntok, 1) AS DOUBLE) * 5, 1.0) * 0.3, "
-    "4) AS quality, "
-    "CAST(ntok AS BIGINT) AS n_tokens, "
-    "ROUND(pr, 4) AS punct_ratio "
-    "FROM base ORDER BY doc_id"
+    "CAST((len_u * 4 + punct_u * 3 + stop_u * 3) // 10 AS DOUBLE) / 10000.0 AS quality, "
+    "ntok AS n_tokens, "
+    "CASE WHEN total_chars = 0 THEN 0.0 "
+    "     ELSE CAST((punct_chars * 20000 + total_chars) // (2 * total_chars) AS DOUBLE) / 10000.0 "
+    "END AS punct_ratio "
+    "FROM u ORDER BY doc_id"
 )
 
 
@@ -177,11 +186,22 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword-density components; JVM-only expressions. Uses the en
     stopword panel — the oracle regenerates the identical arithmetic."""
     d = table(spark, sf_dir, "documents")
+    total_chars = F.length("text").cast("long")
+    punct_chars = (
+        F.length("text") - F.length(F.regexp_replace("text", r"[!-/:-@\[-`{-~]", ""))
+    ).cast("long")
+    # round-half-up to basis points in exact integer arithmetic —
+    # ROUND on an arbitrary double is engine-dependent on shortest-
+    # representation ties (see quality_score's module note).
+    pr_bp = T._idiv(punct_chars * 20_000 + total_chars, total_chars * 2)
+    punct_ratio_exact = F.when(total_chars == 0, F.lit(0.0)).otherwise(
+        pr_bp.cast("double") / F.lit(10_000.0)
+    )
     return d.select(
         "doc_id",
-        F.round(T.quality_score(F.col("text")), 4).alias("quality"),
+        T.quality_score(F.col("text")).alias("quality"),
         T.token_count(F.col("text")).alias("n_tokens"),
-        F.round(T.punct_ratio(F.col("text")), 4).alias("punct_ratio"),
+        punct_ratio_exact.alias("punct_ratio"),
     ).orderBy("doc_id")
 
 

@@ -1086,3 +1086,55 @@ def click_error_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_join(errors, clicks, "user_id", window_us=600_000_000).orderBy(
         "user_id", "left_id", "right_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 string-function showcase — concat_ws / split / substring /
+# length / upper / trim in one projection (the reference's string
+# normalization vocabulary, SURVEY §2.8).
+@register(
+    "supplier_labels",
+    oracle="""
+    SELECT s_suppkey,
+           CONCAT_WS('|', UPPER(TRIM(s_name)), n_name,
+                     SUBSTRING(n_name, 1, 3)) AS label,
+           CAST(LENGTH(s_name) AS BIGINT) AS name_len,
+           SPLIT_PART(s_name, '#', 2) AS name_num
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    ORDER BY s_suppkey
+    """,
+)
+def supplier_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "s_suppkey",
+            F.concat_ws(
+                "|", F.upper(F.trim("s_name")), F.col("n_name"), F.substring("n_name", 1, 3)
+            ).alias("label"),
+            F.length("s_name").cast("long").alias("name_len"),
+            F.element_at(F.split("s_name", "#"), 2).alias("name_num"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch path: approx_count_distinct (HLL++) — rows-only (sketch values
+# are engine-specific); the error bound vs exact NDV is asserted in
+# tests/test_plans.py's sibling check below via pytest.
+@register("approx_distinct_parts")
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ NDV per returnflag — the O(1)-memory alternative to
+    COUNT(DISTINCT)'s expand at 100 TB (rsd 2%)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )

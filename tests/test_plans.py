@@ -98,3 +98,24 @@ def test_ingested_table_partition_pruning(spark, tmp_path):
     q = t.read().where(F.col("datasetdate") == "2025-03-02")
     assert has_partition_filters(q)
     assert q.count() == 1
+
+
+def test_approx_count_distinct_error_bound(spark, registry):
+    """HLL++ estimate within 3x the configured rsd of the exact NDV."""
+    from pyspark.sql import functions as F
+
+    from etl_database_spark.queries import table as _table
+
+    approx = {
+        r.l_returnflag: r.approx_parts
+        for r in registry["approx_distinct_parts"].fn(spark, SF).collect()
+    }
+    li = _table(spark, SF, "lineitem")
+    exact = {
+        r.l_returnflag: r.exact
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("exact"))
+        .collect()
+    }
+    for k, e in exact.items():
+        assert abs(approx[k] - e) / e <= 0.06, (k, approx[k], e)
