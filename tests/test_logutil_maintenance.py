@@ -49,3 +49,41 @@ def test_compact_and_stats(spark, tmp_path):
     row = stats.where(F.col("tablename") == "t1").first()
     assert row.n_rows == 1000 and row.n_files == len(files)
     assert spark.read.parquet(str(tmp_path / "stats")).count() >= 1
+
+
+def test_backup_and_rotation(spark, tmp_path):
+    import os
+    import tarfile
+    import time
+
+    from etl_database_spark.backup import backup_data_root, purge_old_files
+
+    data = tmp_path / "data"
+    (data / "t1").mkdir(parents=True)
+    (data / "t1" / "part-0.parquet").write_bytes(b"x" * 100)
+
+    bdir = str(tmp_path / "backups")
+    path = backup_data_root(str(data), bdir, keep_days=3)
+    assert os.path.exists(path)
+    with tarfile.open(path) as t:
+        assert any(m.name.endswith("part-0.parquet") for m in t.getmembers())
+
+    # rotation: an old backup beyond keep_days is removed on next run
+    old = os.path.join(bdir, "backup_20200101T000000.tar.gz")
+    open(old, "wb").write(b"old")
+    os.utime(old, (time.time() - 10 * 86400,) * 2)
+    path2 = backup_data_root(str(data), bdir, keep_days=3)
+    assert not os.path.exists(old)
+    assert os.path.exists(path) and os.path.exists(path2)
+
+    # file retention (find -mtime analog), glob-scoped
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    stale = logs / "run_old.log"
+    fresh = logs / "run_new.log"
+    stale.write_text("a")
+    fresh.write_text("b")
+    os.utime(stale, (time.time() - 20 * 86400,) * 2)
+    removed = purge_old_files(str(logs), keep_days=14, pattern="*.log")
+    assert [os.path.basename(p) for p in removed] == ["run_old.log"]
+    assert fresh.exists()

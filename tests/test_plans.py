@@ -119,3 +119,14 @@ def test_approx_count_distinct_error_bound(spark, registry):
     }
     for k, e in exact.items():
         assert abs(approx[k] - e) / e <= 0.06, (k, approx[k], e)
+
+
+def test_asof_join_single_key_shuffle(spark, registry):
+    """The as-of join must plan as union + one window shuffle on the
+    key — never a range-predicate join (no BroadcastNestedLoop /
+    CartesianProduct)."""
+    df = registry["clicks_last_purchase_asof"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "Window" in plan
