@@ -1138,3 +1138,41 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 date arithmetic — ship latency (datediff) per priority, plus a
+# date_add-derived commit deadline bucket.
+@register(
+    "ship_latency_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(DATEDIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS BIGINT)
+             AS total_latency_days,
+           COUNT(*) AS n_items,
+           CAST(MAX(DATEDIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS BIGINT)
+             AS max_latency_days,
+           CAST(COUNT(*) FILTER (WHERE CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 60)
+                AS BIGINT) AS n_late
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def ship_latency_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datediff / date_add arithmetic fully JVM-side; integer-day sums
+    need no decimal trick."""
+    li = table(spark, sf_dir, "lineitem").withColumn("sd", F.to_date("l_shipdate"))
+    o = table(spark, sf_dir, "orders").withColumn("od", F.to_date("o_orderdate"))
+    latency = F.datediff("sd", "od")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(latency).cast("long").alias("total_latency_days"),
+            F.count("*").alias("n_items"),
+            F.max(latency).cast("long").alias("max_latency_days"),
+            F.sum((F.col("sd") > F.date_add("od", 60)).cast("long")).alias("n_late"),
+        )
+        .orderBy("o_orderpriority")
+    )
