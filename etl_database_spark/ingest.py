@@ -190,9 +190,17 @@ class ImportJob:
     def _read_file(self, path: str) -> DataFrame:
         cfg = self.config
         if cfg.file_type.upper() in ("XLS", "XLSX"):
+            import tempfile
+
             from etl_database_spark.sources.excel import excel_to_csv
 
-            path = excel_to_csv(path)
+            # Convert into a temp dir — the converted CSV must not land
+            # in the watch dir (it is a derived artifact, not an input).
+            out = os.path.join(
+                tempfile.mkdtemp(prefix="xls2csv_"),
+                os.path.splitext(os.path.basename(path))[0] + ".csv",
+            )
+            path = excel_to_csv(path, out)
         return (
             self.spark.read.option("header", "true")
             .option("sep", cfg.delimiter)

@@ -195,3 +195,32 @@ def test_excel_gate_without_libs(spark, tmp_path):
     fake.write_bytes(b"not a real workbook")
     with _pytest.raises(ImportError, match="openpyxl/xlrd unavailable|cannot read Excel"):
         excel_to_csv(str(fake))
+
+
+def test_load_directory_bulk(spark, tmp_path):
+    """Bulk path: many files in ONE spark.read with input_file_name
+    metadata — one dataset per (label, date), lineage stamped per row."""
+    from etl_database_spark.ingest import load_directory
+
+    cfg = _config(tmp_path, target_table="tbulk")
+    for fname, body in [
+        ("20250301T120000_MeetMax_11.csv", "Company Name,Ticker\nA1,T1\nA2,T2\n"),
+        ("20250302T120000_MeetMax_11.csv", "Company Name,Ticker\nA3,T3\n"),
+        ("20250302T120000_MeetMax_22.csv", "Company Name,Ticker\nB1,T4\n"),
+    ]:
+        (tmp_path / "watch" / fname).write_text(body)
+    (tmp_path / "watch" / "unmatched.csv").write_text("X\n1\n")
+
+    reg = DatasetRegistry(spark, str(tmp_path / "registry"))
+    total = load_directory(spark, cfg, reg, str(tmp_path / "data"))
+    assert total == 4  # unmatched.csv excluded by the pattern
+
+    out = spark.read.option("mergeSchema", "true").parquet(str(tmp_path / "data" / "tbulk"))
+    assert out.count() == 4
+    ds = {(d.label, str(d.datasetdate)): d.datasetid for d in reg.datasets().collect()}
+    assert set(ds) == {("11", "2025-03-01"), ("11", "2025-03-02"), ("22", "2025-03-02")}
+    # every row carries the datasetid of its (label, date) snapshot
+    joined = out.join(reg.datasets().select("datasetid", "label"), "datasetid")
+    for r in joined.collect():
+        assert (r.label, str(r.datasetdate)) in ds
+        assert ds[(r.label, str(r.datasetdate))] == r.datasetid
