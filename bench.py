@@ -5,8 +5,11 @@ ONE JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {"q": sec, ...}, "sf": <sf>}
 
-Each query is executed once after a shared session warmup; timing is
-end-to-end (plan + execute + collect-to-count) per query.
+Each query runs $SPARK_GRAFT_BENCH_REPEATS times (default 3) after a
+shared session warmup; timing is end-to-end (plan + execute +
+collect-to-count) per query. The headline value stays best-of-N (the
+stable throughput signal); per-query p50/p95 over the repeats are
+reported alongside to expose JVM/GC variance.
 """
 
 from __future__ import annotations
@@ -56,24 +59,37 @@ def main() -> None:
     # Warm up the JVM/codegen path so query 1 doesn't absorb startup.
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    def pctl(xs: list[float], q: float) -> float:
+        xs = sorted(xs)
+        i = q * (len(xs) - 1)
+        lo, hi = int(i), min(int(i) + 1, len(xs) - 1)
+        return xs[lo] + (xs[hi] - xs[lo]) * (i - lo)
+
+    repeats = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")), 1)
     timings: dict[str, float] = {}
+    p50: dict[str, float] = {}
+    p95: dict[str, float] = {}
     for name in HEADLINE:
         rq = registry.get(name)
         if rq is None:
             continue
-        best, n = None, 0
-        for _ in range(max(repeats, 1)):
+        runs, n = [], 0
+        for _ in range(repeats):
             t0 = time.time()
             df = rq.fn(spark, sf_dir)
             n = df.count()
-            el = time.time() - t0
-            best = el if best is None else min(best, el)
+            runs.append(time.time() - t0)
             # Queries that cache intermediates would otherwise pollute
             # later timings (memory churn); each run is measured cold.
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.2f}s ({n} rows, best of {repeats})", file=sys.stderr)
+        timings[name] = round(min(runs), 3)
+        p50[name] = round(pctl(runs, 0.5), 3)
+        p95[name] = round(pctl(runs, 0.95), 3)
+        print(
+            f"# {name}: {timings[name]:.2f}s (p50 {p50[name]:.2f}s, p95 {p95[name]:.2f}s, "
+            f"{n} rows, best of {repeats})",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -83,6 +99,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_p50": p50,
+                "queries_p95": p95,
                 "sf": sf,
             }
         )

@@ -28,6 +28,22 @@ from pyspark.sql import functions as F
 # Mersenne prime 2^61-1: universal-hash modulus, exact in Long range.
 MERSENNE61 = (1 << 61) - 1
 
+# Broadcast size gates. On boilerplate-heavy corpora the LSH candidate
+# set approaches corpus size, so broadcasting candidate-restricted
+# frames unconditionally is a driver/executor OOM at scale — every
+# broadcast below is gated on a measured size and falls back to a
+# plain shuffle hash join when the payload would be too large.
+BROADCAST_MAX_SET_ENTRIES = 8_000_000  # total shingle longs across all sets (~64 MB)
+BROADCAST_MAX_SIG_ROWS = 1_000_000  # signature rows (num_perm longs each)
+BROADCAST_MAX_ID_ROWS = 50_000_000  # bare-id frames (8 bytes/row)
+
+
+def _maybe_broadcast(df: DataFrame, size: int, limit: int) -> DataFrame:
+    """Broadcast hint only when the measured size is under the gate;
+    otherwise return the frame unhinted so Catalyst/AQE picks a
+    shuffle join (the scale-safe default)."""
+    return F.broadcast(df) if size <= limit else df
+
 
 def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for the universal hash family,
@@ -152,35 +168,45 @@ def lsh_candidate_pairs(
 
 
 def jaccard_verify(
-    pairs: DataFrame, sh: DataFrame, threshold: float = 0.5
+    pairs: DataFrame, sh: DataFrame, threshold: float = 0.5, n_pairs: int | None = None
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs via per-document shingle sets:
     join each pair to its two collect_set arrays, |A∩B| =
     size(array_intersect), |A∪B| = |A|+|B|−|A∩B|.
 
     The set table is first semi-joined down to documents that occur in
-    a candidate pair — at scale candidates ≪ corpus, so only the
-    relevant slice is collected; the intersection itself is a JVM array
-    op per pair, no per-shingle shuffle."""
+    a candidate pair, so only the relevant slice is aggregated; the
+    intersection itself is a JVM array op per pair, no per-shingle
+    shuffle. Candidates do NOT always satisfy candidates ≪ corpus
+    (boilerplate corpora approach corpus size), so both the id frame
+    and the set frames are broadcast only under a measured size gate —
+    above it the joins fall back to shuffle hash joins on ``_id``.
+
+    ``n_pairs``: pass the already-materialized candidate count to skip
+    a recount (callers that cache+count the pair frame have it)."""
+    if n_pairs is None:
+        n_pairs = pairs.count()
     pair_ids = (
         pairs.select(F.col("id_a").alias("_id"))
         .union(pairs.select(F.col("id_b").alias("_id")))
         .distinct()
     )
     sets = (
-        sh.join(F.broadcast(pair_ids), "_id", "left_semi")
+        sh.join(_maybe_broadcast(pair_ids, 2 * n_pairs, BROADCAST_MAX_ID_ROWS), "_id", "left_semi")
         .groupBy("_id")
         .agg(F.collect_set("shingle").alias("shset"))
         .cache()
     )
-    sets.count()  # materialize: both join branches below reuse this subtree
+    # Materialize once (both join branches below reuse this subtree)
+    # and measure the total array payload for the broadcast gate.
+    n_sets, n_entries = sets.agg(
+        F.count("*"), F.coalesce(F.sum(F.size("shset")), F.lit(0))
+    ).first()
     a = sets.select(F.col("_id").alias("id_a"), F.col("shset").alias("set_a"))
     b = sets.select(F.col("_id").alias("id_b"), F.col("shset").alias("set_b"))
-    # Pair-restricted sets are small (candidates ≪ corpus) — broadcast
-    # both sides so the candidate stream never shuffles its array payload.
     return (
-        pairs.join(F.broadcast(a), "id_a")
-        .join(F.broadcast(b), "id_b")
+        pairs.join(_maybe_broadcast(a, n_entries, BROADCAST_MAX_SET_ENTRIES), "id_a")
+        .join(_maybe_broadcast(b, n_entries, BROADCAST_MAX_SET_ENTRIES), "id_b")
         .withColumn("n_inter", F.size(F.array_intersect("set_a", "set_b")))
         .withColumn(
             "jaccard",
@@ -217,23 +243,32 @@ def minhash_near_duplicates(
     pairs.count()
     # Cheap pre-filter before the exact verify: estimated Jaccard =
     # fraction of agreeing signature components. The sig table is one
-    # row per doc → broadcast; candidates well below threshold (the
-    # bulk, for corpora with high baseline similarity) never reach the
-    # shingle-join. Margin 0.2 keeps estimator variance from dropping
-    # true positives (σ ≈ sqrt(J(1-J)/k) ≈ 0.09 at k=32).
+    # row per doc — broadcast only under the size gate (a 100 TB corpus
+    # has billions of sig rows; the fallback is a shuffle hash join).
+    # Candidates well below threshold (the bulk, for corpora with high
+    # baseline similarity) never reach the shingle-join. Margin 0.2
+    # keeps estimator variance from dropping true positives
+    # (σ ≈ sqrt(J(1-J)/k) ≈ 0.09 at k=32).
+    n_docs = sigs.count()  # cheap: cache materialized by pairs.count()
     agree = sum(
         (F.col(f"a.sig_{i}") == F.col(f"b.sig_{i}")).cast("int") for i in range(num_perm)
     )
     est = (
-        pairs.join(F.broadcast(sigs.alias("a")), pairs.id_a == F.col("a._id"))
-        .join(F.broadcast(sigs.alias("b")), pairs.id_b == F.col("b._id"))
+        pairs.join(
+            _maybe_broadcast(sigs.alias("a"), n_docs, BROADCAST_MAX_SIG_ROWS),
+            pairs.id_a == F.col("a._id"),
+        )
+        .join(
+            _maybe_broadcast(sigs.alias("b"), n_docs, BROADCAST_MAX_SIG_ROWS),
+            pairs.id_b == F.col("b._id"),
+        )
         .withColumn("est_j", agree / F.lit(num_perm))
         .where(F.col("est_j") >= threshold - 0.2)
         .select("id_a", "id_b")
         .cache()
     )
-    est.count()  # materialize: verify fans this into 3 plan branches
-    return jaccard_verify(est, sh, threshold)
+    n_est = est.count()  # materialize: verify fans this into 3 plan branches
+    return jaccard_verify(est, sh, threshold, n_pairs=n_est)
 
 
 def ngram_jaccard_pairs(
@@ -267,13 +302,17 @@ def ngram_jaccard_pairs(
         inv = inv.join(rare, "shingle", "left_semi")
     sa = inv.select(F.col("_id").alias("id_a"), "shingle")
     sb = inv.select(F.col("_id").alias("id_b"), "shingle")
+    # Materialize candidates once: the verify fans them into several
+    # plan branches, and the inverted-index join is the expensive part.
     cand = (
         sa.join(sb, "shingle")
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        .cache()
     )
-    return jaccard_verify(cand, sh, threshold)
+    n_cand = cand.count()
+    return jaccard_verify(cand, sh, threshold, n_pairs=n_cand)
 
 
 def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -359,17 +398,65 @@ def simhash_near_duplicates(
     )
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+# Below this many pairs the component graph is solved driver-side with
+# union-find: the *verified near-dup pair list* is the already-reduced
+# output of the dedup pipeline (orders of magnitude smaller than the
+# corpus), and graph connectivity on ≤1M edges (~16 MB) is a
+# driver-scale problem — each distributed label-propagation round costs
+# several shuffles of scheduler overhead for no gain at that size.
+SMALL_GRAPH_MAX_EDGES = 1_000_000
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 20, small_graph_max_edges: int | None = None
+) -> DataFrame:
     """Cluster near-duplicate pairs into components → (_id, component)
     where ``component`` is the minimum member id (the canonical doc).
 
-    Iterative min-label propagation over the undirected pair graph —
-    the standard large-graph connected-components shape (each iteration
-    is one join + aggregate; converges in O(diameter) rounds, and dedup
-    graphs are shallow: near-dup clusters are cliques-ish, so 2-3
-    rounds typical). Each round materializes via cache+count so the
-    lineage doesn't grow unboundedly.
+    Two tiers, gated on the measured edge count:
+
+    - ≤ ``small_graph_max_edges``: collect the pair list and run exact
+      union-find on the driver (one job; the pair list is the dedup
+      pipeline's reduced output, not the corpus).
+    - above: iterative min-label propagation over the undirected pair
+      graph — the standard large-graph connected-components shape
+      (one join + aggregate per round; converges in O(diameter) rounds,
+      and dedup graphs are shallow, so 2-3 rounds typical). Each round
+      materializes via cache so the lineage doesn't grow unboundedly;
+      convergence is detected by the monotone label-sum fixpoint (min-
+      propagation only ever decreases labels, so sum(label) is strictly
+      decreasing until converged — no extra compare join needed).
     """
+    if small_graph_max_edges is None:
+        small_graph_max_edges = SMALL_GRAPH_MAX_EDGES
+    # Materialize the pair list first: it either collects (small path)
+    # or fans into two plan branches (symmetric union), and callers
+    # hand in un-cached, often expensive pipelines.
+    pairs = pairs.cache()
+    n_edges = pairs.count()
+
+    if n_edges <= small_graph_max_edges:
+        rows = pairs.select("id_a", "id_b").collect()
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            ra, rb = find(r.id_a), find(r.id_b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        out = [(x, find(x)) for x in parent]
+        result = pairs.sparkSession.createDataFrame(out, "_id long, component long")
+        pairs.unpersist()
+        return result
+
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -382,7 +469,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("component", F.col("_id"))
         .cache()
     )
-    labels.count()
+    prev_sum = labels.agg(F.sum("component")).first()[0]
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels._id)
@@ -399,17 +486,14 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             )
             .cache()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "_id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("component")).first()[0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     edges.unpersist()
+    pairs.unpersist()
     return labels
 
 

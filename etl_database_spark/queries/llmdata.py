@@ -260,10 +260,16 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # correctness vs brute-force Jaccard in tests/test_dedup.py.
 @register("minhash_near_dups")
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shingle → minhash → banded LSH → exact-Jaccard-verified pairs."""
+    """Shingle → minhash → banded LSH → exact-Jaccard-verified pairs.
+
+    n=7 char shingles: on shared-vocabulary corpora 5-grams give a high
+    baseline Jaccard between unrelated docs (at sf0.1 the LSH produced
+    ~134k candidates for 256 true pairs); 7-grams discriminate sharply
+    (~6k candidates, same 256 verified pairs) — so the verify stage
+    stays proportional to true near-dups, not corpus chatter."""
     d = table(spark, sf_dir, "documents")
     return (
-        D.minhash_near_duplicates(d, "text", "doc_id", n=5, num_perm=32, bands=8, threshold=0.5)
+        D.minhash_near_duplicates(d, "text", "doc_id", n=7, num_perm=32, bands=8, threshold=0.5)
         .withColumn("jaccard", F.round("jaccard", 4))
         .orderBy("id_a", "id_b")
     )
@@ -281,17 +287,49 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# n-gram Jaccard near-dup pairs (exact inverted-index form).
-@register("ngram_jaccard_pairs")
-def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard pairs ≥0.5 via inverted-index shingle join.
+# n-gram Jaccard near-dup pairs (exact inverted-index form). The
+# operator is exact set arithmetic over string shingles, so it IS
+# SQL-portable: the oracle rebuilds the 5-gram sets with a DuckDB list
+# comprehension and list_intersect. (Spark hashes shingles to longs —
+# Jaccard over xxhash64-hashed sets equals Jaccard over string sets
+# barring 64-bit collisions, which are negligible at any tested SF.)
+# Shared CTE body: exact 5-gram Jaccard pairs via an inverted-index
+# join (same shape as the Spark operator — the list_intersect
+# cross-join form is 25× slower in DuckDB on this corpus).
+_NGRAM_PAIRS_CTES = f"""
+    n AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    pos AS (SELECT doc_id, t, unnest(generate_series(1, length(t) - 4)) AS i
+            FROM n WHERE length(t) >= 5),
+    sh AS (SELECT DISTINCT doc_id, substring(t, i, 5) AS s FROM pos),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    scored AS (
+      SELECT id_a, id_b, n_inter, sa.n AS na, sb.n AS nb
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                 JOIN sizes sb ON sb.doc_id = id_b
+    )
+    """
 
-    The exhaustive operator is inherently quadratic on a high-overlap
-    corpus, so the registered query runs it on a bounded slice (its
-    role is verification grade; minhash_near_dups is the scale path)."""
-    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+_NGRAM_ORACLE = f"""
+    WITH {_NGRAM_PAIRS_CTES}
+    SELECT id_a, id_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (na + nb - n_inter), 4) AS jaccard
+    FROM scored
+    WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= 0.5
+    ORDER BY id_a, id_b
+    """
+
+
+@register("ngram_jaccard_pairs", oracle=_NGRAM_ORACLE)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs ≥0.5 via inverted-index shingle join
+    over the full corpus (verification-grade operator — quadratic in
+    posting-list sizes by nature; minhash_near_dups is the scale path)."""
+    d = table(spark, sf_dir, "documents")
     return (
-        D.ngram_jaccard_pairs(d, "text", "doc_id", n=5, threshold=0.5, max_df=100)
+        D.ngram_jaccard_pairs(d, "text", "doc_id", n=5, threshold=0.5)
         .withColumn("jaccard", F.round("jaccard", 4))
         .orderBy("id_a", "id_b")
     )
@@ -299,14 +337,64 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Dedup clustering: near-dup pairs → connected components → survivors.
-# Rows-only (pairs come from the hash-family LSH pipeline); the
-# component algorithm is verified against union-find in tests.
+# Rows-only BY NECESSITY: the pair list comes from the LSH pipeline,
+# whose banded capture is probabilistic (xxhash64 band hashes) — no
+# deterministic SQL oracle can reproduce which borderline pairs LSH
+# surfaces. The component algorithm itself is oracle-checked in
+# ngram_dup_clusters below (exact pair list + recursive-CTE oracle)
+# and verified against union-find in tests.
 @register("near_dup_clusters")
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over verified near-dup pairs; survivor =
     min doc_id per component (iterative min-label propagation)."""
     d = table(spark, sf_dir, "documents")
     return D.near_duplicate_clusters(d, "text", "doc_id", threshold=0.5).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked clustering: connected components over the EXACT n-gram
+# Jaccard pair list (deterministic, SQL-reproducible), so the
+# min-label-propagation algorithm gets a hard rows/schema/hash gate.
+# The oracle computes the transitive closure with a recursive CTE and
+# takes the minimum reachable id as the component label.
+_NGRAM_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+    pairs AS (
+      SELECT id_a, id_b FROM scored
+      WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id,
+           LEAST(src, MIN(dst)) AS component,
+           (src = LEAST(src, MIN(dst))) AS is_survivor
+    FROM reach
+    GROUP BY src
+    ORDER BY doc_id
+    """
+
+
+@register("ngram_dup_clusters", oracle=_NGRAM_CLUSTERS_ORACLE)
+def ngram_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact n-gram Jaccard pairs —
+    the oracle-checked twin of near_dup_clusters (same clustering
+    operator, deterministic pair source)."""
+    d = table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(d, "text", "doc_id", n=5, threshold=0.5)
+    comps = D.connected_components(pairs)
+    return comps.select(
+        F.col("_id").alias("doc_id"),
+        "component",
+        (F.col("_id") == F.col("component")).alias("is_survivor"),
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -97,11 +97,15 @@ def test_minhash_deterministic(spark, corpus):
     assert a == b
 
 
-def test_connected_components_vs_union_find(spark):
+@pytest.mark.parametrize("small_gate", [1_000_000, 0])
+def test_connected_components_vs_union_find(spark, small_gate):
+    # small_gate=0 forces the distributed label-propagation path; the
+    # default exercises the driver union-find tier.
     edges = [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (3, 11)]
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {
-        r._id: r.component for r in D.connected_components(pairs).collect()
+        r._id: r.component
+        for r in D.connected_components(pairs, small_graph_max_edges=small_gate).collect()
     }
     # python union-find ground truth
     parent = {}
@@ -123,6 +127,24 @@ def test_connected_components_vs_union_find(spark):
     truth = {x: find(x) for x in parent}
     assert got == truth
     assert got[11] == 1 and got[10] == 8 and got[6] == 5
+
+
+def test_verify_broadcast_fallback_matches(spark, corpus, monkeypatch):
+    """With the broadcast gates forced to 0 every join takes the
+    shuffle fallback — results must be identical to the broadcast
+    plan (the 100 TB path is the same operator, bigger corpus)."""
+    baseline = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 4))
+        for r in D.minhash_near_duplicates(corpus, "text", "doc_id").collect()
+    )
+    monkeypatch.setattr(D, "BROADCAST_MAX_SET_ENTRIES", 0)
+    monkeypatch.setattr(D, "BROADCAST_MAX_SIG_ROWS", 0)
+    monkeypatch.setattr(D, "BROADCAST_MAX_ID_ROWS", 0)
+    fallback = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 4))
+        for r in D.minhash_near_duplicates(corpus, "text", "doc_id").collect()
+    )
+    assert baseline == fallback
 
 
 def test_near_duplicate_clusters(spark, corpus):
