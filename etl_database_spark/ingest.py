@@ -43,7 +43,7 @@ import re
 import shutil
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from etl_database_spark.metadata import MetadataSpec, parse_date, parse_label
@@ -254,12 +254,17 @@ class ImportJob:
             df.withColumn("datasetid", F.lit(dataset_id).cast("long"))
             .withColumn("datasetdate", F.lit(snap_date).cast("date"))
         )
+        # Row count is observed DURING the append job (metric piggy-backs
+        # on the write) — a post-hoc df.count() would re-execute the full
+        # read (and for Excel, the driver-side conversion) once more.
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         try:
             new_cols = self.table.append(df, cfg.import_strategy)
         except ValueError:
             self.registry.set_status(dataset_id, "Failed")
             raise
-        rows = df.count()
+        rows = obs.get["rows"]
         self.registry.set_status(dataset_id, "Active")
         self._archive(path)
         return ImportResult(path, dataset_id, rows, "Active", new_cols)
@@ -300,10 +305,9 @@ def load_directory(
     keys = [(r["label"], r["datasetdate"]) for r in df.select("label", "datasetdate").distinct().collect()]
     type_id = registry.ensure_type(config.datasettype)
     source_id = registry.ensure_source(config.datasource)
-    id_map = {
-        (label, d): registry.register_snapshot(d, label, type_id, source_id)
-        for label, d in keys
-    }
+    # One registry rewrite for all k keys (k separate register_snapshot
+    # calls would each rewrite the registry — O(k) jobs for 1 needed).
+    id_map = registry.register_snapshots([(d, label) for label, d in keys], type_id, source_id)
     mapping = spark.createDataFrame(
         [(label, d, i) for (label, d), i in id_map.items()],
         "label string, datasetdate date, datasetid long",

@@ -88,7 +88,11 @@ def file_metadata_columns(spec: MetadataSpec, spark_date_format: str | None = No
     def col_for(location: str):
         if re.fullmatch(r"\d+", location):
             return F.element_at(F.split(stem, "_"), int(location) + 1)
-        return F.regexp_extract(fname, location, 1)
+        # Group 1 when the pattern captures, group 0 otherwise —
+        # mirroring the driver-side _extract fallback (a groupless
+        # regex would error in regexp_extract with idx=1).
+        idx = 1 if re.compile(location).groups else 0
+        return F.regexp_extract(fname, location, idx)
 
     if spec.label_source == "static":
         label = F.lit(spec.label_location)

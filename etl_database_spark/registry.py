@@ -118,17 +118,20 @@ class DatasetRegistry:
         datastatusid: int = STATUS_ID["Active"],
         createdby: str | None = None,
     ) -> int:
-        """Insert a snapshot row and enforce the single-active invariant.
+        """Insert a snapshot row; enforce the single-active invariant
+        only when the new row is itself registered active.
 
-        The new row supersedes any previously-active row for the same
-        (label, datasettypeid, datasetdate): older rows get
-        isactive=false, effthrudate=now (the trigger semantics of
-        dataset_setup.sql:193-216, re-expressed as a row_number window
-        keyed on (label, type, date) ordered by efffromdate desc).
+        The reference trigger fires only WHEN NEW.isactive = TRUE
+        (dataset_setup.sql:193-216) — a row inserted as New/Failed/Empty
+        must NOT supersede the currently-active snapshot for its
+        (label, datasettypeid, datasetdate) key; deactivation of
+        siblings is tied to activation (here, or via
+        ``set_status('Active')``, the f_dataset_iu shape).
         """
         now = dt.datetime.now()
         current = self.datasets()
         max_id = current.agg(F.max("datasetid")).first()[0] or 0
+        is_active = datastatusid == STATUS_ID["Active"]
         new_row = self.spark.createDataFrame(
             [
                 Row(
@@ -140,7 +143,7 @@ class DatasetRegistry:
                     datastatusid=datastatusid,
                     efffromdate=now,
                     effthrudate=FAR_FUTURE,
-                    isactive=datastatusid == STATUS_ID["Active"],
+                    isactive=is_active,
                     createddate=now,
                     createdby=createdby or getpass.getuser(),
                 )
@@ -148,26 +151,51 @@ class DatasetRegistry:
             DATASET_SCHEMA,
         )
         merged = current.unionByName(new_row)
-        w = W.partitionBy("label", "datasettypeid", "datasetdate").orderBy(
-            F.desc("efffromdate"), F.desc("datasetid")
-        )
-        enforced = (
-            merged.withColumn("_rn", F.row_number().over(w))
-            .withColumn(
-                "_still_active",
-                F.col("isactive") & (F.col("_rn") == 1),
-            )
-            .withColumn(
-                "effthrudate",
-                F.when(F.col("isactive") & ~F.col("_still_active"), F.lit(now)).otherwise(
-                    F.col("effthrudate")
-                ),
-            )
-            .withColumn("isactive", F.col("_still_active"))
-            .drop("_rn", "_still_active")
-        )
-        _atomic_overwrite(enforced.coalesce(1), self.path)
+        if is_active:
+            merged = _enforce_single_active(merged, now)
+        _atomic_overwrite(merged.coalesce(1), self.path)
         return max_id + 1
+
+    def register_snapshots(
+        self,
+        entries: list[tuple[dt.date, str]],
+        datasettypeid: int,
+        datasourceid: int = 1,
+        datastatusid: int = STATUS_ID["Active"],
+        createdby: str | None = None,
+    ) -> dict[tuple[str, dt.date], int]:
+        """Batch form of register_snapshot: k snapshots, ONE registry
+        rewrite (the bulk-ingest path registers one key per distinct
+        (label, date) — k separate rewrites would be k full jobs for a
+        single logical transaction). Returns {(label, date): id}."""
+        if not entries:
+            return {}
+        now = dt.datetime.now()
+        current = self.datasets()
+        max_id = current.agg(F.max("datasetid")).first()[0] or 0
+        by = createdby or getpass.getuser()
+        is_active = datastatusid == STATUS_ID["Active"]
+        rows = [
+            Row(
+                datasetid=max_id + 1 + i,
+                datasetdate=d,
+                label=label,
+                datasettypeid=datasettypeid,
+                datasourceid=datasourceid,
+                datastatusid=datastatusid,
+                efffromdate=now,
+                effthrudate=FAR_FUTURE,
+                isactive=is_active,
+                createddate=now,
+                createdby=by,
+            )
+            for i, (d, label) in enumerate(entries)
+        ]
+        merged = current.unionByName(self.spark.createDataFrame(rows, DATASET_SCHEMA))
+        if is_active:
+            merged = _enforce_single_active(merged, now)
+        _atomic_overwrite(merged.coalesce(1), self.path)
+        return {(label, d): max_id + 1 + i for i, (d, label) in enumerate(entries)}
 
     def active(self) -> DataFrame:
         """Active datasets only (the is_active filters of
@@ -176,8 +204,12 @@ class DatasetRegistry:
 
     def set_status(self, datasetid: int, status: str) -> None:
         """Status transition (Activate/Deactivate/Empty/Failed — the
-        f_dataset_iu shape, dataset_setup.sql:252-348)."""
+        f_dataset_iu shape, dataset_setup.sql:252-348). Activating a
+        row deactivates its (label, datasettypeid, datasetdate)
+        siblings — the single-active invariant lives on the activation
+        path, mirroring the reference's WHEN NEW.isactive trigger."""
         sid = STATUS_ID[status]
+        now = dt.datetime.now()
         updated = self.datasets().withColumn(
             "datastatusid",
             F.when(F.col("datasetid") == datasetid, F.lit(sid)).otherwise(F.col("datastatusid")),
@@ -187,12 +219,46 @@ class DatasetRegistry:
                 F.col("isactive")
             ),
         )
+        if status == "Active":
+            # Re-activation re-opens the row's effective range before the
+            # invariant pass closes out the displaced siblings.
+            updated = updated.withColumn(
+                "effthrudate",
+                F.when(F.col("datasetid") == datasetid, F.lit(FAR_FUTURE)).otherwise(
+                    F.col("effthrudate")
+                ),
+            )
+            updated = _enforce_single_active(updated, now, winner_id=datasetid)
         _atomic_overwrite(updated.coalesce(1), self.path)
 
     def status_table(self) -> DataFrame:
         return self.spark.createDataFrame(
             [Row(datastatusid=i + 1, datastatus=s) for i, s in enumerate(STATUSES)]
         )
+
+
+def _enforce_single_active(df: DataFrame, now: dt.datetime, winner_id: int | None = None) -> DataFrame:
+    """At most one active row per (label, datasettypeid, datasetdate):
+    losers get isactive=false, effthrudate=now. The winner is the
+    explicitly-activated row when ``winner_id`` is given (set_status
+    path), else the most recent active row (register path)."""
+    if winner_id is not None:
+        order = [F.desc(F.col("datasetid") == winner_id), F.desc("efffromdate"), F.desc("datasetid")]
+    else:
+        order = [F.desc("efffromdate"), F.desc("datasetid")]
+    w = W.partitionBy("label", "datasettypeid", "datasetdate").orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_still_active", F.col("isactive") & (F.col("_rn") == 1))
+        .withColumn(
+            "effthrudate",
+            F.when(F.col("isactive") & ~F.col("_still_active"), F.lit(now)).otherwise(
+                F.col("effthrudate")
+            ),
+        )
+        .withColumn("isactive", F.col("_still_active"))
+        .drop("_rn", "_still_active")
+    )
 
 
 def _atomic_overwrite(df: DataFrame, path: str) -> None:

@@ -61,12 +61,18 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict:
 
     Returns {name: DataFrame}. Reads are lazy; Catalyst prunes columns
     and pushes filters into the Parquet scans of downstream queries.
+    Every table goes through ``queries.table()`` so type quirks are
+    normalized centrally (events.parquet carries TIMESTAMP(NANOS),
+    which a plain ``spark.read.parquet`` cannot read on a fresh
+    session — ``table()`` rebuilds it as micros).
     """
+    from etl_database_spark.queries import table
+
     dfs = {}
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            df = spark.read.parquet(path)
+            df = table(spark, sf_dir, name)
             df.createOrReplaceTempView(name)
             dfs[name] = df
     return dfs

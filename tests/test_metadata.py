@@ -56,3 +56,22 @@ def test_file_metadata_columns_distributed(spark, tmp_path):
     row = df.select(label, d).first()
     assert row.label == "94583"
     assert row.datasetdate == dt.date(2025, 3, 1)
+
+
+def test_file_metadata_columns_groupless_regex(spark, tmp_path):
+    """Distributed col_for must fall back to regex group 0 when the
+    pattern has no capture groups, mirroring the driver-side _extract
+    (a groupless pattern with idx=1 errors in regexp_extract)."""
+    from etl_database_spark.metadata import file_metadata_columns
+
+    p = tmp_path / "MeetMax_94583.csv"
+    p.write_text("a,b\n1,2\n")
+    df = spark.read.option("header", "true").csv(str(tmp_path))
+    # groupless pattern vs grouped pattern give the same answer
+    for pattern in (r"\d{5}", r"(\d{5})"):
+        label, d = file_metadata_columns(
+            MetadataSpec(label_location=pattern, date_location=None)
+        )
+        row = df.select(label, d).first()
+        assert row.label == "94583", pattern
+        assert row.datasetdate == dt.date.today()

@@ -59,3 +59,35 @@ def test_status_transition(spark, tmp_path):
     row = reg.datasets().where(F.col("datasetid") == i).first()
     assert row.datastatusid == STATUS_ID["Empty"]
     assert not row.isactive
+
+
+def test_inactive_insert_does_not_supersede(spark, tmp_path):
+    """Reference trigger fires only WHEN NEW.isactive = TRUE: a
+    New/Failed re-import must leave the existing active snapshot
+    active (a failed re-import must not orphan the key)."""
+    reg = DatasetRegistry(spark, str(tmp_path / "registry"))
+    t = reg.ensure_type("T")
+    d = dt.date(2025, 3, 1)
+    id_active = reg.register_snapshot(d, "evt", t)
+    id_new = reg.register_snapshot(d, "evt", t, datastatusid=STATUS_ID["New"])
+    rows = {r.datasetid: r for r in reg.datasets().collect()}
+    assert rows[id_active].isactive  # NOT displaced by the inactive row
+    assert rows[id_active].effthrudate == dt.datetime(9999, 1, 1)
+    assert not rows[id_new].isactive
+
+
+def test_activation_deactivates_siblings(spark, tmp_path):
+    """set_status('Active') carries the invariant (f_dataset_iu shape):
+    activating a staged row displaces the previously active sibling."""
+    reg = DatasetRegistry(spark, str(tmp_path / "registry"))
+    t = reg.ensure_type("T")
+    d = dt.date(2025, 3, 1)
+    id_old = reg.register_snapshot(d, "evt", t)
+    id_staged = reg.register_snapshot(d, "evt", t, datastatusid=STATUS_ID["New"])
+    reg.set_status(id_staged, "Active")
+    rows = {r.datasetid: r for r in reg.datasets().collect()}
+    assert rows[id_staged].isactive
+    assert rows[id_staged].effthrudate == dt.datetime(9999, 1, 1)
+    assert not rows[id_old].isactive
+    assert rows[id_old].effthrudate < dt.datetime(9999, 1, 1)
+    assert reg.active().where(F.col("label") == "evt").count() == 1
