@@ -72,6 +72,11 @@ class ImportConfig:
     truncate_to_width: bool = False
     metadata: MetadataSpec = field(default_factory=MetadataSpec)
     is_active: bool = True
+    # Post-import compaction gate: when any datasetdate partition holds
+    # more than this many files after a run, the table is compacted
+    # (None disables). Per-file appends write ≥1 file each — a daily
+    # feed degrades scans into small-file storms without this.
+    compact_max_files: int | None = None
 
 
 def normalize_name(name: str) -> str:
@@ -112,12 +117,18 @@ def truncate_to_widths(df: DataFrame, widths: dict[str, int]) -> DataFrame:
 
 class TargetTable:
     """A Parquet data table partitioned by datasetdate, with
-    union-by-name schema evolution (SURVEY.md §4.2.2)."""
+    union-by-name schema evolution (SURVEY.md §4.2.2).
 
-    def __init__(self, spark: SparkSession, root: str, name: str):
+    When an ``audit`` log is attached, every schema-changing write is
+    recorded (the reference's tddllogs event-trigger analog,
+    setup_dba_maintenance.sql:82-120): table creation, strategy-1
+    column evolution, strategy-3 validation failure."""
+
+    def __init__(self, spark: SparkSession, root: str, name: str, audit=None):
         self.spark = spark
         self.name = name
         self.path = os.path.join(root, name)
+        self.audit = audit
 
     def exists(self) -> bool:
         return os.path.exists(self.path)
@@ -137,12 +148,21 @@ class TargetTable:
         lowercases both sides, generic_import.py:405-414).
         """
         new_cols: list[str] = []
-        if self.exists():
+        created = not self.exists()
+        if not created:
             existing = self.columns()
             incoming = df.columns
             missing_in_file = [c for c in existing if c not in incoming and c != "datasetdate"]
             extra_in_file = [c for c in incoming if c not in existing]
             if strategy == 3 and missing_in_file:
+                if self.audit is not None:
+                    from etl_database_spark.audit import VALIDATION_FAILED
+
+                    self.audit.record(
+                        VALIDATION_FAILED,
+                        self.name,
+                        detail=f"missing target columns: {', '.join(missing_in_file)}",
+                    )
                 raise ValueError(
                     f"strategy 3: source file missing target columns {missing_in_file}"
                 )
@@ -155,7 +175,44 @@ class TargetTable:
             .partitionBy("datasetdate")
             .parquet(self.path)
         )
+        if self.audit is not None:
+            from etl_database_spark.audit import ADD_COLUMN, CREATE_TABLE
+
+            if created:
+                self.audit.record(
+                    CREATE_TABLE, self.name, detail=f"columns: {', '.join(df.columns)}"
+                )
+            else:
+                for c in new_cols:
+                    self.audit.record(ADD_COLUMN, self.name, objecttype="column", detail=c)
         return new_cols
+
+    def files_per_partition(self) -> dict[str, int]:
+        """Data-file count per partition directory (non-recursive data
+        layout: <path>/datasetdate=YYYY-MM-DD/part-*.parquet)."""
+        out: dict[str, int] = {}
+        if not self.exists():
+            return out
+        for entry in os.listdir(self.path):
+            pdir = os.path.join(self.path, entry)
+            if os.path.isdir(pdir) and "=" in entry:
+                out[entry] = sum(1 for f in os.listdir(pdir) if f.endswith(".parquet"))
+        return out
+
+    def maybe_compact(self, max_files_per_partition: int, target_files: int | None = None) -> bool:
+        """Compact when any partition exceeds the file-count gate —
+        the small-file remedy for per-file append ingest. The rewrite
+        target stays under the gate so a compacted table doesn't
+        immediately re-trigger. Returns whether a compaction ran."""
+        counts = self.files_per_partition()
+        if not counts or max(counts.values()) <= max_files_per_partition:
+            return False
+        if target_files is None:
+            target_files = max(1, min(8, max_files_per_partition))
+        from etl_database_spark.maintenance import compact_table
+
+        compact_table(self.spark, self.path, target_files=target_files)
+        return True
 
 
 @dataclass
@@ -171,11 +228,11 @@ class ImportJob:
     """Entry point A (SURVEY.md §3.1): run one import config."""
 
     def __init__(self, spark: SparkSession, config: ImportConfig, registry: DatasetRegistry,
-                 data_root: str):
+                 data_root: str, audit=None):
         self.spark = spark
         self.config = config
         self.registry = registry
-        self.table = TargetTable(spark, data_root, config.target_table)
+        self.table = TargetTable(spark, data_root, config.target_table, audit=audit)
 
     def discover(self) -> list[str]:
         """Regex file discovery (generic_import.py:520-545)."""
@@ -270,7 +327,10 @@ class ImportJob:
         return ImportResult(path, dataset_id, rows, "Active", new_cols)
 
     def run(self) -> list[ImportResult]:
-        return [self.run_file(p) for p in self.discover()]
+        results = [self.run_file(p) for p in self.discover()]
+        if self.config.compact_max_files is not None:
+            self.table.maybe_compact(self.config.compact_max_files)
+        return results
 
 
 def load_directory(
@@ -278,6 +338,7 @@ def load_directory(
     config: ImportConfig,
     registry: DatasetRegistry,
     data_root: str,
+    audit=None,
 ) -> int:
     """Bulk path: ingest every matching file in ONE spark.read — the
     100 TB shape. Metadata (label, datasetdate) is derived per-row from
@@ -313,7 +374,7 @@ def load_directory(
         "label string, datasetdate date, datasetid long",
     )
     out = df.join(F.broadcast(mapping), ["label", "datasetdate"]).drop("label")
-    table = TargetTable(spark, data_root, config.target_table)
+    table = TargetTable(spark, data_root, config.target_table, audit=audit)
     table.append(out, config.import_strategy)
     return table.read().join(
         F.broadcast(mapping.select("datasetid")), "datasetid", "left_semi"

@@ -133,6 +133,24 @@ def test_strategy3_fails_on_missing_columns(spark, tmp_path):
     assert failed.datastatusid == 5  # Failed
 
 
+def test_compaction_aware_ingest(spark, tmp_path):
+    """Many small files landing in one datasetdate partition trigger
+    the post-run compaction hook; the partition ends at or under the
+    gate (small-file remedy for per-file append ingest)."""
+    cfg = _config(tmp_path, compact_max_files=4)
+    reg = DatasetRegistry(spark, str(tmp_path / "registry"))
+    job = ImportJob(spark, cfg, reg, str(tmp_path / "data"))
+    for i in range(7):  # same date → same partition, one file per append
+        (tmp_path / "watch" / f"20250301T120000_MeetMax_{i}.csv").write_text(
+            f"A,B\n{i},{i}\n"
+        )
+    results = job.run()
+    assert len(results) == 7
+    counts = job.table.files_per_partition()
+    assert counts and max(counts.values()) <= 4
+    assert job.table.read().count() == 7  # no rows lost in the rewrite
+
+
 def test_invalid_event_id_gate(spark, tmp_path):
     """'Invalid Event ID' content → dataset Empty, file archived, no
     load (generic_import.py:353-377)."""
