@@ -276,6 +276,89 @@ def ivf_topk(
     )
 
 
+class IvfIndex:
+    """Persisted IVF index: inverted lists written partitioned by
+    ``centroid``, centroids stored alongside as JSON.
+
+    ``ivf_topk`` refits/reassigns per call — fine for one-shot queries,
+    wrong for a served index at 100 TB. Build once; every probe then
+    reads ONLY the ``n_probe`` probed partition directories (static
+    partition pruning: the probed centroid ids are collected driver-side
+    — ≤ k ints — and pushed as a partition filter, so the scan never
+    touches the other inverted lists)."""
+
+    CENTROIDS_FILE = "_centroids.json"
+
+    def __init__(self, spark, path: str, centroids: list[list[float]]):
+        self.spark = spark
+        self.path = path
+        self.centroids = centroids
+
+    @classmethod
+    def build(
+        cls,
+        spark,
+        df: DataFrame,
+        centroids: list[list[float]],
+        path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IvfIndex":
+        """Assign every vector to its nearest centroid and write the
+        inverted lists partitioned by centroid (one directory per
+        list — the probe unit)."""
+        import json
+        import os
+
+        lists = ivf_assign(df, centroids, id_col, vec_col)
+        lists.write.mode("overwrite").partitionBy("centroid").parquet(path)
+        with open(os.path.join(path, cls.CENTROIDS_FILE), "w") as fh:
+            json.dump(centroids, fh)
+        return cls(spark, path, centroids)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, cls.CENTROIDS_FILE)) as fh:
+            centroids = json.load(fh)
+        return cls(spark, path, centroids)
+
+    def lists(self, probed: list[int] | None = None) -> DataFrame:
+        df = self.spark.read.parquet(self.path)
+        if probed is not None:
+            df = df.where(F.col("centroid").isin([int(c) for c in probed]))
+        return df
+
+    def topk(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        n_probe: int = 3,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Probe-and-rank against the persisted lists. Identical output
+        to ``ivf_topk`` over the same centroids — the difference is the
+        scan: partition-pruned to the probed lists only."""
+        q = ivf_probe_targets(queries, self.centroids, n_probe, id_col, vec_col)
+        probed = sorted(r.centroid for r in q.select("centroid").distinct().collect())
+        scored = (
+            self.lists(probed)
+            .join(F.broadcast(q), "centroid")
+            .where(F.col("_id") != F.col("query_id"))
+            .withColumn("cos_sim", F.round(cosine(F.col("q_vec"), F.col("v")), 4))
+        )
+        w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("_id"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("query_id", F.col("_id").alias("neighbor_id"), "cos_sim")
+            .orderBy("query_id", F.desc("cos_sim"), "neighbor_id")
+        )
+
+
 def ivf_probe_targets(
     queries: DataFrame,
     centroids: list[list[float]],

@@ -116,3 +116,47 @@ def test_ivf_topk_recall(spark, vectors):
     hits = sum(len(got.get(q, set()) & set(t)) for q, t in truth.items())
     total = sum(len(t) for t in truth.values())
     assert hits / total >= 0.8, f"IVF recall {hits}/{total}"
+
+
+def test_ivf_index_persisted_matches_and_prunes(spark, vectors, tmp_path):
+    """The persisted index must (a) return exactly what the refit-per-
+    call ivf_topk returns for the same centroids, (b) prune the scan to
+    the probed centroid partitions, and (c) survive load() round-trip."""
+    from etl_database_spark.functions.similarity import (
+        IvfIndex,
+        ivf_probe_targets,
+        ivf_topk,
+        kmeans_fit,
+    )
+
+    qids = list(range(10))
+    queries = vectors.where(F.col("vec_id").isin(qids))
+    cents = kmeans_fit(vectors, DIM, k=8, max_iter=5)
+    idx = IvfIndex.build(spark, vectors, cents, str(tmp_path / "ivf"))
+
+    expected = sorted(map(tuple, ivf_topk(vectors, queries, cents, k=5, n_probe=3).collect()))
+    got = sorted(map(tuple, idx.topk(queries, k=5, n_probe=3).collect()))
+    assert got == expected
+
+    # (b) partition pruning: the probed scan reads only the probed
+    # centroid directories — assert both the plan filter and the files.
+    # A 2-query probe set touches ≤6 of the 8 lists, so pruning is
+    # observable (10 queries × 3 probes cover all centroids).
+    few = vectors.where(F.col("vec_id").isin([0, 1]))
+    probed = sorted(
+        r.centroid
+        for r in ivf_probe_targets(few, cents, 3).select("centroid").distinct().collect()
+    )
+    import re
+
+    pruned = idx.lists(probed)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[centroid#\d+ IN \(([^)]*)\)\]", plan)
+    assert m, f"no partition filter in plan:\n{plan}"
+    assert sorted(int(x) for x in m.group(1).split(",")) == probed
+    # and the pruned set is strictly smaller than the full index
+    assert len(probed) < len({r.centroid for r in idx.lists().select("centroid").distinct().collect()})
+
+    # (c) load() round-trip preserves centroids
+    reloaded = IvfIndex.load(spark, str(tmp_path / "ivf"))
+    assert reloaded.centroids == cents
