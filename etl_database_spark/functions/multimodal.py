@@ -96,6 +96,68 @@ def image_features(
     return df.select(id_col, media_col).mapInPandas(process, IMAGE_FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("media", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def _resize_image_real(payload: bytes, max_side: int) -> tuple[bytes, int, int]:
+    """REAL-CODEC SLOT: decode, scale longest side to ``max_side``
+    preserving aspect, re-encode. Requires an imaging library."""
+    raise NotImplementedError(
+        "image resize requires an imaging library not present in this build; "
+        "plug a real codec into _resize_image_real"
+    )
+
+
+def _resize_image_fake(payload: bytes, max_side: int) -> tuple[bytes, int, int]:
+    """Deterministic fake resize for pipeline tests: 'dimensions' come
+    from the digest (as in the fake decoder), scaled so the longest
+    side equals ``max_side``; the 'resized payload' is a digest-derived
+    stand-in whose length shrinks with the scale factor."""
+    w, h, _ = _decode_image_fake(payload)
+    scale = max_side / max(w, h)
+    new_w = max(1, int(w * scale))
+    new_h = max(1, int(h * scale))
+    digest = hashlib.sha256(payload + max_side.to_bytes(4, "big")).digest()
+    n_out = max(1, int(len(payload) * min(1.0, scale * scale)))
+    body = (digest * (n_out // len(digest) + 1))[:n_out]
+    return body, new_w, new_h
+
+
+def resize_images(
+    df: DataFrame,
+    max_side: int = 32,
+    id_col: str = "id",
+    media_col: str = "media",
+    fake: bool = False,
+) -> DataFrame:
+    """Resize an image binary column via mapInPandas → (id, media,
+    width, height) with the longest side capped at ``max_side``.
+
+    Binary-in/binary-out: the stage composes with ``image_features``
+    (resize → featurize) without the payload ever leaving Arrow
+    batches. Same real/fake codec gating as ``image_features``.
+    """
+    resize = _resize_image_fake if fake else _resize_image_real
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf[id_col], pdf[media_col]):
+                data = bytes(payload) if payload is not None else b""
+                body, w, h = resize(data, max_side)
+                rows.append({"id": int(_id), "media": body, "width": w, "height": h})
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return df.select(id_col, media_col).mapInPandas(process, RESIZED_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 10, id_col: str = "id") -> DataFrame:
     """Video frame-sampling *plan*: explode per-media frame indices
     (metadata-driven — requires a frame_count column) without touching

@@ -163,6 +163,132 @@ def ann_topk(
 
 
 # ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate detection: the vector-space sibling of
+# the MinHash/SimHash text dedup family (functions/dedup.py). Exact
+# all-pairs as the oracle-checkable baseline; banded sign-LSH blocking
+# as the scale path.
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: every (a, b) with
+    ``id_a < id_b`` and rounded cosine ≥ threshold.
+
+    → (id_a, id_b, cos_sim). This is the documented O(n²) exact
+    baseline — right as the verifier and on bounded corpora; at 100 TB
+    use :func:`cosine_near_dup_lsh`, which blocks candidates through
+    banded sign-LSH before scoring. Scores round before the threshold
+    compare so the cut is reproducible across engines.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos_sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), round_digits)
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def lsh_band_keys(
+    df: DataFrame,
+    dim: int,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """(_id, band, band_key) — one row per (vector, band).
+
+    Band ``i`` keys on the sign bits of ``rows_per_band`` dedicated
+    hyperplanes (planes are band-disjoint, baked in as codegen literal
+    arrays — one projection, no shuffle). Two vectors collide in band
+    ``i`` iff all that band's bits agree, so for cosine similarity s
+    the candidate probability is 1-(1-p^r)^B with
+    p = 1 - acos(s)/π — tune (bands, rows_per_band) to put the
+    S-curve's knee at the dedup threshold.
+    """
+    keys = []
+    for bi in range(bands):
+        key = F.lit(0)
+        for j in range(rows_per_band):
+            plane = F.array(
+                *[F.lit(x) for x in _hyperplane(dim, bi * rows_per_band + j, seed)]
+            )
+            bit = F.when(dot(F.col(vec_col), plane) > 0, F.lit(1)).otherwise(F.lit(0))
+            key = key + bit * F.lit(1 << j)
+        keys.append(key)
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.array(*keys)).alias("band", "band_key"),
+    )
+
+
+def cosine_near_dup_lsh(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.35,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket: int = 500,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Banded sign-LSH near-dup pairs: candidates share at least one
+    band key; exact cosine verifies every candidate against the
+    threshold.
+
+    Same output schema as :func:`cosine_near_dup_pairs`; recall < 1 by
+    design (property-tested against the exact baseline). Scale shape
+    mirrors the MinHash path (dedup.py lsh_candidate_pairs): band
+    buckets over ``max_bucket`` vectors are dropped before the
+    self-join so one degenerate bucket cannot go quadratic, candidate
+    ids are deduped BEFORE vectors are re-attached (the distinct
+    shuffles 2 longs per pair, not 2·dim floats), and the verify join
+    is a plain shuffle hash join — nothing here broadcasts the corpus.
+    """
+    keys = lsh_band_keys(df, dim, bands, rows_per_band, id_col, vec_col)
+    bucket_sizes = keys.groupBy("band", "band_key").agg(F.count("*").alias("bucket_n"))
+    keys = keys.join(
+        bucket_sizes.where(F.col("bucket_n") <= max_bucket), ["band", "band_key"]
+    )
+    a = keys.alias("a")
+    b = keys.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cos_sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), round_digits)
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF tier: k-means coarse quantizer + inverted-list probing.
 
 

@@ -425,3 +425,46 @@ def ivf_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _ivf_index(spark, sf_dir)
     queries = table(spark, sf_dir, "embeddings").where(F.col("vec_id") < _N_QUERIES)
     return idx.topk(queries, k=_TOPK_K, n_probe=3)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate detection — the vector-space member
+# of the dedup family (exact / MinHash / SimHash / n-gram / embedding).
+# Exact all-pairs variant is oracle-checked; the banded sign-LSH
+# blocking variant is rows-only (recall vs exact in tests).
+_COS_DUP_THRESHOLD = 0.35
+
+_COS_DUP_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(
+             list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+             / (SQRT(list_sum(list_transform(a.v, x -> x * x)))
+                * SQRT(list_sum(list_transform(b.v, x -> x * x)))),
+           4) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE ROUND(
+            list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+            / (SQRT(list_sum(list_transform(a.v, x -> x * x)))
+               * SQRT(list_sum(list_transform(b.v, x -> x * x)))),
+          4) >= {_COS_DUP_THRESHOLD}
+    ORDER BY id_a, id_b
+    """
+
+
+@register("embedding_near_dups", oracle=_COS_DUP_ORACLE)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs over the embeddings table
+    (O(n²) baseline; the LSH variant below is the 100 TB path)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return S.cosine_near_dup_pairs(emb, threshold=_COS_DUP_THRESHOLD)
+
+
+@register("embedding_near_dups_lsh")
+def embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded sign-LSH blocking + exact-cosine verify: near-dup pairs
+    without the all-pairs scan (recall-tested against the exact op)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return S.cosine_near_dup_lsh(
+        emb, dim=64, threshold=_COS_DUP_THRESHOLD, bands=16, rows_per_band=4
+    )

@@ -42,3 +42,28 @@ def test_frame_sample_plan(spark):
     out = M.frame_sample_plan(df, every_n=10).collect()
     got = {(r.id, r.frame_idx) for r in out}
     assert got == {(1, 0), (1, 10), (1, 20), (2, 0)}
+
+
+def test_resize_images_fake_codec(spark, media):
+    out = M.resize_images(media, max_side=16, fake=True).orderBy("id").collect()
+    assert len(out) == 20
+    # longest side capped, aspect preserved downward, payload shrinks
+    assert all(max(r.width, r.height) == 16 for r in out)
+    assert all(r.width >= 1 and r.height >= 1 for r in out)
+    again = M.resize_images(media, max_side=16, fake=True).orderBy("id").collect()
+    assert [bytes(r.media) for r in out] == [bytes(r.media) for r in again]
+
+
+def test_resize_composes_with_features(spark, media):
+    """resize → featurize: binary-out of one mapInPandas stage feeds
+    the next; ids survive and features are recomputed on the resized
+    payloads."""
+    resized = M.resize_images(media, max_side=8, fake=True)
+    feats = M.image_features(resized, fake=True).orderBy("id").collect()
+    assert len(feats) == 20
+    assert all(len(r.features) == 8 for r in feats)
+
+
+def test_resize_real_codec_is_explicit_stub(spark, media):
+    with pytest.raises(Exception, match="NotImplementedError|image resize"):
+        M.resize_images(media, fake=False).collect()

@@ -160,3 +160,57 @@ def test_ivf_index_persisted_matches_and_prunes(spark, vectors, tmp_path):
     # (c) load() round-trip preserves centroids
     reloaded = IvfIndex.load(spark, str(tmp_path / "ivf"))
     assert reloaded.centroids == cents
+
+
+def _brute_pairs(rows, threshold):
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    out = set()
+    for i, vi in rows:
+        for j, vj in rows:
+            if i < j and round(cos(vi, vj), 4) >= threshold:
+                out.add((i, j))
+    return out
+
+
+def test_cosine_near_dup_exact_matches_brute_force(spark, vectors):
+    got = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_near_dup_pairs(vectors, threshold=0.9).collect()
+    }
+    truth = _brute_pairs(_mk_vectors(), 0.9)
+    assert got == truth and len(truth) > 0
+
+
+def test_cosine_near_dup_pairs_ordered_ids(spark, vectors):
+    rows = S.cosine_near_dup_pairs(vectors, threshold=0.9).collect()
+    assert all(r.id_a < r.id_b for r in rows)
+    assert all(r.cos_sim >= 0.9 for r in rows)
+
+
+def test_cosine_near_dup_lsh_recall_and_precision(spark, vectors):
+    """Banded LSH blocking: every emitted pair is exact-verified
+    (precision 1 vs the exact op at the same threshold); recall ≥ 0.8
+    on the clustered corpus at a high-sim threshold."""
+    truth = _brute_pairs(_mk_vectors(), 0.9)
+    got = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_near_dup_lsh(
+            vectors, dim=DIM, threshold=0.9, bands=16, rows_per_band=4
+        ).collect()
+    }
+    assert got <= truth  # no false positives: exact verify after blocking
+    assert len(got) / len(truth) >= 0.8, f"recall {len(got)}/{len(truth)}"
+
+
+def test_cosine_near_dup_lsh_bucket_cap(spark, vectors):
+    """max_bucket=1 drops every band bucket with ≥2 members, so no
+    candidates survive — the skew guard actually gates the join."""
+    out = S.cosine_near_dup_lsh(
+        vectors, dim=DIM, threshold=0.9, bands=8, rows_per_band=2, max_bucket=1
+    )
+    assert out.count() == 0
