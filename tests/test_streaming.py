@@ -140,3 +140,69 @@ def test_stateful_sessionization_stream_matches_batch(spark, tmp_path):
     }
     assert len(got) > 0
     assert got == expected
+
+
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps one row per content digest;
+    the surviving digest set equals the batch dropDuplicates result
+    over the same rows."""
+    import datetime as dt
+
+    from etl_database_spark.streaming.dedup import dedup_stream, run_dedup_once
+
+    base = dt.datetime(2025, 3, 1, 0, 0, 0)
+    rows = []
+    for i in range(120):
+        # 40 distinct texts, each arriving 3× within minutes of each
+        # other (well inside the watermark)
+        rows.append((i, base + dt.timedelta(minutes=i), f"document body {i % 40}"))
+    docs = spark.createDataFrame(rows, "doc_id long, ts timestamp, text string")
+    src = str(tmp_path / "docs_src")
+    docs.coalesce(3).write.parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    out = str(tmp_path / "dedup_out")
+    run_dedup_once(stream, out, str(tmp_path / "dedup_ckpt"), watermark="2 hours")
+
+    got = spark.read.parquet(out)
+    batch = dedup_stream(docs)
+    assert got.count() == 40
+    assert got.select("digest").distinct().count() == 40
+    assert {r.digest for r in got.select("digest").collect()} == {
+        r.digest for r in batch.select("digest").collect()
+    }
+
+
+def test_streaming_dedup_resumes_from_checkpoint(spark, tmp_path):
+    """A second drain with the same checkpoint must not re-emit
+    already-seen digests from the first drain (state persists)."""
+    import datetime as dt
+
+    from etl_database_spark.streaming.dedup import run_dedup_once
+
+    base = dt.datetime(2025, 3, 1, 0, 0, 0)
+    docs1 = spark.createDataFrame(
+        [(i, base + dt.timedelta(minutes=i), f"body {i % 5}") for i in range(10)],
+        "doc_id long, ts timestamp, text string",
+    )
+    src = str(tmp_path / "src")
+    docs1.write.parquet(src)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    schema = docs1.schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    run_dedup_once(stream, out, ckpt, watermark="2 hours")
+    assert spark.read.parquet(out).count() == 5
+
+    # second wave: same five texts again (later but inside watermark),
+    # plus one genuinely new text
+    docs2 = spark.createDataFrame(
+        [(100 + i, base + dt.timedelta(minutes=20 + i), f"body {i % 5}") for i in range(5)]
+        + [(200, base + dt.timedelta(minutes=30), "brand new body")],
+        "doc_id long, ts timestamp, text string",
+    )
+    docs2.write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    run_dedup_once(stream2, out, ckpt, watermark="2 hours")
+    final = spark.read.parquet(out)
+    assert final.count() == 6
+    assert final.select("digest").distinct().count() == 6
