@@ -1,0 +1,77 @@
+"""Deterministic hash-based sampling and dataset splitting.
+
+Training-data pipelines need reproducible membership decisions —
+"which documents are in the 90/5/5 train/val/test split" and "give me
+a stable 10% sample" must return the SAME rows on every run, every
+engine, every cluster size. Random sampling (``df.sample``,
+``sampleBy``) cannot promise that across retries or engines, so every
+membership decision here is a pure function of the row key: bucket =
+first 8 hex digits of md5(key) mod N. md5 of the UTF-8 string bytes is
+engine-portable (Spark ``md5`` ≡ DuckDB ``md5`` ≡ Python
+``hashlib.md5``), which is what makes these operators oracle-checkable
+and the splits portable to any downstream stack.
+
+Scale shape: the bucket is one codegen'd projection — no shuffle, no
+state, trivially parallel at 100 TB. Filters on the bucket push into
+the scan like any other predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 1000
+
+
+def hash_bucket(col, buckets: int = DEFAULT_BUCKETS) -> Column:
+    """Stable bucket in [0, buckets): md5 the key's string form, take
+    the first 8 hex digits (32 bits — plenty of entropy, fits a long
+    exactly), mod ``buckets``. Equivalent SQL:
+    ``CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8) AS BIGINT) % buckets``.
+    """
+    h = F.conv(F.substring(F.md5(F.col(col).cast("string").cast("binary")), 1, 8), 16, 10)
+    return (h.cast("long") % F.lit(buckets)).alias("bucket")
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float, buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """Deterministic ``fraction`` sample: keep rows whose bucket falls
+    below ``fraction × buckets``. Same rows every run and engine."""
+    return df.where(hash_bucket(key_col, buckets) < int(round(fraction * buckets)))
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float] | None = None,
+    buckets: int = DEFAULT_BUCKETS,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split by consecutive bucket ranges
+    (e.g. train=[0,900), val=[900,950), test=[950,1000)). Weights must
+    sum to 1; insertion order defines the ranges."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {weights}")
+    bucket = hash_bucket(key_col, buckets)
+    expr = None
+    hi = 0
+    for name, w in weights.items():
+        hi += int(round(w * buckets))
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    # rounding can leave the last bucket unassigned; fold it into the
+    # final split
+    last = list(weights)[-1]
+    return df.withColumn(out_col, expr.otherwise(last))
+
+
+def split_boundaries(weights: dict[str, float], buckets: int = DEFAULT_BUCKETS) -> list[tuple[str, int, int]]:
+    """(name, lo, hi) bucket ranges for documentation / SQL parity."""
+    out = []
+    lo = 0
+    for name, w in weights.items():
+        hi = lo + int(round(w * buckets))
+        out.append((name, lo, hi))
+        lo = hi
+    return out

@@ -468,3 +468,97 @@ def embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_near_dup_lsh(
         emb, dim=64, threshold=_COS_DUP_THRESHOLD, bands=16, rows_per_band=4
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash-split / hash-sample (functions/sampling.py): the
+# md5-bucket membership function is engine-portable, so both queries
+# are fully oracle-checked — the same split assignment reproduces in
+# DuckDB (or any SQL engine) byte-for-byte.
+_SPLIT_SQL_BUCKET = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000"
+)
+
+_SPLIT_ORACLE = f"""
+    WITH b AS (SELECT doc_id, n_chars, {_SPLIT_SQL_BUCKET} AS bucket FROM documents),
+         s AS (SELECT doc_id, n_chars,
+                      CASE WHEN bucket < 900 THEN 'train'
+                           WHEN bucket < 950 THEN 'val'
+                           ELSE 'test' END AS split
+               FROM b)
+    SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM s GROUP BY split ORDER BY split
+    """
+
+
+@register("doc_split_counts", oracle=_SPLIT_ORACLE)
+def doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/5/5 train/val/test assignment by md5 bucket of doc_id —
+    reproducible across engines and cluster sizes — aggregated to
+    per-split doc and char counts."""
+    from etl_database_spark.functions import sampling as SMP
+
+    d = table(spark, sf_dir, "documents")
+    return (
+        SMP.split_assign(d, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+_SAMPLE_ORACLE = f"""
+    SELECT doc_id, n_chars
+    FROM (SELECT doc_id, n_chars, {_SPLIT_SQL_BUCKET} AS bucket FROM documents)
+    WHERE bucket < 100
+    ORDER BY doc_id
+    """
+
+
+@register("doc_hash_sample_10pct", oracle=_SAMPLE_ORACLE)
+def doc_hash_sample_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 10% corpus sample (bucket < 100 of 1000): the same
+    doc_ids on every run, every engine — the reproducible-subset
+    primitive for eval sets and ablations."""
+    from etl_database_spark.functions import sampling as SMP
+
+    d = table(spark, sf_dir, "documents")
+    return SMP.hash_sample(d, "doc_id", 0.1).select("doc_id", "n_chars").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary: token frequencies via explode + count — the
+# canonical shuffle-with-partial-aggregation shape (word counts combine
+# map-side before the exchange; skew in stopwords is absorbed by the
+# partial phase).
+_VOCAB_K = 50
+
+_VOCAB_ORACLE = f"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token
+      FROM documents
+    )
+    SELECT token, COUNT(*) AS n_occurrences
+    FROM toks WHERE token <> ''
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token
+    LIMIT {_VOCAB_K}
+    """
+
+
+@register("corpus_vocab_topk", oracle=_VOCAB_ORACLE)
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_VOCAB_K} tokens corpus-wide: explode whitespace tokens,
+    count, rank (deterministic tie-break on token)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(_VOCAB_K)
+    )

@@ -1,0 +1,58 @@
+"""Deterministic hash sampling/splitting: portability is the product —
+the bucket function must match plain hashlib.md5, assignments must be
+stable, and split ranges must partition the corpus."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_database_spark.functions import sampling as SMP
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+
+
+def _py_bucket(key, buckets=1000):
+    return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) % buckets
+
+
+def test_hash_bucket_matches_hashlib(spark, ids):
+    got = {
+        r.doc_id: r.b
+        for r in ids.select("doc_id", SMP.hash_bucket("doc_id").alias("b")).collect()
+    }
+    assert got == {i: _py_bucket(i) for i in range(500)}
+
+
+def test_split_assign_partitions_and_is_stable(spark, ids):
+    out1 = {r.doc_id: r.split for r in SMP.split_assign(ids, "doc_id").collect()}
+    out2 = {r.doc_id: r.split for r in SMP.split_assign(ids, "doc_id").collect()}
+    assert out1 == out2
+    assert set(out1.values()) <= {"train", "val", "test"}
+    # ranges follow the bucket exactly
+    for i, s in out1.items():
+        b = _py_bucket(i)
+        assert s == ("train" if b < 900 else "val" if b < 950 else "test")
+
+
+def test_split_weights_must_sum_to_one(spark, ids):
+    with pytest.raises(ValueError):
+        SMP.split_assign(ids, "doc_id", {"a": 0.5, "b": 0.2})
+
+
+def test_hash_sample_fraction_and_subset(spark, ids):
+    s10 = {r.doc_id for r in SMP.hash_sample(ids, "doc_id", 0.1).collect()}
+    s20 = {r.doc_id for r in SMP.hash_sample(ids, "doc_id", 0.2).collect()}
+    # nested: a bigger fraction strictly extends the smaller one
+    assert s10 <= s20
+    # within sampling noise of the target on 500 keys
+    assert 0.05 <= len(s10) / 500 <= 0.16
+    assert s10 == {i for i in range(500) if _py_bucket(i) < 100}
+
+
+def test_split_boundaries_cover_bucket_space():
+    bounds = SMP.split_boundaries({"train": 0.9, "val": 0.05, "test": 0.05})
+    assert bounds == [("train", 0, 900), ("val", 900, 950), ("test", 950, 1000)]
