@@ -66,6 +66,34 @@ def split_assign(
     return df.withColumn(out_col, expr.otherwise(last))
 
 
+def weighted_mixture(
+    df: DataFrame,
+    source_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default: float = 0.0,
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Deterministic dataset mixing: downsample each source to its
+    target fraction (e.g. web 10%, books 100%, code 50%) in one pass.
+
+    Membership is ``bucket(key) < fraction[source] × buckets``, so the
+    mixture is reproducible, nested (raising a fraction only ADDS
+    rows), and needs no shuffle — it is a single scan with a sargable
+    predicate per source. ``default`` applies to sources not listed.
+    """
+    thr = None
+    for src, frac in fractions.items():
+        t = F.lit(int(round(frac * buckets)))
+        thr = F.when(F.col(source_col) == src, t) if thr is None else thr.when(
+            F.col(source_col) == src, t
+        )
+    thr = F.lit(int(round(default * buckets))) if thr is None else thr.otherwise(
+        F.lit(int(round(default * buckets)))
+    )
+    return df.where(hash_bucket(key_col, buckets) < thr)
+
+
 def split_boundaries(weights: dict[str, float], buckets: int = DEFAULT_BUCKETS) -> list[tuple[str, int, int]]:
     """(name, lo, hi) bucket ranges for documentation / SQL parity."""
     out = []

@@ -562,3 +562,33 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "token")
         .limit(_VOCAB_K)
     )
+
+
+_MIXTURE_ORACLE = f"""
+    WITH b AS (SELECT source, {_SPLIT_SQL_BUCKET} AS bucket FROM documents),
+         kept AS (
+           SELECT source FROM b
+           WHERE bucket < CASE source
+                            WHEN 'src0' THEN 1000
+                            WHEN 'src1' THEN 500
+                            WHEN 'src2' THEN 250
+                            ELSE 100
+                          END
+         )
+    SELECT source, COUNT(*) AS n_docs
+    FROM kept GROUP BY source ORDER BY source
+    """
+
+
+@register("source_mixture_counts", oracle=_MIXTURE_ORACLE)
+def source_mixture_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dataset mixing: src0 kept whole, src1 at 50%,
+    src2 at 25%, everything else at 10% — per-source surviving
+    counts. One scan, no shuffle before the count."""
+    from etl_database_spark.functions import sampling as SMP
+
+    d = table(spark, sf_dir, "documents")
+    mixed = SMP.weighted_mixture(
+        d, "source", {"src0": 1.0, "src1": 0.5, "src2": 0.25}, "doc_id", default=0.1
+    )
+    return mixed.groupBy("source").agg(F.count("*").alias("n_docs")).orderBy("source")

@@ -56,3 +56,20 @@ def test_hash_sample_fraction_and_subset(spark, ids):
 def test_split_boundaries_cover_bucket_space():
     bounds = SMP.split_boundaries({"train": 0.9, "val": 0.05, "test": 0.05})
     assert bounds == [("train", 0, 900), ("val", 900, 950), ("test", 950, 1000)]
+
+
+def test_weighted_mixture_rates_and_nesting(spark):
+    rows = [(i, f"src{i % 4}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    mixed = SMP.weighted_mixture(
+        df, "source", {"src0": 1.0, "src1": 0.5}, "doc_id", default=0.0
+    )
+    got = {r.source: r.n for r in mixed.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert got.get("src0") == 500          # kept whole
+    assert 180 <= got.get("src1", 0) <= 320  # ~50%
+    assert "src2" not in got and "src3" not in got  # default 0 drops
+
+    # nested property: raising a fraction only adds rows
+    small = {r.doc_id for r in SMP.weighted_mixture(df, "source", {"src1": 0.2}, "doc_id").collect()}
+    large = {r.doc_id for r in SMP.weighted_mixture(df, "source", {"src1": 0.6}, "doc_id").collect()}
+    assert small <= large
