@@ -40,6 +40,7 @@ HEADLINE = [
     "cosine_topk_bruteforce",
     "minhash_near_dups",
     "simhash_fingerprints",
+    "corpus_curation_pipeline",
 ]
 
 

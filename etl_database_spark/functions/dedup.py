@@ -167,8 +167,26 @@ def lsh_candidate_pairs(
     )
 
 
+def _finish_eager(result: DataFrame, caches: list[DataFrame]) -> DataFrame:
+    """Materialize a (small, post-threshold) result and release every
+    intermediate cache. Without this, each call of a dedup pipeline
+    leaves shingle/signature/candidate frames pinned in executor
+    storage — repeated invocations (bench loops, long-lived sessions)
+    accrete cached blocks until eviction/GC churn dominates run time.
+    ``localCheckpoint`` cuts the lineage so unpersisting the parents
+    cannot trigger recompute of the returned frame."""
+    out = result.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return out
+
+
 def jaccard_verify(
-    pairs: DataFrame, sh: DataFrame, threshold: float = 0.5, n_pairs: int | None = None
+    pairs: DataFrame,
+    sh: DataFrame,
+    threshold: float = 0.5,
+    n_pairs: int | None = None,
+    release: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs via per-document shingle sets:
     join each pair to its two collect_set arrays, |A∩B| =
@@ -204,7 +222,7 @@ def jaccard_verify(
     ).first()
     a = sets.select(F.col("_id").alias("id_a"), F.col("shset").alias("set_a"))
     b = sets.select(F.col("_id").alias("id_b"), F.col("shset").alias("set_b"))
-    return (
+    verified = (
         pairs.join(_maybe_broadcast(a, n_entries, BROADCAST_MAX_SET_ENTRIES), "id_a")
         .join(_maybe_broadcast(b, n_entries, BROADCAST_MAX_SET_ENTRIES), "id_b")
         .withColumn("n_inter", F.size(F.array_intersect("set_a", "set_b")))
@@ -216,6 +234,7 @@ def jaccard_verify(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return _finish_eager(verified, [sets, *(release or [])])
 
 
 def minhash_near_duplicates(
@@ -268,7 +287,7 @@ def minhash_near_duplicates(
         .cache()
     )
     n_est = est.count()  # materialize: verify fans this into 3 plan branches
-    return jaccard_verify(est, sh, threshold, n_pairs=n_est)
+    return jaccard_verify(est, sh, threshold, n_pairs=n_est, release=[sh, sigs, pairs, est])
 
 
 def ngram_jaccard_pairs(
@@ -312,7 +331,7 @@ def ngram_jaccard_pairs(
         .cache()
     )
     n_cand = cand.count()
-    return jaccard_verify(cand, sh, threshold, n_pairs=n_cand)
+    return jaccard_verify(cand, sh, threshold, n_pairs=n_cand, release=[sh, cand])
 
 
 def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

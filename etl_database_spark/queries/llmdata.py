@@ -592,3 +592,72 @@ def source_mixture_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "source", {"src0": 1.0, "src1": 0.5, "src2": 0.25}, "doc_id", default=0.1
     )
     return mixed.groupBy("source").agg(F.count("*").alias("n_docs")).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Flagship curation pipeline: quality gate → language gate → exact-dedup
+# survivor selection → deterministic split assignment, in ONE query —
+# the end-to-end shape of a training-data freshness pass. Every stage
+# is engine-portable, so the whole pipeline is oracle-checked: the
+# fragments below are the same strings the per-stage oracles use.
+_PIPELINE_Q_UNITS = "(len_u * 4 + punct_u * 3 + stop_u * 3) // 10"
+_PIPELINE_QUALITY_CTES = _QUALITY_ORACLE[: _QUALITY_ORACLE.rindex("SELECT doc_id,")]
+
+_PIPELINE_ORACLE = f"""
+    {_PIPELINE_QUALITY_CTES}
+    SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT CASE WHEN {_SPLIT_SQL_BUCKET} < 900 THEN 'train'
+                  WHEN {_SPLIT_SQL_BUCKET} < 950 THEN 'val'
+                  ELSE 'test' END AS split,
+             n_chars
+      FROM (
+        SELECT d.doc_id, d.n_chars,
+               ROW_NUMBER() OVER (PARTITION BY md5({_NORM_SQL})
+                                  ORDER BY d.doc_id) AS rn
+        FROM documents d
+        JOIN u ON u.doc_id = d.doc_id
+        WHERE {_PIPELINE_Q_UNITS} >= 7000
+          AND ({_LADDER}) = 'en'
+      )
+      WHERE rn = 1
+    )
+    GROUP BY split ORDER BY split
+    """
+
+
+@register("corpus_curation_pipeline", oracle=_PIPELINE_ORACLE)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: keep docs with quality ≥ 0.7 detected as
+    English, drop exact duplicates (survivor = lowest doc_id per
+    normalized-text digest), assign 90/5/5 splits, report per-split
+    doc/char counts.
+
+    Plan shape at scale: the quality/language gates are pure
+    projections that prune before the only two shuffles (digest
+    window, split aggregate); nothing is collected driver-side."""
+    from pyspark.sql import Window as W
+
+    from etl_database_spark.functions import sampling as SMP
+
+    d = table(spark, sf_dir, "documents")
+    gated = T.with_language(d, "text", "detected_lang").where(
+        (T.quality_score(F.col("text")) >= 0.7) & (F.col("detected_lang") == "en")
+    )
+    digest = F.md5(T.normalize_text(F.col("text")).cast("binary"))
+    surv = (
+        gated.withColumn(
+            "rn", F.row_number().over(W.partitionBy(digest).orderBy("doc_id"))
+        )
+        .where(F.col("rn") == 1)
+        .select("doc_id", "n_chars")
+    )
+    return (
+        SMP.split_assign(surv, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
