@@ -206,3 +206,47 @@ def test_streaming_dedup_resumes_from_checkpoint(spark, tmp_path):
     final = spark.read.parquet(out)
     assert final.count() == 6
     assert final.select("digest").distinct().count() == 6
+
+
+def test_streaming_dedup_state_evicts_after_watermark(spark, tmp_path):
+    """Bounded-state semantics: a digest is dropped from state once the
+    watermark passes it, so the same content arriving much later is
+    re-emitted (one more row), while a re-arrival before eviction is
+    suppressed. This is the property that makes state size ∝ watermark
+    horizon instead of corpus history."""
+    import datetime as dt
+
+    from etl_database_spark.streaming.dedup import run_dedup_once
+
+    base = dt.datetime(2025, 3, 1, 0, 0, 0)
+    src = str(tmp_path / "src")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    schema = "doc_id long, ts timestamp, text string"
+
+    d1 = spark.createDataFrame([(1, base, "the body")], schema)
+    d1.write.parquet(src)
+    run_dedup_once(
+        spark.readStream.schema(d1.schema).parquet(src), out, ckpt, watermark="1 hour"
+    )
+    assert spark.read.parquet(out).count() == 1
+
+    # +10h re-arrival: state still holds the digest at batch start
+    # (watermark from drain 1 is base-1h), so this one is suppressed —
+    # but processing it advances the watermark far past the original
+    # sighting, evicting it.
+    d2 = spark.createDataFrame([(2, base + dt.timedelta(hours=10), "the body")], schema)
+    d2.write.mode("append").parquet(src)
+    run_dedup_once(
+        spark.readStream.schema(d1.schema).parquet(src), out, ckpt, watermark="1 hour"
+    )
+    assert spark.read.parquet(out).count() == 1
+
+    # +20h: the digest was evicted, so the content is re-emitted.
+    d3 = spark.createDataFrame([(3, base + dt.timedelta(hours=20), "the body")], schema)
+    d3.write.mode("append").parquet(src)
+    run_dedup_once(
+        spark.readStream.schema(d1.schema).parquet(src), out, ckpt, watermark="1 hour"
+    )
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 2
+    assert {r.doc_id for r in rows} == {1, 3}
