@@ -68,3 +68,27 @@ def test_cron_exact_minute_hour(minute, hour, when):
     matches both fields."""
     expr = f"{minute} {hour} * * *"
     assert cron_matches(expr, when) == (when.minute == minute and when.hour == hour)
+
+
+@given(
+    st.lists(
+        st.floats(min_value=0.01, max_value=1.0, allow_nan=False),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_split_boundaries_partition_bucket_space(raw):
+    """split_boundaries always yields contiguous, non-overlapping
+    ranges starting at 0, regardless of weight shape."""
+    from etl_database_spark.functions.sampling import split_boundaries
+
+    total = sum(raw)
+    weights = {f"s{i}": w / total for i, w in enumerate(raw)}
+    bounds = split_boundaries(weights)
+    assert bounds[0][1] == 0
+    for (_, _, hi_prev), (_, lo, _) in zip(bounds, bounds[1:]):
+        assert lo == hi_prev  # contiguous
+    assert all(lo <= hi for _, lo, hi in bounds)
+    # total coverage is within rounding of the bucket space
+    assert abs(bounds[-1][2] - 1000) <= len(raw)
