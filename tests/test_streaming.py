@@ -250,3 +250,55 @@ def test_streaming_dedup_state_evicts_after_watermark(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 2
     assert {r.doc_id for r in rows} == {1, 3}
+
+
+def test_streaming_near_dup_within_and_across_batches(spark, tmp_path):
+    """Streaming minhash near-dup: a near-identical pair inside one
+    batch AND one split across two drains both surface in the matches
+    table; unrelated docs never pair."""
+    from etl_database_spark.streaming.near_dup import run_near_dup_once
+
+    base_text = "the quick brown fox jumps over the lazy dog " * 12
+    variant = base_text.replace("lazy dog", "lazy cat", 1)
+    other = "completely unrelated content about spark partitions " * 12
+
+    src = str(tmp_path / "src")
+    store, matches = str(tmp_path / "store"), str(tmp_path / "matches")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    # drain 1: docs 1+2 are near-dups of each other (within-batch), 3 unrelated
+    d1 = spark.createDataFrame([(1, base_text), (2, variant), (3, other)], schema)
+    d1.write.parquet(src)
+    run_near_dup_once(
+        spark,
+        spark.readStream.schema(d1.schema).parquet(src),
+        store,
+        matches,
+        ckpt,
+        threshold=0.5,
+    )
+    m1 = {(r.id_a, r.id_b) for r in spark.read.parquet(matches).collect()}
+    assert (1, 2) in m1 or (2, 1) in m1
+    assert not any(3 in p for p in m1)
+
+    # drain 2: doc 4 is a near-dup of doc 1 from the PREVIOUS drain
+    d2 = spark.createDataFrame(
+        [(4, base_text.replace("quick", "swift", 1)), (5, "novel text " * 20)], schema
+    )
+    d2.write.mode("append").parquet(src)
+    run_near_dup_once(
+        spark,
+        spark.readStream.schema(d1.schema).parquet(src),
+        store,
+        matches,
+        ckpt,
+        threshold=0.5,
+    )
+    m2 = {(r.id_a, r.id_b) for r in spark.read.parquet(matches).collect()}
+    cross = {p for p in m2 if 4 in p}
+    assert any(1 in p or 2 in p for p in cross), f"no cross-batch match: {m2}"
+    assert not any(5 in p and 3 in p for p in m2)
+    # store now holds every signed doc exactly once
+    assert spark.read.parquet(store).select("_id").distinct().count() == 5
+    assert spark.read.parquet(store).count() == 5
