@@ -39,6 +39,21 @@ def token_count(col) -> Column:
     ).cast("long")
 
 
+# BPE-style pre-tokenizer classes (the GPT-2 pattern's portable core):
+# letter runs, single digits, single non-space symbols. Deliberately
+# restricted to constructs Java regex and RE2 read identically, so the
+# count is engine-portable (≈ what a BPE tokenizer's pre-split yields —
+# a much better length proxy than whitespace tokens on code/punctuated
+# text).
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(col) -> Column:
+    """Count of BPE-ish pre-tokens (JVM regexp_count, codegen)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_TOKEN_RE)).cast("long")
+
+
 def word_occurrences(col, word: str) -> Column:
     """Count occurrences of ``word`` as a whitespace-delimited token,
     via the engine-portable length-difference trick on a padded string."""

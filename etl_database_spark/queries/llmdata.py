@@ -661,3 +661,35 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "doc_bpe_token_stats",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '{T.BPE_TOKEN_RE}'))) AS BIGINT)
+             AS total_bpe_tokens,
+           CAST(SUM(LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1) AS BIGINT)
+             AS total_ws_tokens
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-token counts (letter runs / digits / symbols) next
+    to whitespace tokens, per source — the token-budget estimate a
+    training pipeline actually bills by."""
+    d = table(spark, sf_dir, "documents")
+    trimmed = F.trim(F.col("text"))
+    ws = F.length(trimmed) - F.length(F.replace(trimmed, F.lit(" "), F.lit(""))) + 1
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(T.bpe_token_count(F.col("text"))).cast("long").alias("total_bpe_tokens"),
+            F.sum(ws).cast("long").alias("total_ws_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -50,3 +50,23 @@ def test_fingerprints_normalize(spark):
     x = _one(spark, "Hello   World", T.fingerprint_xx64("t"))
     y = _one(spark, "hello world", T.fingerprint_xx64("t"))
     assert x == y
+
+
+def test_bpe_token_count(spark):
+    import re
+
+    from etl_database_spark.functions.text import BPE_TOKEN_RE, bpe_token_count
+
+    samples = [
+        "hello world",               # 2 letter runs
+        "x=1+2;  # done",            # letters, digits, symbols
+        "",                          # empty
+        "   ",                       # blank
+        "don't stop-me now!!",       # apostrophe/hyphen split off
+        "abc123def 42",              # digit singles between runs
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "i long, t string")
+    got = {r.i: r.n for r in df.select("i", bpe_token_count("t").alias("n")).collect()}
+    want = {i: len(re.findall(BPE_TOKEN_RE, s)) for i, s in enumerate(samples)}
+    assert got == want
+    assert got[0] == 2 and got[2] == 0 and got[3] == 0
