@@ -693,3 +693,91 @@ def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunking / packing (functions/chunking.py) — engine-portable
+# arithmetic, oracle-checked end-to-end.
+_CHUNK_SIZE, _CHUNK_OVERLAP = 200, 40
+_CHUNK_STRIDE = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+_CHUNK_ORACLE = f"""
+    WITH n AS (
+      SELECT doc_id, text,
+             CASE WHEN LENGTH(text) <= {_CHUNK_SIZE} THEN 1
+                  ELSE CAST(CEIL(CAST(LENGTH(text) - {_CHUNK_SIZE} AS DOUBLE)
+                                 / {_CHUNK_STRIDE}) AS BIGINT) + 1 END AS n_chunks
+      FROM documents WHERE LENGTH(text) > 0),
+    c AS (
+      SELECT doc_id, i AS chunk_idx,
+             LENGTH(substr(text, i * {_CHUNK_STRIDE} + 1, {_CHUNK_SIZE})) AS chunk_len
+      FROM n, LATERAL (SELECT unnest(generate_series(0, CAST(n_chunks - 1 AS INTEGER))) AS i))
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(chunk_len) AS BIGINT) AS total_chunk_chars,
+           CAST(MIN(chunk_len) AS BIGINT) AS min_chunk_len
+    FROM c GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@register("doc_chunk_stats", oracle=_CHUNK_ORACLE)
+def doc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping character chunking (size 200, overlap 40) reduced to
+    per-doc chunk counts/coverage — the pretraining chunker."""
+    from etl_database_spark.functions import chunking as C
+
+    d = table(spark, sf_dir, "documents")
+    ch = C.chunk_documents(d, chunk_size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP)
+    return (
+        ch.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("chunk_len").cast("long").alias("total_chunk_chars"),
+            F.min("chunk_len").cast("long").alias("min_chunk_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PACK_BUDGET, _PACK_SHARDS = 2000, 8
+
+_PACK_ORACLE = f"""
+    WITH s AS (
+      SELECT doc_id,
+             LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1 AS n_tokens,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               % {1000 * _PACK_SHARDS} % {_PACK_SHARDS} AS shard
+      FROM documents),
+    p AS (
+      SELECT doc_id, shard,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens AS start_off
+      FROM s)
+    SELECT shard,
+           CAST(start_off // {_PACK_BUDGET} AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs
+    FROM p GROUP BY shard, bin_id ORDER BY shard, bin_id
+    """
+
+
+@register("doc_packing_bins", oracle=_PACK_ORACLE)
+def doc_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing: whitespace-token counts sequential-filled
+    into 2000-token bins within 8 deterministic shards; per-bin doc
+    counts. Window runs per shard — no global sort."""
+    from etl_database_spark.functions import chunking as C
+
+    d = table(spark, sf_dir, "documents")
+    trimmed = F.trim(F.col("text"))
+    ntok = (
+        F.length(trimmed) - F.length(F.replace(trimmed, F.lit(" "), F.lit(""))) + 1
+    )
+    packed = C.pack_documents(
+        d.select("doc_id", ntok.alias("n_tokens")),
+        budget=_PACK_BUDGET,
+        n_shards=_PACK_SHARDS,
+    )
+    return (
+        packed.groupBy("shard", "bin_id")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("shard", "bin_id")
+    )
