@@ -781,3 +781,84 @@ def doc_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("shard", "bin_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-hygiene filters (Gopher/CCNet-style): token repetition and
+# PII-pattern density. Both are single-scan column expressions with
+# exact integer ratios (basis points) so the oracle matches bit-for-bit.
+_REP_ORACLE = """
+    WITH t AS (
+      SELECT doc_id,
+             len(str_split_regex(TRIM(LOWER(text)), '\\s+')) AS n_tok,
+             len(list_distinct(str_split_regex(TRIM(LOWER(text)), '\\s+'))) AS n_uniq
+      FROM documents WHERE LENGTH(TRIM(text)) > 0)
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           CAST(n_uniq AS BIGINT) AS n_distinct_tokens,
+           CAST((n_tok - n_uniq) * 10000 // n_tok AS BIGINT) AS repetition_bp
+    FROM t ORDER BY doc_id
+    """
+
+
+@register("doc_repetition_scores", oracle=_REP_ORACLE)
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-repetition ratio per doc (basis points): the Gopher-style
+    repetitious-text signal. distinct-vs-total over one split — no
+    shuffle, no UDF."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    n_tok = F.size(toks).cast("long")
+    n_uniq = F.size(F.array_distinct(toks)).cast("long")
+    return (
+        d.where(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id",
+            n_tok.alias("n_tokens"),
+            n_uniq.alias("n_distinct_tokens"),
+            T._idiv((n_tok - n_uniq) * 10_000, n_tok).alias("repetition_bp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Portable regexes (identical semantics in Java regex and RE2): no
+# backreferences, no lookaround, ASCII classes only.
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_URL_RE = "https?://[^ ]+"
+_LONG_NUM_RE = "[0-9]{9,}"
+
+
+@register(
+    "doc_pii_profile",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '{_EMAIL_RE}'))) AS BIGINT) AS n_emails,
+           CAST(SUM(len(regexp_extract_all(text, '{_URL_RE}'))) AS BIGINT) AS n_urls,
+           CAST(SUM(len(regexp_extract_all(text, '{_LONG_NUM_RE}'))) AS BIGINT) AS n_long_numbers
+    FROM documents
+    GROUP BY source ORDER BY source
+    """,
+)
+def doc_pii_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII-pattern density (emails / URLs / long digit
+    runs) — the redaction-candidate sweep. regexp_count is JVM codegen;
+    the scan is the only cost. The bundled synthetic corpus contains
+    no such patterns, so zero totals here are the verified-correct
+    answer; pattern sensitivity is proven on a PII fixture in
+    tests/test_text.py."""
+    d = table(spark, sf_dir, "documents")
+    n_email = F.regexp_count("text", F.lit(_EMAIL_RE)).cast("long")
+    n_url = F.regexp_count("text", F.lit(_URL_RE)).cast("long")
+    n_num = F.regexp_count("text", F.lit(_LONG_NUM_RE)).cast("long")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(n_email).alias("n_emails"),
+            F.sum(n_url).alias("n_urls"),
+            F.sum(n_num).alias("n_long_numbers"),
+        )
+        .orderBy("source")
+    )

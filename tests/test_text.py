@@ -70,3 +70,47 @@ def test_bpe_token_count(spark):
     want = {i: len(re.findall(BPE_TOKEN_RE, s)) for i, s in enumerate(samples)}
     assert got == want
     assert got[0] == 2 and got[2] == 0 and got[3] == 0
+
+
+def test_pii_patterns_sensitive_on_fixture(spark):
+    """The PII regexes must actually fire: a fixture with emails, URLs
+    and long digit runs yields the right per-pattern counts (the
+    bundled corpus has none, so doc_pii_profile's zeros need this
+    positive control)."""
+    from etl_database_spark.queries.llmdata import _EMAIL_RE, _LONG_NUM_RE, _URL_RE
+
+    samples = [
+        (1, "contact bob.smith+spam@example.co.uk or alice@test.org today"),
+        (2, "see https://spark.apache.org/docs and http://a.b/c?q=1"),
+        (3, "card 4111111111111111 ssn-ish 123456789 short 12345"),
+        (4, "nothing sensitive here at all"),
+    ]
+    df = spark.createDataFrame(samples, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.e, r.u, r.n)
+        for r in df.select(
+            "doc_id",
+            F.regexp_count("text", F.lit(_EMAIL_RE)).alias("e"),
+            F.regexp_count("text", F.lit(_URL_RE)).alias("u"),
+            F.regexp_count("text", F.lit(_LONG_NUM_RE)).alias("n"),
+        ).collect()
+    }
+    assert out[1] == (2, 0, 0)
+    assert out[2] == (0, 2, 0)
+    assert out[3] == (0, 0, 2)
+    assert out[4] == (0, 0, 0)
+
+    # portability: DuckDB counts the same fixture identically
+    import duckdb
+    import pandas as pd
+
+    pdf = pd.DataFrame(samples, columns=["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("fixture", pdf)
+    dd = con.execute(
+        f"""SELECT doc_id, len(regexp_extract_all(text, '{_EMAIL_RE}')),
+                   len(regexp_extract_all(text, '{_URL_RE}')),
+                   len(regexp_extract_all(text, '{_LONG_NUM_RE}'))
+            FROM fixture ORDER BY doc_id"""
+    ).fetchall()
+    assert {r[0]: (r[1], r[2], r[3]) for r in dd} == out
