@@ -130,3 +130,60 @@ def test_asof_join_single_key_shuffle(spark, registry):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "Window" in plan
+
+
+def test_hash_sample_is_scan_only(spark):
+    """Deterministic sampling must be a pure scan+filter — zero
+    exchanges: the membership predicate is a projection, not a join
+    or aggregation."""
+    from etl_database_spark.functions import sampling as SMP
+    from etl_database_spark.plans import count_shuffles
+    from etl_database_spark.queries import table
+
+    d = table(spark, SF, "documents")
+    df = SMP.hash_sample(d, "doc_id", 0.1).select("doc_id")
+    assert count_shuffles(df) == 0, formatted_plan(df)
+
+
+def test_weighted_mixture_is_scan_only(spark):
+    from etl_database_spark.functions import sampling as SMP
+    from etl_database_spark.plans import count_shuffles
+    from etl_database_spark.queries import table
+
+    d = table(spark, SF, "documents")
+    df = SMP.weighted_mixture(d, "source", {"src0": 1.0}, "doc_id", default=0.1)
+    assert count_shuffles(df.select("doc_id")) == 0
+
+
+def test_chunking_is_shuffle_free(spark):
+    """Chunk explode stays in the scan stage: no exchange until a
+    downstream aggregation asks for one."""
+    from etl_database_spark.functions.chunking import chunk_documents
+    from etl_database_spark.plans import count_shuffles
+    from etl_database_spark.queries import table
+
+    d = table(spark, SF, "documents")
+    df = chunk_documents(d, 200, 40)
+    assert count_shuffles(df) == 0, formatted_plan(df)
+
+
+def test_packing_shuffles_once_per_shard_window(spark):
+    """pack_documents: exactly one exchange (hash by shard for the
+    window) — never a global sort."""
+    from etl_database_spark.functions.chunking import pack_documents
+    from etl_database_spark.plans import count_shuffles, formatted_plan as fp
+    from etl_database_spark.queries import table
+    from pyspark.sql import functions as F
+
+    d = table(spark, SF, "documents")
+    trimmed = F.trim(F.col("text"))
+    ntok = F.length(trimmed) - F.length(F.replace(trimmed, F.lit(" "), F.lit(""))) + 1
+    df = pack_documents(d.select("doc_id", ntok.alias("n_tokens")), 2000, n_shards=8)
+    plan = fp(df)
+    # exactly one exchange, hash-partitioned on the shard — never a
+    # global range sort (count_shuffles sees each exchange twice in
+    # formatted output: tree line + detail header)
+    assert count_shuffles(df) <= 2, plan
+    assert plan.count("hashpartitioning(shard") >= 1, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "Sort" in plan  # per-partition sort for the window, post-exchange
