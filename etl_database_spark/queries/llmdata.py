@@ -296,6 +296,26 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared CTE body: exact 5-gram Jaccard pairs via an inverted-index
 # join (same shape as the Spark operator — the list_intersect
 # cross-join form is 25× slower in DuckDB on this corpus).
+def _ngram_pairs_ctes(src: str = "documents") -> str:
+    """The exact n-gram-Jaccard pair CTE chain over any doc source —
+    shared by the pair/cluster oracles and the full curation oracle."""
+    return f"""
+    n AS (SELECT doc_id, {_NORM_SQL} AS t FROM {src}),
+    pos AS (SELECT doc_id, t, unnest(generate_series(1, length(t) - 4)) AS i
+            FROM n WHERE length(t) >= 5),
+    sh AS (SELECT DISTINCT doc_id, substring(t, i, 5) AS s FROM pos),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    scored AS (
+      SELECT id_a, id_b, n_inter, sa.n AS na, sb.n AS nb
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                 JOIN sizes sb ON sb.doc_id = id_b
+    )
+    """
+
+
 _NGRAM_PAIRS_CTES = f"""
     n AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
     pos AS (SELECT doc_id, t, unnest(generate_series(1, length(t) - 4)) AS i
@@ -861,4 +881,94 @@ def doc_pii_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(n_num).alias("n_long_numbers"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full curation: the flagship pipeline PLUS near-dup cluster removal
+# (exact n-gram Jaccard pairs → connected components → survivors
+# only). Every stage is SQL-expressible, so even the clustering stage
+# is inside the oracle (recursive CTE). The near-dup stage here is the
+# verification-grade exact operator — at 100 TB the same pipeline runs
+# with minhash_near_duplicates swapped in as the pair source.
+_CURATION_QUALITY_CTES = _PIPELINE_QUALITY_CTES[len("WITH ") :]
+
+_CURATION_FULL_ORACLE = f"""
+    WITH RECURSIVE {_CURATION_QUALITY_CTES},
+    gated AS (
+      SELECT d.doc_id, d.text, d.n_chars
+      FROM documents d JOIN u ON u.doc_id = d.doc_id
+      WHERE {_PIPELINE_Q_UNITS} >= 7000
+        AND ({_LADDER}) = 'en'),
+    exact_surv AS (
+      SELECT doc_id, text, n_chars FROM (
+        SELECT doc_id, text, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY md5({_NORM_SQL})
+                                  ORDER BY doc_id) AS rn
+        FROM gated)
+      WHERE rn = 1),
+    {_ngram_pairs_ctes("exact_surv")},
+    prs AS (
+      SELECT id_a, id_b FROM scored
+      WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= 0.5),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM prs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM prs),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    dropped AS (
+      SELECT src AS doc_id FROM reach
+      GROUP BY src HAVING src <> LEAST(src, MIN(dst)))
+    SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT CASE WHEN {_SPLIT_SQL_BUCKET} < 900 THEN 'train'
+                  WHEN {_SPLIT_SQL_BUCKET} < 950 THEN 'val'
+                  ELSE 'test' END AS split,
+             n_chars
+      FROM exact_surv
+      WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
+    GROUP BY split ORDER BY split
+    """
+
+
+@register("corpus_curation_full", oracle=_CURATION_FULL_ORACLE)
+def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-stage curation: quality gate → language gate → exact-dedup
+    survivors → near-dup cluster removal (exact n-gram Jaccard +
+    connected components, survivor = component min) → 90/5/5 split
+    counts. The whole pipeline — clustering included — is
+    oracle-checked against a recursive-CTE DuckDB replica."""
+    from pyspark.sql import Window as W
+
+    from etl_database_spark.functions import sampling as SMP
+
+    d = table(spark, sf_dir, "documents")
+    gated = T.with_language(d, "text", "detected_lang").where(
+        (T.quality_score(F.col("text")) >= 0.7) & (F.col("detected_lang") == "en")
+    )
+    digest = F.md5(T.normalize_text(F.col("text")).cast("binary"))
+    surv = (
+        gated.withColumn(
+            "rn", F.row_number().over(W.partitionBy(digest).orderBy("doc_id"))
+        )
+        .where(F.col("rn") == 1)
+        .select("doc_id", "text", "n_chars")
+    )
+    pairs = D.ngram_jaccard_pairs(surv, "text", "doc_id", n=5, threshold=0.5)
+    comps = D.connected_components(pairs)
+    dropped = comps.where(F.col("_id") != F.col("component")).select(
+        F.col("_id").alias("doc_id")
+    )
+    final = surv.join(dropped, "doc_id", "left_anti")
+    return (
+        SMP.split_assign(final, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("split")
     )
