@@ -535,3 +535,48 @@ def near_duplicate_clusters(
         "component",
         (F.col("_id") == F.col("component")).alias("is_survivor"),
     )
+
+
+def _bp(a, b):
+    """Exact integer division (basis points) — same arithmetic as the
+    SQL oracle's // so results are engine-identical."""
+    return ((a - F.pmod(a, b)) / b).cast("long")
+
+
+def contamination_check(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 13,
+) -> DataFrame:
+    """Eval-set contamination: for each training document, how many of
+    its distinct character n-grams also appear anywhere in the eval
+    corpus (the GPT-3-style 13-gram decontamination test).
+
+    → (doc_id, n_shingles, n_contaminated, contamination_bp). Shape at
+    scale: the eval side reduces to a distinct shingle set (tiny next
+    to the train corpus); the membership test is a left-semi join on
+    the 8-byte shingle hash — no row of eval text ever joins train
+    text, and the train side aggregates with map-side partials.
+    """
+    tr = shingles(train, text_col, id_col, n).distinct()
+    ev = shingles(eval_df, text_col, id_col, n).select("shingle").distinct()
+    hit = (
+        tr.join(ev, "shingle", "left_semi")
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    sizes = tr.groupBy("_id").agg(F.count("*").alias("n_shingles"))
+    return (
+        sizes.join(hit, "_id", "left")
+        .na.fill({"n_contaminated": 0})
+        .select(
+            F.col("_id").alias("doc_id"),
+            "n_shingles",
+            F.col("n_contaminated").cast("long").alias("n_contaminated"),
+            _bp(F.col("n_contaminated") * 10_000, F.col("n_shingles")).alias(
+                "contamination_bp"
+            ),
+        )
+    )

@@ -972,3 +972,51 @@ def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Eval-set contamination (GPT-3-style 13-gram decontamination): which
+# TRAIN-split documents contain character 13-grams that also occur in
+# the TEST split. Splits are the deterministic md5 buckets, so the
+# whole check — split, shingle, overlap — reproduces in SQL.
+_CONTAM_N = 13
+
+_CONTAM_ORACLE = f"""
+    WITH b AS (SELECT doc_id, text, {_SPLIT_SQL_BUCKET} AS bucket FROM documents),
+    tr AS (SELECT doc_id, {_NORM_SQL} AS t FROM b WHERE bucket < 900),
+    ev AS (SELECT {_NORM_SQL} AS t FROM b WHERE bucket >= 950),
+    trsh AS (
+      SELECT DISTINCT doc_id, substring(t, i, {_CONTAM_N}) AS s
+      FROM tr, LATERAL (SELECT unnest(generate_series(1, length(t) - {_CONTAM_N - 1})) AS i)
+      WHERE length(t) >= {_CONTAM_N}),
+    evsh AS (
+      SELECT DISTINCT substring(t, i, {_CONTAM_N}) AS s
+      FROM ev, LATERAL (SELECT unnest(generate_series(1, length(t) - {_CONTAM_N - 1})) AS i)
+      WHERE length(t) >= {_CONTAM_N}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM trsh GROUP BY doc_id),
+    hits AS (SELECT doc_id AS hdoc, COUNT(*) AS n_contaminated
+             FROM trsh WHERE s IN (SELECT s FROM evsh) GROUP BY doc_id)
+    SELECT sizes.doc_id,
+           n_shingles,
+           CAST(COALESCE(n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           CAST(COALESCE(n_contaminated, 0) * 10000 // n_shingles AS BIGINT)
+             AS contamination_bp
+    FROM sizes LEFT JOIN hits ON sizes.doc_id = hits.hdoc
+    ORDER BY doc_id
+    """
+
+
+@register("train_eval_contamination", oracle=_CONTAM_ORACLE)
+def train_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """13-gram contamination of the train split by the test split:
+    per train doc, distinct shingles, shingles also present in test,
+    and the ratio in basis points."""
+    from etl_database_spark.functions import sampling as SMP
+
+    d = table(spark, sf_dir, "documents")
+    bucket = SMP.hash_bucket("doc_id")
+    train = d.where(bucket < 900)
+    eval_df = d.where(bucket >= 950)
+    return D.contamination_check(train, eval_df, "text", "doc_id", n=_CONTAM_N).orderBy(
+        "doc_id"
+    )

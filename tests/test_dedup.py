@@ -155,3 +155,28 @@ def test_near_duplicate_clusters(spark, corpus):
     assert by_id[100].component == 3 and by_id[101].component == 3
     assert by_id[3].is_survivor and not by_id[100].is_survivor
     assert by_id[102].component == 10 and by_id[10].is_survivor
+
+
+def test_contamination_check_counts_shared_ngrams(spark):
+    from etl_database_spark.functions.dedup import contamination_check
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "entirely disjoint content with zero overlap here"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "someone said the quick brown fox runs fast")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in contamination_check(train, eval_df, "text", "doc_id", n=13).collect()}
+    assert set(out) == {1, 2}
+    # doc 1 shares the 'the quick brown fox' region → contaminated
+    assert out[1].n_contaminated > 0
+    assert 0 < out[1].contamination_bp <= 10_000
+    # doc 2 shares nothing
+    assert out[2].n_contaminated == 0 and out[2].contamination_bp == 0
+    # bp is exact integer basis points
+    assert out[1].contamination_bp == out[1].n_contaminated * 10_000 // out[1].n_shingles
