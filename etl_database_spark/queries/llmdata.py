@@ -14,6 +14,7 @@ tests/test_dedup.py and tests/test_similarity.py.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from etl_database_spark.functions import dedup as D
@@ -1020,3 +1021,123 @@ def train_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.contamination_check(train, eval_df, "text", "doc_id", n=_CONTAM_N).orderBy(
         "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Rarity-weighted distinctive terms per source (tf-idf family). The
+# classic log-idf weight is not engine-portable (libm ulp drift), so
+# the weight is the exact integer (n_sources - df + 1): a token seen
+# in one source scores tf*n, a corpus-wide token tf*1. Two-level
+# aggregate + one token-partition window + per-source top-k — the
+# standard distributed tf-idf shape (token grain, never all-pairs).
+_TFIDF_K = 5
+
+_TFIDF_ORACLE = f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, token, COUNT(*) AS tf
+      FROM tok WHERE token <> '' GROUP BY source, token
+    ),
+    nsrc AS (SELECT COUNT(DISTINCT source) AS n_sources FROM documents),
+    scored AS (
+      SELECT source, token, tf,
+             COUNT(*) OVER (PARTITION BY token) AS df,
+             tf * (n_sources - COUNT(*) OVER (PARTITION BY token) + 1) AS score
+      FROM tf, nsrc
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY score DESC, token) AS rn
+      FROM scored
+    )
+    SELECT source, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           CAST(score AS BIGINT) AS score
+    FROM ranked WHERE rn <= {_TFIDF_K}
+    ORDER BY source, score DESC, token
+    """
+
+
+@register("tfidf_distinctive_terms", oracle=_TFIDF_ORACLE)
+def tfidf_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_TFIDF_K} distinctive tokens per source by integer
+    rarity-weighted term frequency (engine-portable tf-idf)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    tf = tok.groupBy("source", "token").agg(F.count("*").alias("tf"))
+    nsrc = d.agg(F.countDistinct("source").alias("n_sources"))
+    scored = (
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("token")))
+        .join(F.broadcast(nsrc))
+        .withColumn("score", F.col("tf") * (F.col("n_sources") - F.col("df") + 1))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.desc("score"), "token")
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .where(F.col("rn") <= _TFIDF_K)
+        .select(
+            "source",
+            "token",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.col("score").cast("long").alias("score"),
+        )
+        .orderBy("source", F.desc("score"), "token")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-n-gram fraction per document (Gopher/Dolma-style repetition
+# signal ACROSS documents): what share of a doc's distinct 5-gram
+# shingles also occur in at least one other document. Inverted-index
+# shape — shingle→doc-frequency, join back, per-doc aggregate; one
+# shuffle on the 8-byte shingle hash, no pairwise comparisons, so it
+# scales linearly with corpus size. Ratio in exact basis points.
+_DUPFRAC_ORACLE = f"""
+    WITH n AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    pos AS (SELECT doc_id, t, unnest(generate_series(1, length(t) - 4)) AS i
+            FROM n WHERE length(t) >= 5),
+    sh AS (SELECT DISTINCT doc_id, substring(t, i, 5) AS s FROM pos),
+    docfreq AS (SELECT s, COUNT(*) AS ndocs FROM sh GROUP BY s),
+    per AS (
+      SELECT doc_id,
+             COUNT(*) AS n_grams,
+             COUNT(*) FILTER (WHERE ndocs > 1) AS n_dup
+      FROM sh JOIN docfreq USING (s)
+      GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_dup AS BIGINT) AS n_dup_grams,
+           CAST(n_dup * 10000 // n_grams AS BIGINT) AS dup_bp
+    FROM per ORDER BY doc_id
+    """
+
+
+@register("doc_dup_ngram_fraction", oracle=_DUPFRAC_ORACLE)
+def doc_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc share of distinct 5-gram shingles that appear in other
+    docs (cross-document duplication signal), in basis points."""
+    d = table(spark, sf_dir, "documents")
+    sh = D.shingles(d, "text", "doc_id", n=5).distinct()
+    docfreq = sh.groupBy("shingle").agg(F.count("*").alias("ndocs"))
+    per = (
+        sh.join(docfreq, "shingle")
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("ndocs") > 1).cast("long")).alias("n_dup"),
+        )
+    )
+    return per.select(
+        F.col("_id").alias("doc_id"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_dup").cast("long").alias("n_dup_grams"),
+        D._bp(F.col("n_dup") * 10000, F.col("n_grams")).alias("dup_bp"),
+    ).orderBy("doc_id")

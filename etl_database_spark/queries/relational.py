@@ -1176,3 +1176,236 @@ def ship_latency_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Window-function breadth — running (cumulative) revenue per customer
+# plus a lag() day-over-day delta. Cumulative double sums are made
+# engine-deterministic the same way as grouped sums: the window SUM
+# accumulates DECIMAL(18,6) (exact, order-insensitive) and casts the
+# result back to DOUBLE. The window ORDER BY carries o_orderkey as a
+# unique tie-break so lag() picks identical rows in both engines.
+# Scale: one shuffle on o_custkey; the running frame is computed
+# within each partition with no extra exchange.
+@register(
+    "customer_running_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           o_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS DOUBLE) AS running_spend,
+           COALESCE(LAG(o_totalprice) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                ), 0.0) AS prev_price
+    FROM orders
+    ORDER BY o_custkey, order_date, o_orderkey
+    """,
+)
+def customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total + lag over a per-customer window (SURVEY §2
+    window family: cumulative frames, offset functions)."""
+    o = table(spark, sf_dir, "orders").withColumn("order_date", F.to_date("o_orderdate"))
+    w = W.partitionBy("o_custkey").orderBy("order_date", "o_orderkey")
+    running = (
+        F.sum(F.col("o_totalprice").cast(DEC))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("double")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "order_date",
+            "o_totalprice",
+            running.alias("running_spend"),
+            F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)).alias("prev_price"),
+        )
+        .orderBy("o_custkey", "order_date", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ntile() quartiles — bucket customers by lifetime spend into 4 tiles,
+# then profile each tile. The ntile ORDER BY carries c_custkey as the
+# unique tie-break so tile assignment is identical across engines.
+# Scale: the per-customer aggregate shuffles once; the single global
+# ntile window runs over customer-grain rows (|customers| ≪ |orders|),
+# the standard two-level pattern for global ranking at scale.
+@register(
+    "customer_spend_quartiles",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spend,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY o_custkey
+    ),
+    tiled AS (
+      SELECT *, NTILE(4) OVER (ORDER BY total_spend DESC, o_custkey) AS quartile
+      FROM spend
+    )
+    SELECT quartile,
+           COUNT(*) AS n_customers,
+           CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(total_spend AS DECIMAL(18,6))) AS DOUBLE) AS quartile_spend,
+           MIN(total_spend) AS min_spend,
+           MAX(total_spend) AS max_spend
+    FROM tiled
+    GROUP BY quartile
+    ORDER BY quartile
+    """,
+)
+def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) over per-customer lifetime spend → per-quartile profile."""
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        dsum(F.col("o_totalprice"), "total_spend"), F.count("*").alias("n_orders")
+    )
+    w = W.orderBy(F.desc("total_spend"), "o_custkey")
+    return (
+        spend.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            dsum(F.col("total_spend"), "quartile_spend"),
+            F.min("total_spend").alias("min_spend"),
+            F.max("total_spend").alias("max_spend"),
+        )
+        .orderBy("quartile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape — suppliers whose revenue share exceeds a fraction of
+# the global total (HAVING against a scalar subquery). Spark: two
+# aggregates sharing one scan lineage + a 1-row broadcast cross join;
+# the fraction filter then runs map-side. Reference analog: threshold
+# reports over aggregated imports.
+@register(
+    "top_value_suppliers",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+               AS supplier_revenue
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    total AS (
+      SELECT CAST(SUM(CAST(supplier_revenue AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+      FROM rev
+    )
+    SELECT s_suppkey, s_name, supplier_revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey, total
+    WHERE supplier_revenue > 0.0015 * total_revenue
+    ORDER BY supplier_revenue DESC, s_suppkey
+    """,
+)
+def top_value_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING-vs-global-scalar (Q11 shape): per-supplier revenue above
+    0.15% of the corpus total."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "supplier_revenue")
+    )
+    total = rev.agg(dsum(F.col("supplier_revenue"), "total_revenue"))
+    return (
+        rev.join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(total))
+        .where(F.col("supplier_revenue") > 0.0015 * F.col("total_revenue"))
+        .select("s_suppkey", "s_name", "supplier_revenue")
+        .orderBy(F.desc("supplier_revenue"), "s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape — high-balance customers in a nation IN-list with no
+# recent orders, balance above the positive-balance average of the same pool
+# (scalar subquery + anti-join + final rollup by nation). The average
+# is exact-decimal-sum / count, the anti-join is a broadcast-able
+# left_anti on o_custkey.
+@register(
+    "high_balance_inactive_customers",
+    oracle="""
+    WITH pool AS (
+      SELECT * FROM customer WHERE c_nationkey IN (3, 8, 13, 17, 22)
+    ),
+    thresh AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_bal
+      FROM pool WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal
+    FROM pool, thresh
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND CAST(o_orderdate AS DATE) >= DATE '2000-01-01')
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def high_balance_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: IN-list filter, scalar positive-average threshold,
+    NOT EXISTS anti-join against recent orders, grouped output. The
+    anti-join side is pre-filtered to the recent window BEFORE the
+    join, so at scale the anti-join probes a pruned fraction of the
+    fact table (the date predicate pushes to the parquet scan)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    pool = c.where(F.col("c_nationkey").isin(3, 8, 13, 17, 22))
+    thresh = pool.where(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count("*")).alias("avg_bal")
+    )
+    recent = o.where(F.to_date("o_orderdate") >= F.lit("2000-01-01").cast("date"))
+    return (
+        pool.join(F.broadcast(thresh))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent.select("o_custkey"), pool.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum(F.col("c_acctbal"), "total_acctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE grouping sets — doc counts over (lang, source) with all four
+# grouping combinations, labels null-free via COALESCE. Complements
+# rollup_revenue (which exercises the hierarchical subset).
+@register(
+    "cube_doc_counts",
+    oracle="""
+    SELECT COALESCE(lang, 'ALL') AS lang_g,
+           COALESCE(source, 'ALL') AS source_g,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY CUBE (lang, source)
+    ORDER BY lang_g, source_g
+    """,
+)
+def cube_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cube() over (lang, source): every grouping-set combination in
+    one pass (Spark expands to a single shuffle)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.cube("lang", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").cast("long").alias("total_chars"))
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang_g"),
+            F.coalesce("source", F.lit("ALL")).alias("source_g"),
+            "n_docs",
+            "total_chars",
+        )
+        .orderBy("lang_g", "source_g")
+    )

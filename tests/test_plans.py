@@ -187,3 +187,32 @@ def test_packing_shuffles_once_per_shard_window(spark):
     assert plan.count("hashpartitioning(shard") >= 1, plan
     assert "rangepartitioning" not in plan, plan
     assert "Sort" in plan  # per-partition sort for the window, post-exchange
+
+
+def test_q11_q22_shapes_broadcast(spark, registry):
+    """top_value_suppliers: supplier dim + 1-row total both broadcast;
+    high_balance_inactive_customers: threshold broadcast, anti-join
+    date predicate pushed to the orders scan."""
+    df = registry["top_value_suppliers"].fn(spark, SF)
+    assert count_broadcast_joins(df) >= 2, formatted_plan(df)
+    df2 = registry["high_balance_inactive_customers"].fn(spark, SF)
+    assert count_broadcast_joins(df2) >= 1, formatted_plan(df2)
+    assert "2000-01-01" in formatted_plan(df2)
+
+
+def test_running_window_single_exchange(spark, registry):
+    """customer_running_revenue: the cumulative frame and lag share one
+    hash-partitioning on o_custkey — exactly one exchange before the
+    final output ordering."""
+    df = registry["customer_running_revenue"].fn(spark, SF)
+    plan = formatted_plan(df)
+    # one partitioning exchange (o_custkey) + the orderBy range exchange
+    assert plan.count("hashpartitioning") == 1, plan
+    assert plan.count("Window") >= 1, plan
+
+
+def test_dup_ngram_fraction_partial_agg(spark, registry):
+    """doc_dup_ngram_fraction: inverted-index aggregate must carry a
+    map-side partial (no raw shingle stream into one reducer)."""
+    df = registry["doc_dup_ngram_fraction"].fn(spark, SF)
+    assert has_partial_aggregate(df), formatted_plan(df)
