@@ -182,3 +182,93 @@ def media_stats(df: DataFrame, media_col: str = "media") -> DataFrame:
         F.max(F.length(media_col)).cast("long").alias("max_bytes"),
         F.min(F.length(media_col)).cast("long").alias("min_bytes"),
     )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("sha256", T.StringType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("rms", T.FloatType(), True),
+    ]
+)
+
+
+def _decode_audio_real(payload: bytes) -> tuple[int, int, float]:
+    """REAL-CODEC SLOT: replace with soundfile/librosa decode →
+    (duration_ms, sample_rate, rms). Not available in this build."""
+    raise NotImplementedError(
+        "audio decode requires an audio library not present in this build; "
+        "plug a real decoder into _decode_audio_real"
+    )
+
+
+def _decode_audio_fake(payload: bytes) -> tuple[int, int, float]:
+    """Deterministic fake audio decoder: duration/rate/level derived
+    from the payload digest (pipeline tests, codec-less builds)."""
+    digest = hashlib.sha256(payload).digest()
+    duration_ms = 250 + int.from_bytes(digest[0:2], "big") % 30_000
+    sample_rate = (8, 16, 22, 44)[digest[2] % 4] * 1000
+    rms = round(digest[3] / 255.0, 6)
+    return duration_ms, sample_rate, rms
+
+
+def audio_features(
+    df: DataFrame,
+    id_col: str = "id",
+    media_col: str = "media",
+    fake: bool = False,
+) -> DataFrame:
+    """Decode + featurize an audio binary column via mapInPandas —
+    same Arrow-batched shape as ``image_features``: payloads cross to
+    Python once per batch, output is a typed metadata frame."""
+    decode = _decode_audio_fake if fake else _decode_audio_real
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf[id_col], pdf[media_col]):
+                data = bytes(payload) if payload is not None else b""
+                dur, rate, rms = decode(data)
+                rows.append(
+                    {
+                        "id": int(_id),
+                        "n_bytes": len(data),
+                        "sha256": hashlib.sha256(data).hexdigest(),
+                        "duration_ms": dur,
+                        "sample_rate": rate,
+                        "rms": rms,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields])
+
+    return df.select(id_col, media_col).mapInPandas(process, AUDIO_FEATURES_SCHEMA)
+
+
+def audio_segment_plan(
+    df: DataFrame,
+    segment_ms: int = 10_000,
+    id_col: str = "id",
+    duration_col: str = "duration_ms",
+) -> DataFrame:
+    """Audio segmentation *plan*: explode fixed-length segment bounds
+    from the duration metadata column — pure JVM sequence/explode, no
+    payload access. The decode of selected segments is a second
+    mapInPandas stage over only the rows that survive selection
+    (the metadata-first pattern, as ``frame_sample_plan``)."""
+    start = F.explode(
+        F.sequence(F.lit(0), F.col(duration_col) - 1, F.lit(segment_ms))
+    ).alias("seg_start_ms")
+    return (
+        df.select(id_col, duration_col)
+        .select(id_col, duration_col, start)
+        .select(
+            id_col,
+            "seg_start_ms",
+            F.least(F.col("seg_start_ms") + segment_ms, F.col(duration_col)).alias(
+                "seg_end_ms"
+            ),
+        )
+    )

@@ -1409,3 +1409,193 @@ def cube_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_g", "source_g")
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates — correlation / stddev per group. Naive
+# corr()/stddev() accumulate doubles in partition order (engine- and
+# partitioning-dependent), so both sides compute from exact decimal
+# moment sums (Σx, Σy, Σx², Σy², Σxy — wide DECIMAL(38,6) to hold the
+# squared magnitudes) and apply the closed-form moment formulas as a
+# fixed sequence of IEEE double ops. Same single-shuffle hash
+# aggregate as a plain sum at any scale.
+_MOM = "decimal(38,6)"
+
+
+@register(
+    "price_quantity_stats",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity      AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_quantity * l_quantity           AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_extendedprice * l_quantity      AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_items,
+           ROUND(SQRT((sxx - sx * sx / n) / (n - 1)), 6) AS price_stddev,
+           ROUND((sxy - sx * sy / n)
+                 / (SQRT(sxx - sx * sx / n) * SQRT(syy - sy * sy / n)), 6)
+             AS price_qty_corr
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def price_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev + Pearson correlation per return flag via exact
+    decimal moment sums (engine-portable, one shuffle)."""
+    li = table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_extendedprice"), F.col("l_quantity")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast(_MOM)).cast("double").alias("sx"),
+        F.sum(y.cast(_MOM)).cast("double").alias("sy"),
+        F.sum((x * x).cast(_MOM)).cast("double").alias("sxx"),
+        F.sum((y * y).cast(_MOM)).cast("double").alias("syy"),
+        F.sum((x * y).cast(_MOM)).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return (
+        m.select(
+            "l_returnflag",
+            n.cast("long").alias("n_items"),
+            F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6).alias("price_stddev"),
+            F.round(
+                (sxy - sx * sy / n)
+                / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)),
+                6,
+            ).alias("price_qty_corr"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram — bucket order totals into integer bins
+# (width_bucket analog via exact integer floor-division on cents).
+# Pure projection + one aggregate; the cents conversion keeps the
+# bin edges engine-exact (no float floor drift).
+_HIST_WIDTH_CENTS = 50_000_00  # $50k bins
+
+
+@register(
+    "order_price_histogram",
+    oracle=f"""
+    SELECT CAST(CAST(o_totalprice * 100 AS BIGINT) // {_HIST_WIDTH_CENTS} AS BIGINT) AS bin,
+           COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY bin
+    ORDER BY bin
+    """,
+)
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$50k-wide histogram of order totals (integer cents binning)."""
+    o = table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice") * 100).cast("long")
+    bin_col = ((cents - F.pmod(cents, F.lit(_HIST_WIDTH_CENTS))) / _HIST_WIDTH_CENTS).cast(
+        "long"
+    )
+    return (
+        o.groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# FULL OUTER join reconciliation — per-day click vs purchase event
+# counts; days present on either side survive with zero-filled gaps.
+# The outer join runs on pre-aggregated day-grain frames (two partial
+# aggregates, then a join of two small keyed sets — never a raw
+# fact-fact outer join).
+@register(
+    "daily_click_purchase_recon",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_clicks
+      FROM events WHERE event_type = 'click' GROUP BY d
+    ),
+    p AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_purchases
+      FROM events WHERE event_type = 'purchase' GROUP BY d
+    )
+    SELECT COALESCE(c.d, p.d) AS day,
+           CAST(COALESCE(n_clicks, 0) AS BIGINT) AS n_clicks,
+           CAST(COALESCE(n_purchases, 0) AS BIGINT) AS n_purchases,
+           CAST(COALESCE(n_clicks, 0) - COALESCE(n_purchases, 0) AS BIGINT) AS gap
+    FROM c FULL OUTER JOIN p ON c.d = p.d
+    ORDER BY day
+    """,
+)
+def daily_click_purchase_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer reconciliation of two event subsets at day grain."""
+    ev = table(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    c = ev.where(F.col("event_type") == "click").groupBy("d").agg(
+        F.count("*").alias("n_clicks")
+    )
+    p = ev.where(F.col("event_type") == "purchase").groupBy("d").agg(
+        F.count("*").alias("n_purchases")
+    )
+    nc = F.coalesce("n_clicks", F.lit(0)).cast("long")
+    np_ = F.coalesce("n_purchases", F.lit(0)).cast("long")
+    return (
+        c.join(p, "d", "full_outer")
+        .select(
+            F.col("d").alias("day"),
+            nc.alias("n_clicks"),
+            np_.alias("n_purchases"),
+            (nc - np_).cast("long").alias("gap"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt — wide per-segment metrics to long (metric, value)
+# rows via stack(); the inverse of segment_status_pivot. Unpivot is a
+# generator projection (no shuffle beyond the source aggregate).
+@register(
+    "segment_metrics_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT c_mktsegment,
+             COUNT(*) AS n_customers,
+             CAST(COUNT(*) FILTER (WHERE c_acctbal > 5000) AS BIGINT) AS n_high_balance,
+             CAST(COUNT(*) FILTER (WHERE c_acctbal < 0) AS BIGINT) AS n_negative
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, metric, val
+    FROM wide
+    UNPIVOT (val FOR metric IN (n_customers, n_high_balance, n_negative))
+    ORDER BY c_mktsegment, metric
+    """,
+)
+def segment_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stack()-based unpivot of a wide customer-segment profile."""
+    c = table(spark, sf_dir, "customer")
+    wide = c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.sum((F.col("c_acctbal") > 5000).cast("long")).alias("n_high_balance"),
+        F.sum((F.col("c_acctbal") < 0).cast("long")).alias("n_negative"),
+    )
+    return (
+        wide.select(
+            "c_mktsegment",
+            F.expr(
+                "stack(3, 'n_customers', n_customers, "
+                "'n_high_balance', n_high_balance, "
+                "'n_negative', n_negative) AS (metric, val)"
+            ),
+        )
+        .orderBy("c_mktsegment", "metric")
+    )

@@ -67,3 +67,30 @@ def test_resize_composes_with_features(spark, media):
 def test_resize_real_codec_is_explicit_stub(spark, media):
     with pytest.raises(Exception, match="NotImplementedError|image resize"):
         M.resize_images(media, fake=False).collect()
+
+
+def test_audio_features_fake_decoder(spark, media):
+    out = M.audio_features(media, fake=True).orderBy("id").collect()
+    assert len(out) == 20
+    assert all(r.duration_ms >= 250 and r.sample_rate in (8000, 16000, 22000, 44000) for r in out)
+    assert all(0.0 <= r.rms <= 1.0 for r in out)
+    again = M.audio_features(media, fake=True).orderBy("id").collect()
+    assert [r.sha256 for r in out] == [r.sha256 for r in again]
+
+
+def test_audio_real_decoder_is_explicit_stub(spark, media):
+    with pytest.raises(Exception, match="NotImplementedError|audio decode"):
+        M.audio_features(media, fake=False).collect()
+
+
+def test_audio_segment_plan(spark):
+    rows = [(1, 25_000), (2, 10_000), (3, 9_999), (4, 1)]
+    df = spark.createDataFrame(rows, "id long, duration_ms long")
+    segs = M.audio_segment_plan(df, segment_ms=10_000).orderBy("id", "seg_start_ms").collect()
+    by_id = {}
+    for r in segs:
+        by_id.setdefault(r.id, []).append((r.seg_start_ms, r.seg_end_ms))
+    assert by_id[1] == [(0, 10_000), (10_000, 20_000), (20_000, 25_000)]
+    assert by_id[2] == [(0, 10_000)]
+    assert by_id[3] == [(0, 9_999)]
+    assert by_id[4] == [(0, 1)]

@@ -302,3 +302,47 @@ def test_streaming_near_dup_within_and_across_batches(spark, tmp_path):
     # store now holds every signed doc exactly once
     assert spark.read.parquet(store).select("_id").distinct().count() == 5
     assert spark.read.parquet(store).count() == 5
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join emits exactly the batch
+    interval join when the watermark outlives the data span."""
+    import datetime as dt
+
+    from etl_database_spark.streaming.joins import (
+        attributed_purchases,
+        run_attribution_once,
+    )
+
+    base = dt.datetime(2025, 3, 1, 0, 0, 0)
+    clicks, purchases = [], []
+    for i in range(300):
+        clicks.append((1000 + i, base + dt.timedelta(minutes=3 * i), i % 9, "click", 0.0))
+    for j in range(80):
+        # Purchases land 0-40 min after some click times; only those
+        # within 30 min of a same-user click should attribute.
+        purchases.append(
+            (5000 + j, base + dt.timedelta(minutes=11 * j + j % 40), j % 9, "purchase", float(j))
+        )
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    cdf = spark.createDataFrame(clicks, schema)
+    pdf = spark.createDataFrame(purchases, schema)
+    csrc, psrc = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    cdf.coalesce(2).write.parquet(csrc)
+    pdf.coalesce(2).write.parquet(psrc)
+
+    out = str(tmp_path / "attr_out")
+    run_attribution_once(
+        spark.readStream.schema(cdf.schema).parquet(csrc),
+        spark.readStream.schema(pdf.schema).parquet(psrc),
+        out,
+        str(tmp_path / "ckpt_attr"),
+        "30 minutes",
+        "24 hours",
+    )
+
+    key = lambda r: (r.user_id, r.click_id, r.purchase_id)
+    got = sorted(key(r) for r in spark.read.parquet(out).collect())
+    expected = sorted(key(r) for r in attributed_purchases(cdf, pdf).collect())
+    assert got == expected
+    assert len(got) > 0
