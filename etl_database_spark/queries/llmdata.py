@@ -1141,3 +1141,41 @@ def doc_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_dup").cast("long").alias("n_dup_grams"),
         D._bp(F.col("n_dup") * 10000, F.col("n_grams")).alias("dup_bp"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Balanced per-class subsample — equal-sized per-language document
+# draws, deterministic via md5 ranking (the class-rebalancing step of
+# a training-mix build; engine-portable like the hash split/sample
+# family). One shuffle on lang for the rank window.
+_BALANCED_K = 25
+
+_BALANCED_ORACLE = f"""
+    WITH ranked AS (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM ranked WHERE rn <= {_BALANCED_K}
+    ORDER BY lang, doc_id
+    """
+
+
+@register("balanced_lang_sample", oracle=_BALANCED_ORACLE)
+def balanced_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic balanced subsample: the md5-first {_BALANCED_K}
+    docs per language."""
+    d = table(spark, sf_dir, "documents")
+    order_key = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    rn = F.row_number().over(
+        Window.partitionBy("lang").orderBy(order_key, "doc_id")
+    )
+    return (
+        d.withColumn("rn", rn)
+        .where(F.col("rn") <= _BALANCED_K)
+        .select("lang", "doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+        .orderBy("lang", "doc_id")
+    )

@@ -1599,3 +1599,133 @@ def segment_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "metric")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap-fill — daily purchase totals on a complete date
+# spine with last-observation-carried-forward. The spine is a
+# sequence/explode over the [min, max] date bounds (one 1-row
+# aggregate broadcast — never a driver-side loop), the fill is a
+# single ignore-nulls last() window. Scale: the spine is tiny
+# (days × types); the carry-forward window partitions by type.
+@register(
+    "daily_purchase_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM bounds
+    ),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_value,
+             COUNT(*) AS n_events
+      FROM events WHERE event_type = 'purchase' GROUP BY day
+    )
+    SELECT spine.day,
+           CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+           COALESCE(day_value, 0.0) AS day_value,
+           COALESCE(
+             LAST_VALUE(day_value IGNORE NULLS) OVER (
+               ORDER BY spine.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             0.0) AS carried_value,
+           CASE WHEN daily.day IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM spine LEFT JOIN daily ON spine.day = daily.day
+    ORDER BY spine.day
+    """,
+)
+def daily_purchase_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete-date-spine daily totals with carry-forward fill
+    (sequence+explode spine, ignore-nulls last() window)."""
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            dsum(F.col("value"), "day_value"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        spine.join(daily.withColumnRenamed("day", "dday"), spine.day == F.col("dday"), "left")
+        .select(
+            "day",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce("day_value", F.lit(0.0)).alias("day_value"),
+            F.coalesce(
+                F.last("day_value", ignorenulls=True).over(w), F.lit(0.0)
+            ).alias("carried_value"),
+            F.when(F.col("dday").isNull(), 1).otherwise(0).alias("is_gap"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Column profile — null rate / NDV / bounds for a table in ONE pass
+# (the reference's stats-snapshot procedure surface as a query;
+# maintenance.py holds the procedural form). COUNT(DISTINCT) over two
+# columns expands once; at 100 TB swap to approx_count_distinct.
+@register(
+    "orders_profile",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus IS NULL) AS BIGINT) AS null_status,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS ndv_status,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS ndv_priority,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           CAST(MIN(CAST(o_orderdate AS DATE)) AS DATE) AS min_date,
+           CAST(MAX(CAST(o_orderdate AS DATE)) AS DATE) AS max_date
+    FROM orders
+    """,
+)
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profile (nulls, NDV, bounds) of orders."""
+    o = table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("o_orderstatus").isNull().cast("long")).alias("null_status"),
+        F.countDistinct("o_orderstatus").alias("ndv_status"),
+        F.countDistinct("o_orderpriority").alias("ndv_priority"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min(F.to_date("o_orderdate")).alias("min_date"),
+        F.max(F.to_date("o_orderdate")).alias("max_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch quantiles — percentile_approx per priority (the O(1)-memory
+# KLL/GK path for 100 TB where exact percentile_disc's full sort is
+# not viable; price_percentiles holds the exact form). Rows-only:
+# sketch internals are engine-specific, accuracy is pinned by a
+# rank-error test against the exact result (tests/test_plans.py).
+@register("approx_price_percentiles")
+def approx_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p25/p50/p75/p95 of o_totalprice per priority."""
+    o = table(spark, sf_dir, "orders")
+    pct = F.percentile_approx(
+        "o_totalprice", [0.25, 0.5, 0.75, 0.95], 10_000
+    )
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(pct.alias("p"), F.count("*").alias("n_orders"))
+        .select(
+            "o_orderpriority",
+            F.col("p")[0].alias("p25"),
+            F.col("p")[1].alias("p50"),
+            F.col("p")[2].alias("p75"),
+            F.col("p")[3].alias("p95"),
+            "n_orders",
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -216,3 +216,41 @@ def test_dup_ngram_fraction_partial_agg(spark, registry):
     map-side partial (no raw shingle stream into one reducer)."""
     df = registry["doc_dup_ngram_fraction"].fn(spark, SF)
     assert has_partial_aggregate(df), formatted_plan(df)
+
+
+def test_approx_percentiles_within_rank_error(spark, registry):
+    """percentile_approx (accuracy 10k) must land within 1% rank error
+    of the exact per-priority percentiles."""
+    approx = {
+        r.o_orderpriority: (r.p25, r.p50, r.p75, r.p95)
+        for r in registry["approx_price_percentiles"].fn(spark, SF).collect()
+    }
+    from etl_database_spark.queries import table
+    import pyspark.sql.functions as F
+
+    o = table(spark, SF, "orders")
+    for prio, got in approx.items():
+        vals = sorted(
+            r.o_totalprice
+            for r in o.where(F.col("o_orderpriority") == prio).collect()
+        )
+        n = len(vals)
+        for q, g in zip((0.25, 0.5, 0.75, 0.95), got):
+            lo = vals[max(0, int((q - 0.01) * n) - 1)]
+            hi = vals[min(n - 1, int((q + 0.01) * n) + 1)]
+            assert lo <= g <= hi, (prio, q, g, lo, hi)
+
+
+def test_gapfill_spine_is_complete(spark, registry):
+    """daily_purchase_gapfill emits one row per calendar day between
+    bounds; gaps are flagged and carried values never regress to 0
+    after the first observation."""
+    rows = registry["daily_purchase_gapfill"].fn(spark, SF).collect()
+    days = [r.day for r in rows]
+    assert len(days) == (max(days) - min(days)).days + 1
+    seen = False
+    for r in rows:
+        if r.n_events > 0:
+            seen = True
+        if seen:
+            assert r.carried_value == r.day_value or r.is_gap or r.n_events == 0 or r.carried_value != 0.0
