@@ -1179,3 +1179,23 @@ def balanced_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", F.col("n_chars").cast("long").alias("n_chars"))
         .orderBy("lang", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the exact n-gram similarity graph — ranks canonical
+# docs inside near-dup neighborhoods (iterative algorithm family,
+# like near_dup_clusters; rows-only — float fixpoint iteration is not
+# SQL-portable. Accuracy is property-tested against dense power
+# iteration in tests/test_graph.py).
+@register("doc_similarity_pagerank")
+def doc_similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (d=0.85) on the 5-gram Jaccard ≥ 0.3 pair graph;
+    rank rounded to 1e-6 for stable output."""
+    from etl_database_spark.functions.graph import pagerank
+
+    d = table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(d, "text", "doc_id", n=5, threshold=0.3)
+    ranks = pagerank(pairs, damping=0.85, max_iter=20)
+    return ranks.select(
+        F.col("_id").alias("doc_id"), F.round("rank", 6).alias("rank")
+    ).orderBy(F.desc("rank"), "doc_id")
