@@ -245,6 +245,7 @@ def minhash_near_duplicates(
     num_perm: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection → (id_a, id_b, jaccard).
 
@@ -252,13 +253,26 @@ def minhash_near_duplicates(
     verify. With num_perm=32/bands=8 (r=4), the LSH S-curve crosses 50%
     capture around J≈0.56 — pairs well above threshold are found with
     high probability; the verify step removes false positives entirely.
+
+    ``sigs``: optional precomputed signature table (``_id``, ``sig_*``
+    columns as produced by :func:`minhash_signatures`). At 100 TB the
+    signature store is built incrementally as documents arrive and
+    persisted (parquet/Delta); passing it here skips the full-corpus
+    shingle pass entirely — each dedup run then costs only the LSH
+    bucket join plus an exact-verify re-shingle of the candidate
+    documents (a scan-and-filter of the doc table, not an explode of
+    the whole corpus).
     """
-    sh = shingles(df, text_col, id_col, n).cache()
-    sigs = minhash_signatures(sh, num_perm).cache()
+    release = []
+    if sigs is None:
+        sigs = minhash_signatures(shingles(df, text_col, id_col, n), num_perm)
+    sigs = sigs.cache()
+    release.append(sigs)
     # Candidate pairs fan into several plan branches below. Materialize
     # once (cache is lazy — branches inside a single action would
     # otherwise each recompute the whole LSH pipeline).
     pairs = lsh_candidate_pairs(sigs, num_perm, bands).cache()
+    release.append(pairs)
     pairs.count()
     # Cheap pre-filter before the exact verify: estimated Jaccard =
     # fraction of agreeing signature components. The sig table is one
@@ -286,8 +300,23 @@ def minhash_near_duplicates(
         .select("id_a", "id_b")
         .cache()
     )
+    release.append(est)
     n_est = est.count()  # materialize: verify fans this into 3 plan branches
-    return jaccard_verify(est, sh, threshold, n_pairs=n_est, release=[sh, sigs, pairs, est])
+    # Exact verify re-shingles ONLY the candidate documents: semi-join
+    # the doc table down to ids that appear in a surviving pair, then
+    # explode just those. The full-corpus explode happens at most once
+    # (inside the signature build above) instead of living cached
+    # through the whole pipeline.
+    pair_ids = (
+        est.select(F.col("id_a").alias(id_col))
+        .union(est.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    cand_docs = df.join(
+        _maybe_broadcast(pair_ids, 2 * n_est, BROADCAST_MAX_ID_ROWS), id_col, "left_semi"
+    )
+    sh_cand = shingles(cand_docs, text_col, id_col, n)
+    return jaccard_verify(est, sh_cand, threshold, n_pairs=n_est, release=release)
 
 
 def ngram_jaccard_pairs(

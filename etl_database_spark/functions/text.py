@@ -85,13 +85,21 @@ def upper_ratio(col) -> Column:
 
 
 def stopword_score(col, lang: str = "en") -> Column:
-    """Total occurrences of the language's stopword panel (language-ID
-    signal; normalize by token_count for a ratio)."""
+    """Count of whitespace tokens that belong to the language's
+    stopword panel (language-ID signal; normalize by token_count for a
+    ratio).
+
+    One tokenize pass (``split``) + an in-memory array filter — versus
+    the previous form's one full-string replace pass *per stopword*
+    (8 passes per language, 40 for the 5-language panel). When several
+    scores are computed in one projection the identical ``split``
+    subtree is evaluated once per row (codegen subexpression
+    elimination), so the scan cost is a single tokenization however
+    many languages are scored.
+    """
     words = LANG_STOPWORDS[lang]
-    expr = word_occurrences(col, words[0])
-    for w in words[1:]:
-        expr = expr + word_occurrences(col, w)
-    return expr.cast("long")
+    toks = F.split(F.trim(F.col(col) if isinstance(col, str) else col), r"\s+")
+    return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
 
 
 def lang_scores(col) -> dict[str, Column]:
@@ -118,9 +126,10 @@ def detect_language(col) -> Column:
 
 def with_language(df, text_col: str, out_col: str = "detected_lang"):
     """Add ``out_col`` with the detected language — two projections:
-    one evaluating each stopword score once, one running the
-    greatest/when ladder over the score columns. Same results as
-    ``detect_language`` with ~5× less expression work per row."""
+    one evaluating each stopword score once (sharing a single tokenize
+    pass via subexpression elimination), one running the greatest/when
+    ladder over the score columns. Same results as ``detect_language``
+    with far less expression work per row."""
     langs = list(LANG_STOPWORDS)
     score_cols = {lang: f"_langscore_{lang}" for lang in langs}
     scored = df.withColumns(

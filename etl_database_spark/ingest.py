@@ -374,8 +374,12 @@ def load_directory(
         "label string, datasetdate date, datasetid long",
     )
     out = df.join(F.broadcast(mapping), ["label", "datasetdate"]).drop("label")
+    # Row count observed during the append job itself (as in the
+    # single-file path above) — the previous form re-read the whole
+    # target table and semi-joined it, a full-table scan per bulk
+    # import at 100 TB.
+    obs = Observation()
+    out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
     table = TargetTable(spark, data_root, config.target_table, audit=audit)
     table.append(out, config.import_strategy)
-    return table.read().join(
-        F.broadcast(mapping.select("datasetid")), "datasetid", "left_semi"
-    ).count()
+    return obs.get["rows"]

