@@ -1244,6 +1244,75 @@ def doc_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Leakage-safe split assignment: every near-duplicate cluster lands in
+# ONE split. Plain per-doc hash splits leak — two near-identical docs
+# can straddle train and test, contaminating evaluation. The fix:
+# split on the cluster representative (connected-component min id;
+# singleton docs represent themselves), so the whole neighborhood
+# moves together. The oracle reproduces components via recursive CTE
+# and the split via the same md5-bucket arithmetic.
+_LEAKAGE_ORACLE = f"""
+    WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+    prs AS (
+      SELECT id_a, id_b FROM scored
+      WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM prs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM prs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+      FROM reach GROUP BY src
+    ),
+    rep AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS rep
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, rep,
+           CASE WHEN bucket < 900 THEN 'train'
+                WHEN bucket < 950 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, rep,
+                 CAST('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 8) AS BIGINT) % 1000 AS bucket
+          FROM rep)
+    ORDER BY doc_id
+    """
+
+
+@register("leakage_safe_splits", oracle=_LEAKAGE_ORACLE)
+def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/5/5 split assignment keyed on the near-dup cluster
+    representative instead of the doc id, so no near-duplicate pair
+    ever straddles two splits (train/test leakage hygiene).
+
+    Scale shape: exact pair generation is the verification-grade
+    operator here; at 100 TB the same composition runs with the
+    minhash signature store as the pair source. The component join is
+    a broadcast at any realistic cluster-count, and the split itself
+    is one codegen projection."""
+    from etl_database_spark.functions import sampling as SMP
+
+    d = table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(d, "text", "doc_id", n=5, threshold=0.5)
+    comps = D.connected_components(pairs).withColumnRenamed("_id", "doc_id")
+    rep = d.select("doc_id").join(comps, "doc_id", "left").withColumn(
+        "rep", F.coalesce("component", F.col("doc_id"))
+    )
+    return (
+        SMP.split_assign(rep, "rep")
+        .select("doc_id", "rep", "split")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # PageRank over the exact n-gram similarity graph — ranks canonical
 # docs inside near-dup neighborhoods (iterative algorithm family,
 # like near_dup_clusters; rows-only — float fixpoint iteration is not

@@ -73,3 +73,35 @@ def test_weighted_mixture_rates_and_nesting(spark):
     small = {r.doc_id for r in SMP.weighted_mixture(df, "source", {"src1": 0.2}, "doc_id").collect()}
     large = {r.doc_id for r in SMP.weighted_mixture(df, "source", {"src1": 0.6}, "doc_id").collect()}
     assert small <= large
+
+
+def test_leakage_safe_splits_cluster_atomicity(spark):
+    """Docs joined by a near-dup edge must land in one split; singleton
+    docs must keep their plain per-doc split assignment."""
+    from etl_database_spark.functions.dedup import connected_components
+
+    # synthetic near-dup graph: {1,2,3} and {10,11} clustered, 20/21 loose
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20, 21)], "doc_id long"
+    )
+    comps = connected_components(pairs).withColumnRenamed("_id", "doc_id")
+    rep = docs.join(comps, "doc_id", "left").withColumn(
+        "rep", F.coalesce("component", F.col("doc_id"))
+    )
+    out = {r.doc_id: (r.rep, r.split) for r in SMP.split_assign(rep, "rep").collect()}
+    # cluster atomicity: one split per component
+    assert out[1] == out[2] == out[3]
+    assert out[10] == out[11]
+    # cluster splits keyed on the representative's bucket
+    assert out[1][1] == _py_split(out[1][0])
+    # singletons: same assignment a plain doc_id split would give
+    for i in (20, 21):
+        assert out[i] == (i, _py_split(i))
+
+
+def _py_split(key):
+    b = _py_bucket(key)
+    return "train" if b < 900 else ("val" if b < 950 else "test")
