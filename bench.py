@@ -73,6 +73,12 @@ def main() -> None:
                 except Exception:
                     pass
         spark.catalog.clearCache()
+        # Drop the Python references to warmup results so their
+        # localCheckpoint RDDs (dedup pipelines) release block-manager
+        # memory before timing starts, not mid-measurement.
+        import gc
+
+        gc.collect()
 
     # Persisted-index setup (reported, not hidden): the minhash
     # signature store is built once per corpus at ingest time in
@@ -111,6 +117,9 @@ def main() -> None:
             # Queries that cache intermediates would otherwise pollute
             # later timings (memory churn); each run is measured cold.
             spark.catalog.clearCache()
+        import gc
+
+        gc.collect()
         timings[name] = round(min(runs), 3)
         p50[name] = round(pctl(runs, 0.5), 3)
         p95[name] = round(pctl(runs, 0.95), 3)

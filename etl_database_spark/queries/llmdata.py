@@ -1302,6 +1302,12 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(d, "text", "doc_id", n=5, threshold=0.5)
     comps = D.connected_components(pairs).withColumnRenamed("_id", "doc_id")
+    # The component map exits an iterative localCheckpoint, so Catalyst
+    # has no size stats — broadcast it explicitly under a measured-row
+    # gate (it only holds docs that appear in a near-dup pair; the
+    # shuffle-join fallback covers pathological boilerplate corpora).
+    n_comp = comps.count()
+    comps = D._maybe_broadcast(comps, 2 * n_comp, D.BROADCAST_MAX_ID_ROWS)
     rep = d.select("doc_id").join(comps, "doc_id", "left").withColumn(
         "rep", F.coalesce("component", F.col("doc_id"))
     )

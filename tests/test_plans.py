@@ -254,3 +254,19 @@ def test_gapfill_spine_is_complete(spark, registry):
             seen = True
         if seen:
             assert r.carried_value == r.day_value or r.is_gap or r.n_events == 0 or r.carried_value != 0.0
+
+
+def test_bigram_lm_partial_agg_and_broadcast(spark, registry):
+    """doc_bigram_lm_scores: the LM count tables must aggregate with
+    map-side partials, and at this scale the score join must broadcast
+    the count tables (shuffle-hash fallback is size-gated)."""
+    df = registry["doc_bigram_lm_scores"].fn(spark, SF)
+    assert has_partial_aggregate(df), formatted_plan(df)
+    assert count_broadcast_joins(df) >= 2, formatted_plan(df)
+
+
+def test_leakage_safe_splits_broadcasts_components(spark, registry):
+    """leakage_safe_splits: the component map (near-dup clusters only,
+    tiny next to the corpus) must broadcast into the doc join."""
+    df = registry["leakage_safe_splits"].fn(spark, SF)
+    assert count_broadcast_joins(df) >= 1, formatted_plan(df)
