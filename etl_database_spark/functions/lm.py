@@ -61,7 +61,9 @@ def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def bigram_lm_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def bigram_lm_scores(
+    df: DataFrame, text_col: str, id_col: str, materialize: bool = True
+) -> DataFrame:
     """Score every document under an add-one-smoothed bigram LM trained
     on the corpus itself → (id, n_bigrams, lm_score_bp, oov_bigrams).
 
@@ -77,10 +79,14 @@ def bigram_lm_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Only documents with ≥2 tokens appear in the output (no bigrams →
     no LM evidence).
     """
-    bg = _doc_bigrams(df, text_col, id_col)
-
-    bigram_counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_bg"))
-    context_counts = bg.groupBy("w1").agg(F.count("*").alias("c_ctx"))
+    # The bigram stream fans into three plan branches (both count
+    # tables + the score join) and three scalar actions — cache it and
+    # the count tables so the tokenize/explode runs once, then cut
+    # lineage on the (small) result and release everything, following
+    # the dedup-pipeline discipline (functions/dedup._finish_eager).
+    bg = _doc_bigrams(df, text_col, id_col).cache()
+    bigram_counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_bg")).cache()
+    context_counts = bg.groupBy("w1").agg(F.count("*").alias("c_ctx")).cache()
     # V: corpus vocabulary (distinct tokens anywhere, including final
     # tokens that never start a bigram) — one extra cheap aggregate.
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
@@ -91,10 +97,8 @@ def bigram_lm_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .first()["v"]
     )
 
-    n_bigrams, n_contexts = (
-        bigram_counts.agg(F.count("*"), F.lit(0)).first()[0],
-        context_counts.count(),
-    )
+    n_bigrams = bigram_counts.count()
+    n_contexts = context_counts.count()
     joined = (
         bg.join(
             F.broadcast(bigram_counts)
@@ -113,8 +117,16 @@ def bigram_lm_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             _idiv((F.col("c_bg") + 1) * 10_000, F.col("c_ctx") + F.lit(vocab)),
         )
     )
-    return joined.groupBy(F.col("_id")).agg(
+    scored = joined.groupBy(F.col("_id")).agg(
         F.count("*").alias("n_bigrams"),
         _idiv(F.sum("p_bp"), F.count("*")).alias("lm_score_bp"),
         F.sum((F.col("c_bg") == 1).cast("long")).alias("oov_bigrams"),
     )
+    if not materialize:
+        # caller wants the lazy plan (tests assert its shape); caches
+        # stay pinned until the caller evaluates and releases
+        return scored
+    out = scored.localCheckpoint(eager=True)
+    for c in (bg, bigram_counts, context_counts):
+        c.unpersist()
+    return out

@@ -259,10 +259,15 @@ def test_gapfill_spine_is_complete(spark, registry):
 def test_bigram_lm_partial_agg_and_broadcast(spark, registry):
     """doc_bigram_lm_scores: the LM count tables must aggregate with
     map-side partials, and at this scale the score join must broadcast
-    the count tables (shuffle-hash fallback is size-gated)."""
-    df = registry["doc_bigram_lm_scores"].fn(spark, SF)
+    the count tables (shuffle-hash fallback is size-gated). Inspect
+    the lazy plan (the query itself materializes + releases caches)."""
+    from etl_database_spark.functions.lm import bigram_lm_scores
+    from etl_database_spark.queries import table
+
+    df = bigram_lm_scores(table(spark, SF, "documents"), "text", "doc_id", materialize=False)
     assert has_partial_aggregate(df), formatted_plan(df)
     assert count_broadcast_joins(df) >= 2, formatted_plan(df)
+    spark.catalog.clearCache()
 
 
 def test_leakage_safe_splits_broadcasts_components(spark, registry):
