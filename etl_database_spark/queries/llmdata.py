@@ -313,6 +313,17 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register("simhash_near_dups")
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming ≤ 3: 4×16-bit pigeonhole band
+    blocking → popcount verify (rows-only like the other hash-family
+    ops; band-capture completeness is property-tested in
+    tests/test_dedup.py)."""
+    d = table(spark, sf_dir, "documents")
+    fps = D.simhash_fingerprints(d, "text", "doc_id")
+    return D.simhash_near_duplicates(fps, max_hamming=3).orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup pairs (exact inverted-index form). The
 # operator is exact set arithmetic over string shingles, so it IS
