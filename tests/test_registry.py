@@ -91,3 +91,25 @@ def test_activation_deactivates_siblings(spark, tmp_path):
     assert not rows[id_old].isactive
     assert rows[id_old].effthrudate < dt.datetime(9999, 1, 1)
     assert reg.active().where(F.col("label") == "evt").count() == 1
+
+
+def test_survey_core_queries_inside_driver_window():
+    """The round driver's CORRECTNESS gate checks only the FIRST 50
+    registered queries. Every SURVEY §2 core operator (event_changes +
+    the relational module) must stay inside that window, with at least
+    one oracle-backed extension query following."""
+    from etl_database_spark.queries import load_all
+
+    reg = load_all()
+    names = list(reg)
+    window = set(names[:50])
+    core = [
+        n
+        for n, rq in reg.items()
+        if rq.fn.__module__.endswith(("event_changes", "relational"))
+    ]
+    missing = [n for n in core if n not in window]
+    assert not missing, f"SURVEY-core queries outside the 50-query window: {missing}"
+    # rows-only (no-oracle) queries must sort after every oracle-backed one
+    tiers = [0 if reg[n].oracle is not None or n in core else 1 for n in names]
+    assert tiers == sorted(tiers), "rows-only queries must register last"
