@@ -11,11 +11,14 @@ Design (the 100 TB pattern):
   Arrow moves the binary batches to Python once per batch (not per
   row), the UDF body calls the codec library, and the result is again
   a typed column frame;
-- the actual codec calls are STUBBED here (no image/audio libs in this
-  environment): ``decode_image`` raises NotImplementedError unless a
-  ``fake=True`` deterministic decoder is requested — the Spark-side
-  plumbing (schemas, batch iteration, partitioning) is real and
-  tested, and a real codec drops into the marked slot unchanged.
+- codec policy: formats the Python standard library + numpy can
+  decode are decoded FOR REAL — uncompressed BMP (BI_RGB 24-bit),
+  binary PPM (P6) images, and PCM WAV audio (stdlib ``wave``) — with
+  real pixel/sample math for features and resizing; compressed
+  formats (JPEG/PNG/MP3/video) raise NotImplementedError at the
+  marked slot until an imaging/audio library is present. ``fake=True``
+  selects the deterministic digest-based decoder for pipeline tests
+  that don't care about payload contents.
 """
 
 from __future__ import annotations
@@ -40,13 +43,83 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def _decode_pixels(payload: bytes):
+    """Decode an uncompressed image payload to an HxWx3 uint8 numpy
+    array. Supports BMP (BI_RGB 24-bit) and binary PPM (P6) — the
+    formats a stdlib-only build can read. Returns None for other
+    (compressed) formats."""
+    import numpy as np
+
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        data_off = int.from_bytes(payload[10:14], "little")
+        width = int.from_bytes(payload[18:22], "little", signed=True)
+        height = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        compression = int.from_bytes(payload[30:34], "little")
+        if bpp != 24 or compression != 0:
+            return None  # compressed / non-24bit BMP → real-codec slot
+        top_down = height < 0
+        height = abs(height)
+        row_bytes = (width * 3 + 3) & ~3  # rows padded to 4 bytes
+        px = np.frombuffer(
+            payload, dtype=np.uint8, count=row_bytes * height, offset=data_off
+        ).reshape(height, row_bytes)[:, : width * 3].reshape(height, width, 3)
+        if not top_down:
+            px = px[::-1]  # BMP stores bottom-up
+        return px[:, :, ::-1].copy()  # BGR → RGB
+    if payload[:2] == b"P6":
+        # header: "P6" <ws> width <ws> height <ws> maxval <single ws>
+        parts, i = [], 2
+        while len(parts) < 3:
+            while i < len(payload) and payload[i : i + 1].isspace():
+                i += 1
+            if payload[i : i + 1] == b"#":  # comment line
+                i = payload.index(b"\n", i) + 1
+                continue
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            parts.append(int(payload[i:j]))
+            i = j
+        i += 1  # the single whitespace after maxval
+        width, height, _maxval = parts
+        return (
+            np.frombuffer(payload, dtype=np.uint8, count=width * height * 3, offset=i)
+            .reshape(height, width, 3)
+            .copy()
+        )
+    return None
+
+
+def _pixel_features(px) -> list[float]:
+    """8-dim real feature vector from decoded pixels: per-channel
+    mean/std plus luminance mean/std, all normalized to [0,1]."""
+    import numpy as np
+
+    f = px.astype(np.float64) / 255.0
+    luma = 0.2126 * f[:, :, 0] + 0.7152 * f[:, :, 1] + 0.0722 * f[:, :, 2]
+    feats = [
+        f[:, :, 0].mean(), f[:, :, 1].mean(), f[:, :, 2].mean(),
+        f[:, :, 0].std(), f[:, :, 1].std(), f[:, :, 2].std(),
+        luma.mean(), luma.std(),
+    ]
+    return [round(float(x), 6) for x in feats]
+
+
 def _decode_image_real(payload: bytes) -> tuple[int, int, list[float]]:
-    """REAL-CODEC SLOT: replace with PIL/opencv decode + embedding.
-    Not available in this environment."""
-    raise NotImplementedError(
-        "image decode requires an imaging library not present in this build; "
-        "plug a real decoder into _decode_image_real"
-    )
+    """Real decode for stdlib-readable formats (uncompressed BMP / P6
+    PPM): true dimensions + pixel-statistics features.
+
+    REAL-CODEC SLOT for everything else (JPEG/PNG/...): requires an
+    imaging library not present in this build."""
+    px = _decode_pixels(payload)
+    if px is None:
+        raise NotImplementedError(
+            "compressed-image decode requires an imaging library not present "
+            "in this build; plug a real decoder into _decode_image_real"
+        )
+    h, w = px.shape[:2]
+    return w, h, _pixel_features(px)
 
 
 def _decode_image_fake(payload: bytes) -> tuple[int, int, list[float]]:
@@ -106,13 +179,34 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
+def _encode_ppm(px) -> bytes:
+    """Re-encode pixels as binary PPM (the simplest lossless container
+    — output format for all stdlib-path resizes)."""
+    h, w = px.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
 def _resize_image_real(payload: bytes, max_side: int) -> tuple[bytes, int, int]:
-    """REAL-CODEC SLOT: decode, scale longest side to ``max_side``
-    preserving aspect, re-encode. Requires an imaging library."""
-    raise NotImplementedError(
-        "image resize requires an imaging library not present in this build; "
-        "plug a real codec into _resize_image_real"
-    )
+    """Real nearest-neighbor resize for stdlib-readable formats
+    (uncompressed BMP / P6 PPM), re-encoded as PPM.
+
+    REAL-CODEC SLOT for compressed formats: requires an imaging
+    library not present in this build."""
+    import numpy as np
+
+    px = _decode_pixels(payload)
+    if px is None:
+        raise NotImplementedError(
+            "compressed-image resize requires an imaging library not present "
+            "in this build; plug a real codec into _resize_image_real"
+        )
+    h, w = px.shape[:2]
+    scale = min(1.0, max_side / max(w, h))
+    new_w, new_h = max(1, int(w * scale)), max(1, int(h * scale))
+    ys = (np.arange(new_h) * (h / new_h)).astype(int)
+    xs = (np.arange(new_w) * (w / new_w)).astype(int)
+    resized = px[ys][:, xs]
+    return _encode_ppm(resized), new_w, new_h
 
 
 def _resize_image_fake(payload: bytes, max_side: int) -> tuple[bytes, int, int]:
@@ -197,12 +291,36 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 
 
 def _decode_audio_real(payload: bytes) -> tuple[int, int, float]:
-    """REAL-CODEC SLOT: replace with soundfile/librosa decode →
-    (duration_ms, sample_rate, rms). Not available in this build."""
-    raise NotImplementedError(
-        "audio decode requires an audio library not present in this build; "
-        "plug a real decoder into _decode_audio_real"
-    )
+    """Real decode for PCM WAV via the stdlib ``wave`` module →
+    (duration_ms, sample_rate, rms in [0,1], averaged across channels).
+
+    REAL-CODEC SLOT for compressed audio (MP3/AAC/...): requires an
+    audio library not present in this build."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "compressed-audio decode requires an audio library not present "
+            "in this build; plug a real decoder into _decode_audio_real"
+        )
+    with wave.open(io.BytesIO(payload)) as wf:
+        rate = wf.getframerate()
+        n = wf.getnframes()
+        width = wf.getsampwidth()
+        raw = wf.readframes(n)
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
+    if dtype is None:
+        raise NotImplementedError(f"unsupported PCM sample width {width}")
+    x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if width == 1:
+        x = x - 128.0  # 8-bit WAV is unsigned
+    full_scale = float(2 ** (8 * width - 1))
+    rms = float(np.sqrt(np.mean(np.square(x / full_scale)))) if len(x) else 0.0
+    duration_ms = int(round(n * 1000 / rate)) if rate else 0
+    return duration_ms, rate, round(rms, 6)
 
 
 def _decode_audio_fake(payload: bytes) -> tuple[int, int, float]:

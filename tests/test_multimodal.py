@@ -94,3 +94,86 @@ def test_audio_segment_plan(spark):
     assert by_id[2] == [(0, 10_000)]
     assert by_id[3] == [(0, 9_999)]
     assert by_id[4] == [(0, 1)]
+
+
+# ---------------------------------------------------------------------------
+# Real stdlib codecs: uncompressed BMP / P6 PPM images, PCM WAV audio.
+
+
+def _bmp_bytes(pixels):
+    """Encode rows of RGB tuples as a bottom-up 24-bit BI_RGB BMP."""
+    h = len(pixels)
+    w = len(pixels[0])
+    row_bytes = (w * 3 + 3) & ~3
+    body = b""
+    for row in reversed(pixels):  # bottom-up storage
+        line = b"".join(bytes((b, g, r)) for (r, g, b) in row)  # BGR
+        body += line + b"\x00" * (row_bytes - len(line))
+    header = (
+        b"BM" + (54 + len(body)).to_bytes(4, "little") + b"\x00" * 4
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(body).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + body
+
+
+def _ppm_bytes(pixels):
+    h, w = len(pixels), len(pixels[0])
+    body = b"".join(bytes(px) for row in pixels for px in row)
+    return b"P6\n%d %d\n255\n" % (w, h) + body
+
+
+def _wav_bytes(samples, rate=8000):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    return buf.getvalue()
+
+
+def test_real_bmp_and_ppm_decode(spark):
+    # 2x2: red, green / blue, white
+    px = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]]
+    rows = [(1, _bmp_bytes(px)), (2, _ppm_bytes(px))]
+    df = spark.createDataFrame(rows, "id long, media binary")
+    out = {r.id: r for r in M.image_features(df, fake=False).collect()}
+    for r in out.values():
+        assert (r.width, r.height) == (2, 2)
+        # mean of each channel: red present in 2 of 4 pixels etc.
+        assert r.features[0] == 0.5 and r.features[1] == 0.5 and r.features[2] == 0.5
+    # identical pixels → identical features across containers
+    assert out[1].features == out[2].features
+
+
+def test_real_resize_preserves_aspect_and_pixels(spark):
+    # 4x2 gradient; resize longest side to 2 → 2x1
+    px = [[(i * 20, 0, 0) for i in range(4)] for _ in range(2)]
+    df = spark.createDataFrame([(1, _ppm_bytes(px))], "id long, media binary")
+    (r,) = M.resize_images(df, max_side=2, fake=False).collect()
+    assert (r.width, r.height) == (2, 1)
+    assert bytes(r.media).startswith(b"P6\n2 1\n255\n")
+    # nearest-neighbor keeps exact source pixels (columns 0 and 2)
+    assert bytes(r.media)[-6:] == bytes((0, 0, 0)) + bytes((40, 0, 0))
+    # resized output feeds the real feature stage (binary-in/binary-out)
+    (f,) = M.image_features(M.resize_images(df, max_side=2, fake=False), fake=False).collect()
+    assert (f.width, f.height) == (2, 1)
+
+
+def test_real_wav_decode(spark):
+    # 8000 samples at 8 kHz = 1000 ms of a +/- 16384 square wave:
+    # rms = 16384/32768 = 0.5
+    samples = [16384 if i % 2 == 0 else -16384 for i in range(8000)]
+    df = spark.createDataFrame([(1, _wav_bytes(samples))], "id long, media binary")
+    (r,) = M.audio_features(df, fake=False).collect()
+    assert r.duration_ms == 1000 and r.sample_rate == 8000
+    assert r.rms == 0.5
