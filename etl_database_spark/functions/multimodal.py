@@ -252,6 +252,92 @@ def resize_images(
     return df.select(id_col, media_col).mapInPandas(process, RESIZED_SCHEMA)
 
 
+FRAME_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("luma_mean", T.FloatType(), True),
+        T.StructField("luma_std", T.FloatType(), True),
+    ]
+)
+
+
+def _iter_y4m_frames(payload: bytes):
+    """Parse a YUV4MPEG2 (.y4m) stream — a stdlib-decodable raw video
+    container: text header, then 'FRAME\\n' + planar YUV420 data.
+    Yields (frame_idx, width, height, luma_plane bytes)."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise NotImplementedError(
+            "compressed-video decode requires a video library not present "
+            "in this build; only raw YUV4MPEG2 (.y4m) parses natively"
+        )
+    hdr_end = payload.index(b"\n")
+    width = height = None
+    colorspace = b"420"
+    for tok in payload[:hdr_end].split(b" ")[1:]:
+        if tok[:1] == b"W":
+            width = int(tok[1:])
+        elif tok[:1] == b"H":
+            height = int(tok[1:])
+        elif tok[:1] == b"C":
+            colorspace = tok[1:]
+    if width is None or height is None:
+        raise ValueError("y4m header missing W/H")
+    if not colorspace.startswith(b"420"):
+        raise NotImplementedError(f"unsupported y4m colorspace {colorspace!r}")
+    luma_len = width * height
+    frame_len = luma_len + luma_len // 2  # 4:2:0 chroma
+    pos, idx = hdr_end + 1, 0
+    while pos < len(payload):
+        line_end = payload.index(b"\n", pos)
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at {pos}")
+        pos = line_end + 1
+        yield idx, width, height, payload[pos : pos + luma_len]
+        pos += frame_len
+        idx += 1
+
+
+def video_frame_features(
+    df: DataFrame,
+    every_n: int = 10,
+    id_col: str = "id",
+    media_col: str = "media",
+) -> DataFrame:
+    """REAL frame sampling + per-frame luma statistics for raw
+    YUV4MPEG2 video payloads via mapInPandas (every ``every_n``-th
+    frame; compressed containers raise at the documented slot). Same
+    Arrow-batch shape as the image/audio stages — at 100 TB the
+    payloads stream through Python once per batch and only the sampled
+    frames are touched (the y4m layout allows direct frame seeks)."""
+    import numpy as np
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf[id_col], pdf[media_col]):
+                data = bytes(payload) if payload is not None else b""
+                for idx, w, h, luma in _iter_y4m_frames(data):
+                    if idx % every_n:
+                        continue
+                    y = np.frombuffer(luma, dtype=np.uint8).astype(np.float64) / 255.0
+                    rows.append(
+                        {
+                            "id": int(_id),
+                            "frame_idx": idx,
+                            "width": w,
+                            "height": h,
+                            "luma_mean": round(float(y.mean()), 6),
+                            "luma_std": round(float(y.std()), 6),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_FEATURES_SCHEMA.fields])
+
+    return df.select(id_col, media_col).mapInPandas(process, FRAME_FEATURES_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 10, id_col: str = "id") -> DataFrame:
     """Video frame-sampling *plan*: explode per-media frame indices
     (metadata-driven — requires a frame_count column) without touching

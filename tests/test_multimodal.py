@@ -177,3 +177,33 @@ def test_real_wav_decode(spark):
     (r,) = M.audio_features(df, fake=False).collect()
     assert r.duration_ms == 1000 and r.sample_rate == 8000
     assert r.rms == 0.5
+
+
+def _y4m_bytes(frames, w=4, h=2):
+    """Encode constant-luma frames as YUV4MPEG2 4:2:0."""
+    out = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420\n" % (w, h)
+    for luma in frames:
+        out += b"FRAME\n"
+        out += bytes([luma]) * (w * h)              # Y plane
+        out += bytes([128]) * (w * h // 2)          # U+V planes (4:2:0)
+    return out
+
+
+def test_real_y4m_frame_sampling(spark):
+    # 5 frames, luma 0,50,100,150,200; sample every 2nd → frames 0,2,4
+    payload = _y4m_bytes([0, 50, 100, 150, 200])
+    df = spark.createDataFrame([(7, payload)], "id long, media binary")
+    rows = M.video_frame_features(df, every_n=2).orderBy("frame_idx").collect()
+    assert [(r.frame_idx, r.width, r.height) for r in rows] == [(0, 4, 2), (2, 4, 2), (4, 4, 2)]
+    assert [r.luma_mean for r in rows] == pytest.approx(
+        [0.0, 100 / 255, 200 / 255], abs=1e-5
+    )
+    assert all(r.luma_std == 0.0 for r in rows)  # constant frames
+
+
+def test_compressed_video_is_explicit_slot(spark):
+    df = spark.createDataFrame([(1, b"\x00\x00\x00\x18ftypmp42")], "id long, media binary")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplementedError|video decode|YUV4MPEG2"):
+        M.video_frame_features(df).collect()
