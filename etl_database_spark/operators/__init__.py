@@ -29,6 +29,9 @@ from etl_database_spark.functions.dedup import (  # noqa: F401
     simhash_fingerprints,
     simhash_near_duplicates,
 )
+from etl_database_spark.functions.lm import (  # noqa: F401
+    bigram_lm_scores,
+)
 from etl_database_spark.functions.similarity import (  # noqa: F401
     ann_topk,
     cosine,
