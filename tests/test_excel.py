@@ -130,3 +130,90 @@ def test_xlsx_import_job_end_to_end(spark, tmp_path):
     assert ds.datasetdate == dt.date(2025, 3, 1) and ds.isactive
     # the source workbook was archived, not the derived CSV
     assert os.path.exists(tmp_path / "archive" / "20250301T120000_MeetMax_77.xlsx")
+
+
+# ---------------------------------------------------------------------------
+# Property test: random tables survive the xlsx → CSV roundtrip.
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_cell_text = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("L", "N", "P", "Zs"), max_codepoint=0x2FFF
+    ),
+    max_size=12,
+)
+
+
+def _sheet_xml(rows):
+    """Inline-string worksheet for arbitrary cell values (no shared
+    strings — exercises the inlineStr and numeric paths)."""
+    from xml.sax.saxutils import escape
+
+    body = []
+    for ri, row in enumerate(rows, start=1):
+        cells = []
+        for ci, val in enumerate(row):
+            col = chr(ord("A") + ci)
+            if val is None:
+                continue  # skipped cell
+            if isinstance(val, bool):
+                cells.append(f'<c r="{col}{ri}" t="b"><v>{int(val)}</v></c>')
+            elif isinstance(val, int):
+                cells.append(f'<c r="{col}{ri}"><v>{val}</v></c>')
+            elif isinstance(val, float):
+                cells.append(f'<c r="{col}{ri}"><v>{val!r}</v></c>')
+            else:
+                cells.append(
+                    f'<c r="{col}{ri}" t="inlineStr"><is><t>{escape(val)}</t></is></c>'
+                )
+        body.append(f'<row r="{ri}">{"".join(cells)}</row>')
+    return (
+        '<?xml version="1.0"?><worksheet %s><sheetData>%s</sheetData></worksheet>'
+        % (_NS, "".join(body))
+    )
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.one_of(_cell_text, st.integers(-10**9, 10**9),
+                      st.floats(-1e6, 1e6, allow_nan=False), st.booleans(),
+                      st.none()),
+            min_size=1, max_size=4,
+        ),
+        min_size=1, max_size=6,
+    )
+)
+def test_xlsx_roundtrip_random_tables(tmp_path_factory, rows):
+    import csv as _csv
+    import zipfile
+
+    # normalize ragged rows to the first row's width (header defines it)
+    width = len(rows[0])
+    rows = [r[:width] + [None] * (width - len(r[:width])) for r in rows]
+    # header cells must be non-empty strings
+    header = [f"col{i}" for i in range(width)]
+    tmp = tmp_path_factory.mktemp("xlsx_prop")
+    path = str(tmp / "t.xlsx")
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("xl/worksheets/sheet1.xml", _sheet_xml([header] + rows))
+    out = excel_to_csv(path)
+    with open(out, newline="") as f:
+        got = list(_csv.reader(f))
+    assert got[0] == header
+    assert len(got) == 1 + len(rows)
+    for want_row, got_row in zip(rows, got[1:]):
+        for want, got_cell in zip(want_row, got_row):
+            if want is None:
+                assert got_cell == ""
+            elif isinstance(want, bool):
+                assert got_cell == str(want)
+            elif isinstance(want, int):
+                assert got_cell == str(want)
+            elif isinstance(want, float):
+                assert float(got_cell) == want
+            else:
+                assert got_cell == want
