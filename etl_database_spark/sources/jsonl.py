@@ -1,0 +1,81 @@
+"""JSONL document-corpus source — the de-facto interchange format for
+large-scale training corpora (one JSON object per line, usually
+gzipped in place).
+
+Scale shape: the file is read as text lines (gzip decompression is
+native; one .gz file = one task, so shard corpora into many files —
+operators/sharding.py produces exactly that layout) and each record is
+parsed with ``from_json`` against an EXPLICIT schema — schema
+inference would scan the full 100 TB corpus once before the real
+read. Malformed lines neither kill the job nor vanish silently:
+they're counted via ``observe`` on the same pass (no second scan) and
+can be quarantined raw to a side location for inspection.
+
+Implementation note: this deliberately avoids the native
+``spark.read.json`` corrupt-record column, whose plans are rejected
+whenever column pruning reduces a query to the corrupt column alone
+(UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — e.g. any
+``count()`` over the quarantine branch. Parsing text lines with
+``from_json`` has identical per-record semantics with no such
+restriction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_CORRUPT = "_corrupt_record"
+
+# Default corpus schema: matches the documents fixture.
+DOCUMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+    ]
+)
+
+
+def read_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = DOCUMENT_SCHEMA,
+    quarantine_path: str | None = None,
+) -> tuple[DataFrame, Observation]:
+    """Read a JSONL (optionally .gz) corpus with an enforced schema.
+
+    Returns (clean_df, observation): ``clean_df`` carries only rows
+    that parsed as JSON objects; the observation reports
+    ``rows_total`` / ``rows_corrupt`` counted during whatever action
+    the caller runs — no extra scan. If ``quarantine_path`` is set,
+    corrupt raw lines are appended there (one write job) before the
+    clean frame returns, so nothing is silently lost.
+    """
+    raw = spark.read.text(path)
+    # from_json with its own corrupt-record capture: malformed lines,
+    # JSON scalars, and type-mismatched fields land the raw line in
+    # the _corrupt field (PERMISSIVE semantics, per record).
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(_CORRUPT, T.StringType(), True)]
+    )
+    parsed = raw.select(
+        F.from_json("value", full, {"columnNameOfCorruptRecord": _CORRUPT}).alias(
+            "_doc"
+        )
+    )
+    bad = F.col(f"_doc.{_CORRUPT}").isNotNull()
+    if quarantine_path is not None:
+        parsed.where(bad).select(
+            F.col(f"_doc.{_CORRUPT}").alias("raw_line")
+        ).write.mode("append").text(quarantine_path)
+    obs = Observation()
+    observed = parsed.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_total"),
+        F.count(F.when(bad, 1)).alias("rows_corrupt"),
+    )
+    clean = observed.where(~bad).select("_doc.*").drop(_CORRUPT)
+    return clean, obs

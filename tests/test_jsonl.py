@@ -1,0 +1,58 @@
+"""JSONL corpus source: schema enforcement, corrupt-line counting via
+observe (single pass), quarantine, gzip transparency."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+from etl_database_spark.sources.jsonl import read_jsonl_corpus
+
+
+def _write_corpus(dirpath, compress=False):
+    os.makedirs(dirpath, exist_ok=True)
+    lines = [
+        json.dumps({"doc_id": 1, "text": "hello world", "lang": "en", "source": "web"}),
+        json.dumps({"doc_id": 2, "text": "bonjour", "lang": "fr", "source": "web"}),
+        "{this is not json",
+        json.dumps({"doc_id": 3, "text": "ok", "lang": "en", "source": "books"}),
+        '"just a string, not an object"',
+    ]
+    payload = "\n".join(lines) + "\n"
+    if compress:
+        with gzip.open(os.path.join(dirpath, "part-000.jsonl.gz"), "wt") as f:
+            f.write(payload)
+    else:
+        with open(os.path.join(dirpath, "part-000.jsonl"), "w") as f:
+            f.write(payload)
+
+
+def test_jsonl_schema_enforced_and_corrupts_counted(spark, tmp_path):
+    src = str(tmp_path / "corpus")
+    _write_corpus(src)
+    clean, obs = read_jsonl_corpus(spark, src)
+    rows = {r.doc_id: r for r in clean.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].text == "hello world" and rows[2].lang == "fr"
+    got = obs.get
+    assert got["rows_total"] == 5 and got["rows_corrupt"] == 2
+
+
+def test_jsonl_quarantine_preserves_raw_lines(spark, tmp_path):
+    src = str(tmp_path / "corpus")
+    q = str(tmp_path / "quarantine")
+    _write_corpus(src)
+    clean, obs = read_jsonl_corpus(spark, src, quarantine_path=q)
+    assert clean.count() == 3
+    bad = {r.value for r in spark.read.text(q).collect()}
+    assert "{this is not json" in bad
+    assert len(bad) == 2
+
+
+def test_jsonl_gzip_native(spark, tmp_path):
+    src = str(tmp_path / "corpus_gz")
+    _write_corpus(src, compress=True)
+    clean, obs = read_jsonl_corpus(spark, src)
+    assert clean.count() == 3
+    assert obs.get["rows_corrupt"] == 2
