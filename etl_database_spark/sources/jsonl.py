@@ -79,3 +79,37 @@ def read_jsonl_corpus(
     )
     clean = observed.where(~bad).select("_doc.*").drop(_CORRUPT)
     return clean, obs
+
+
+def stream_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = DOCUMENT_SCHEMA,
+) -> tuple[DataFrame, DataFrame]:
+    """Streaming twin of :func:`read_jsonl_corpus`: watch a directory
+    for arriving JSONL shards (readStream.text — checkpointed,
+    exactly-once per file) and parse with the same per-record
+    ``from_json`` semantics.
+
+    Returns (clean_stream, corrupt_stream); the caller typically
+    writes the clean side to its sink and the corrupt side to a
+    quarantine sink in the same query group — both derive from ONE
+    file-source scan per micro-batch. Composes with the streaming
+    dedup/near-dup stages (streaming/dedup.py, streaming/near_dup.py)
+    for incremental corpus curation.
+    """
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(_CORRUPT, T.StringType(), True)]
+    )
+    parsed = (
+        spark.readStream.text(path)
+        .select(
+            F.from_json("value", full, {"columnNameOfCorruptRecord": _CORRUPT}).alias(
+                "_doc"
+            )
+        )
+    )
+    bad = F.col(f"_doc.{_CORRUPT}").isNotNull()
+    clean = parsed.where(~bad).select("_doc.*").drop(_CORRUPT)
+    corrupt = parsed.where(bad).select(F.col(f"_doc.{_CORRUPT}").alias("raw_line"))
+    return clean, corrupt

@@ -56,3 +56,38 @@ def test_jsonl_gzip_native(spark, tmp_path):
     clean, obs = read_jsonl_corpus(spark, src)
     assert clean.count() == 3
     assert obs.get["rows_corrupt"] == 2
+
+
+def test_jsonl_streaming_matches_batch(spark, tmp_path):
+    """AvailableNow streaming pass over the same corpus produces the
+    same clean rows and quarantines the same corrupt lines (batch ≡
+    stream equivalence, one file-source scan feeding both sinks)."""
+    from etl_database_spark.sources.jsonl import stream_jsonl_corpus
+
+    src = str(tmp_path / "corpus")
+    _write_corpus(src)
+    clean, corrupt = stream_jsonl_corpus(spark, src)
+    out_clean = str(tmp_path / "out_clean")
+    out_bad = str(tmp_path / "out_bad")
+    q1 = (
+        clean.writeStream.format("parquet")
+        .option("path", out_clean)
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2 = (
+        corrupt.writeStream.format("text")
+        .option("path", out_bad)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination()
+    q2.awaitTermination()
+    got = {r.doc_id for r in spark.read.parquet(out_clean).collect()}
+    assert got == {1, 2, 3}
+    bad = {r.value for r in spark.read.text(out_bad).collect()}
+    batch_clean, _ = read_jsonl_corpus(spark, src)
+    assert {r.doc_id for r in batch_clean.collect()} == got
+    assert "{this is not json" in bad and len(bad) == 2
