@@ -84,15 +84,19 @@ def main() -> None:
     # signature store is built once per corpus at ingest time in
     # production; build it up front here and report the cost
     # separately so per-query timings measure serving, not indexing.
-    setup: dict[str, float] = {}
+    setup: dict = {}
     try:
         from etl_database_spark.queries.llmdata import _minhash_sigs
 
         t0 = time.time()
         _minhash_sigs(spark, sf_dir)
         setup["minhash_sig_store"] = round(time.time() - t0, 3)
-    except Exception:
-        pass
+    except Exception as e:
+        # A failed build means the first minhash repeat silently
+        # absorbs the full index cost — record it so skewed timings
+        # are explainable from the output alone.
+        setup["minhash_sig_store_error"] = str(e)[:200]
+        print(f"# WARNING: signature-store setup failed: {e}", file=sys.stderr)
 
     def pctl(xs: list[float], q: float) -> float:
         xs = sorted(xs)

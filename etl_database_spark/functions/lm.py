@@ -41,13 +41,18 @@ def _idiv(a, b):
     return ((a - F.pmod(a, b)) / b).cast("long")
 
 
-def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, w1, w2) — consecutive lowercase whitespace-token pairs.
-    Docs with fewer than two tokens produce no rows."""
+def _doc_token_arrays(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, _toks) — lowercase whitespace-token array per document
+    (the single tokenize pass everything else derives from)."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+
+
+def _doc_bigrams(arrays: DataFrame) -> DataFrame:
+    """(id, w1, w2) — consecutive token pairs from the token-array
+    frame. Docs with fewer than two tokens produce no rows."""
     return (
-        df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
-        .where(F.size("_toks") >= 2)
+        arrays.where(F.size("_toks") >= 2)
         .select(
             "_id",
             F.explode(
@@ -79,19 +84,21 @@ def bigram_lm_scores(
     Only documents with ≥2 tokens appear in the output (no bigrams →
     no LM evidence).
     """
-    # The bigram stream fans into three plan branches (both count
-    # tables + the score join) and three scalar actions — cache it and
-    # the count tables so the tokenize/explode runs once, then cut
-    # lineage on the (small) result and release everything, following
-    # the dedup-pipeline discipline (functions/dedup._finish_eager).
-    bg = _doc_bigrams(df, text_col, id_col).cache()
+    # ONE tokenize pass: the token-array frame is cached and both the
+    # bigram stream and the vocabulary aggregate derive from it (a
+    # separate vocab scan would re-tokenize the whole corpus). The
+    # bigram stream is cached too — it fans into the two count tables
+    # plus the score join — and everything is released after the
+    # (small) result is materialized, following the dedup-pipeline
+    # discipline (functions/dedup._finish_eager).
+    arrays = _doc_token_arrays(df, text_col, id_col).cache()
+    bg = _doc_bigrams(arrays).cache()
     bigram_counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_bg")).cache()
     context_counts = bg.groupBy("w1").agg(F.count("*").alias("c_ctx")).cache()
     # V: corpus vocabulary (distinct tokens anywhere, including final
-    # tokens that never start a bigram) — one extra cheap aggregate.
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # tokens that never start a bigram and single-token docs).
     vocab = (
-        df.select(F.explode(toks).alias("w"))
+        arrays.select(F.explode("_toks").alias("w"))
         .where(F.col("w") != "")
         .agg(F.countDistinct("w").alias("v"))
         .first()["v"]
@@ -127,6 +134,6 @@ def bigram_lm_scores(
         # stay pinned until the caller evaluates and releases
         return scored
     out = scored.localCheckpoint(eager=True)
-    for c in (bg, bigram_counts, context_counts):
+    for c in (arrays, bg, bigram_counts, context_counts):
         c.unpersist()
     return out

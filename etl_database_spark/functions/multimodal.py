@@ -291,11 +291,16 @@ def _iter_y4m_frames(payload: bytes):
     frame_len = luma_len + luma_len // 2  # 4:2:0 chroma
     pos, idx = hdr_end + 1, 0
     while pos < len(payload):
-        line_end = payload.index(b"\n", pos)
-        if payload[pos : pos + 5] != b"FRAME":
-            raise ValueError(f"bad FRAME marker at {pos}")
+        line_end = payload.find(b"\n", pos)
+        if line_end < 0 or payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad or truncated FRAME marker at byte {pos}")
         pos = line_end + 1
-        yield idx, width, height, payload[pos : pos + luma_len]
+        luma = payload[pos : pos + luma_len]
+        if len(luma) < luma_len or len(payload) - pos < frame_len:
+            # A partial plane would yield silently wrong statistics —
+            # malformed input must fail loudly like every other path.
+            raise ValueError(f"truncated y4m frame {idx} at byte {pos}")
+        yield idx, width, height, luma
         pos += frame_len
         idx += 1
 

@@ -268,10 +268,15 @@ _MINHASH_PARAMS = {"n": 7, "num_perm": 32, "bands": 8, "threshold": 0.5}
 
 
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    if sf_dir not in _MINHASH_SIG_STORE:
-        import os
-        import tempfile
+    import os
+    import tempfile
 
+    # Cache key includes the corpus file's mtime: a rewritten fixture
+    # in the same process invalidates the store instead of silently
+    # serving signatures for deleted documents.
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = (sf_dir, os.path.getmtime(src) if os.path.exists(src) else None)
+    if key not in _MINHASH_SIG_STORE:
         d = table(spark, sf_dir, "documents")
         sigs = D.minhash_signatures(
             D.shingles(d, "text", "doc_id", n=_MINHASH_PARAMS["n"]),
@@ -279,8 +284,8 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         path = os.path.join(tempfile.mkdtemp(prefix="spark_graft_minhash_"), "sigs")
         sigs.write.parquet(path)
-        _MINHASH_SIG_STORE[sf_dir] = path
-    return spark.read.parquet(_MINHASH_SIG_STORE[sf_dir])
+        _MINHASH_SIG_STORE[key] = path
+    return spark.read.parquet(_MINHASH_SIG_STORE[key])
 
 
 @register("minhash_near_dups")
@@ -390,7 +395,12 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("near_dup_clusters")
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over verified near-dup pairs; survivor =
-    min doc_id per component (iterative min-label propagation)."""
+    min doc_id per component (iterative min-label propagation).
+
+    Uses the shared signature store, so the pair source is exactly
+    ``minhash_near_dups`` (n=7 shingles since round 3 — previously
+    n=5; the exact-verify threshold is unchanged, so clusters differ
+    only where 5-gram and 7-gram Jaccard straddle 0.5)."""
     d = table(spark, sf_dir, "documents")
     return D.near_duplicate_clusters(
         d, "text", "doc_id", sigs=_minhash_sigs(spark, sf_dir), **_MINHASH_PARAMS

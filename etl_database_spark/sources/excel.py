@@ -75,6 +75,14 @@ def _read_xlsx_stdlib(path: str):
         sheet = ET.fromstring(zf.read(_first_sheet_path(zf)))
         rows: list[list] = []
         for row in sheet.iter(f"{_XLSX_NS}row"):
+            # Excel encodes sheets sparsely: entirely-empty rows are
+            # omitted from the XML but carry gaps in the 'r' indices.
+            # Emit blank rows for the gaps so positions match what the
+            # pandas engines produce (blank row → row of empty cells).
+            r_attr = row.get("r")
+            if r_attr is not None:
+                while len(rows) < int(r_attr) - 1:
+                    rows.append([])
             out: list = []
             next_col = 0
             for c in row.iter(f"{_XLSX_NS}c"):
@@ -134,12 +142,17 @@ def excel_to_csv(path: str, out_path: str | None = None) -> str:
                     "or file invalid (stdlib xlsx fallback also failed)"
                 ) from e
             header = [str(h) for h in rows[0]] if rows else []
+            # Data rows wider than the header keep their cells under
+            # generated names, mirroring pandas' unnamed-column
+            # behavior — silent truncation would make the same file
+            # ingest differently depending on which engine ran.
+            width = max([len(header)] + [len(r) for r in rows[1:]]) if rows else 0
+            header += [f"Unnamed: {i}" for i in range(len(header), width)]
             with open(out_path, "w", newline="") as f:
                 w = csv.writer(f, quoting=csv.QUOTE_NONNUMERIC)
                 w.writerow(header)
                 for r in rows[1:]:
-                    r = r + [""] * (len(header) - len(r))
-                    w.writerow(r[: len(header)] if header else r)
+                    w.writerow(r + [""] * (width - len(r)))
             os.chmod(out_path, 0o660)  # xls_to_csv.py:88
             return out_path
     df.to_csv(out_path, index=False, quoting=csv.QUOTE_NONNUMERIC)

@@ -54,7 +54,10 @@ def read_jsonl_corpus(
     corrupt raw lines are appended there (one write job) before the
     clean frame returns, so nothing is silently lost.
     """
-    raw = spark.read.text(path)
+    # Blank/whitespace-only lines are not records in JSONL (they would
+    # otherwise parse to all-null rows that pass the corrupt filter) —
+    # drop them before parsing; they count in neither total nor corrupt.
+    raw = spark.read.text(path).where(F.length(F.trim("value")) > 0)
     # from_json with its own corrupt-record capture: malformed lines,
     # JSON scalars, and type-mismatched fields land the raw line in
     # the _corrupt field (PERMISSIVE semantics, per record).
@@ -91,18 +94,20 @@ def stream_jsonl_corpus(
     exactly-once per file) and parse with the same per-record
     ``from_json`` semantics.
 
-    Returns (clean_stream, corrupt_stream); the caller typically
-    writes the clean side to its sink and the corrupt side to a
-    quarantine sink in the same query group — both derive from ONE
-    file-source scan per micro-batch. Composes with the streaming
-    dedup/near-dup stages (streaming/dedup.py, streaming/near_dup.py)
-    for incremental corpus curation.
+    Returns (clean_stream, corrupt_stream). Each side started as its
+    own streaming query re-reads arriving shards independently (two
+    file-source scans); when the double scan matters, start ONE query
+    over the union of needs via ``foreachBatch`` and split inside the
+    batch function. Composes with the streaming dedup/near-dup stages
+    (streaming/dedup.py, streaming/near_dup.py) for incremental
+    corpus curation.
     """
     full = T.StructType(
         list(schema.fields) + [T.StructField(_CORRUPT, T.StringType(), True)]
     )
     parsed = (
         spark.readStream.text(path)
+        .where(F.length(F.trim("value")) > 0)
         .select(
             F.from_json("value", full, {"columnNameOfCorruptRecord": _CORRUPT}).alias(
                 "_doc"

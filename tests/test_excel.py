@@ -217,3 +217,31 @@ def test_xlsx_roundtrip_random_tables(tmp_path_factory, rows):
                 assert float(got_cell) == want
             else:
                 assert got_cell == want
+
+
+def test_xlsx_sparse_rows_and_wide_data_rows(tmp_path):
+    """Excel omits empty rows from the XML (sparse 'r' indices) and
+    data rows may be wider than the header — both must survive like
+    the pandas engines: blank row emitted, extra cells kept under
+    generated Unnamed columns."""
+    import zipfile
+
+    sheet = """<?xml version="1.0"?>
+<worksheet {ns}><sheetData>
+  <row r="1">
+    <c r="A1" t="inlineStr"><is><t>h1</t></is></c>
+    <c r="B1" t="inlineStr"><is><t>h2</t></is></c>
+  </row>
+  <row r="3">
+    <c r="A3"><v>1</v></c><c r="B3"><v>2</v></c><c r="C3"><v>3</v></c>
+  </row>
+</sheetData></worksheet>""".format(ns=_NS)
+    path = str(tmp_path / "sparse.xlsx")
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    out = excel_to_csv(path)
+    with open(out, newline="") as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == ["h1", "h2", "Unnamed: 2"]
+    assert rows[1] == ["", "", ""]          # omitted row 2 preserved
+    assert rows[2] == ["1", "2", "3"]       # wide row kept, not truncated

@@ -91,3 +91,20 @@ def test_jsonl_streaming_matches_batch(spark, tmp_path):
     batch_clean, _ = read_jsonl_corpus(spark, src)
     assert {r.doc_id for r in batch_clean.collect()} == got
     assert "{this is not json" in bad and len(bad) == 2
+
+
+def test_blank_lines_are_not_records(spark, tmp_path):
+    """Blank/whitespace lines are skipped entirely — not phantom
+    all-null clean rows, not corrupt records."""
+    src = str(tmp_path / "corpus_blank")
+    os.makedirs(src)
+    with open(os.path.join(src, "p.jsonl"), "w") as f:
+        f.write(
+            json.dumps({"doc_id": 1, "text": "a", "lang": "en", "source": "w"})
+            + "\n\n   \n"
+            + json.dumps({"doc_id": 2, "text": "b", "lang": "en", "source": "w"})
+            + "\n"
+        )
+    clean, obs = read_jsonl_corpus(spark, src)
+    assert {r.doc_id for r in clean.collect()} == {1, 2}
+    assert obs.get["rows_total"] == 2 and obs.get["rows_corrupt"] == 0

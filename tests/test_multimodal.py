@@ -207,3 +207,12 @@ def test_compressed_video_is_explicit_slot(spark):
 
     with _pytest.raises(Exception, match="NotImplementedError|video decode|YUV4MPEG2"):
         M.video_frame_features(df).collect()
+
+
+def test_truncated_y4m_fails_loudly(spark):
+    payload = _y4m_bytes([10, 20])[:-3]  # cut mid-frame
+    df = spark.createDataFrame([(1, payload)], "id long, media binary")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="truncated y4m frame"):
+        M.video_frame_features(df, every_n=1).collect()
