@@ -515,3 +515,82 @@ def ivf_probe_targets(
         .where(F.col("rn") <= n_probe)
         .select("query_id", "q_vec", "centroid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashing text embeddings (the "hashing trick", Weinberger et
+# al. 2009 / fastText-style): token → stable hash → signed bucket
+# accumulate → L2 normalize. Closes the text→vector→ANN loop entirely
+# in-engine: documents embedded here feed cosine_topk / ann_topk /
+# IvfIndex with no external model. Hashing uses md5 (not xxhash64) so
+# Spark ≡ DuckDB ≡ hashlib — the operator is fully oracle-checkable.
+
+
+def feature_hash_sparse(
+    df: DataFrame, text_col: str, id_col: str, dim: int = 64
+) -> DataFrame:
+    """Sparse signed-bucket weights per document → (id, bucket,
+    weight), L2-normalized per doc and rounded to 4 decimals (the
+    engine-portable form; see cosine_topk's oracle for the rounding
+    precedent).
+
+    Scale shape: one tokenize+explode pass, one partial-aggregated
+    shuffle on (id, bucket), one window per id for the norm — no
+    corpus-wide state, no model object, deterministic across runs and
+    cluster sizes.
+    """
+    from pyspark.sql import Window as W
+
+    toks = F.explode(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    ).alias("tok")
+    t = (
+        df.select(F.col(id_col).alias("_id"), toks)
+        .where(F.col("tok") != "")
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10).cast("long")
+    sign_digit = F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 9, 1), 16, 10).cast("long")
+    hashed = t.select(
+        "_id",
+        (h % F.lit(dim)).alias("bucket"),
+        F.when(sign_digit % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)).alias("sign"),
+    )
+    sparse = hashed.groupBy("_id", "bucket").agg(
+        F.sum("sign").cast("double").alias("val")
+    ).where(F.col("val") != 0.0)
+    w = W.partitionBy("_id")
+    return (
+        sparse.withColumn("_norm", F.sqrt(F.sum(F.col("val") * F.col("val")).over(w)))
+        .select(
+            "_id",
+            "bucket",
+            F.round(F.col("val") / F.col("_norm"), 4).alias("weight"),
+        )
+    )
+
+
+def feature_hash_embeddings(
+    df: DataFrame, text_col: str, id_col: str, dim: int = 64
+) -> DataFrame:
+    """Dense L2-normalized embedding column → (id, embedding
+    array<float>) assembled from the sparse form — ready for
+    cosine_topk / ann_topk / IvfIndex.build."""
+    sparse = feature_hash_sparse(df, text_col, id_col, dim)
+    dense = (
+        sparse.groupBy("_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "weight"))
+            ).alias("_m")
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(F.element_at("_m", i.cast("int")), F.lit(0.0)).cast(
+                    "float"
+                ),
+            ).alias("embedding"),
+        )
+    )
+    return dense

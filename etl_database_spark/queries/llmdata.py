@@ -1265,6 +1265,52 @@ def doc_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Feature-hashing text embeddings (hashing trick) — text → vector with
+# no external model, md5-hashed so the whole operator (bucketing,
+# signs, L2 normalization) sits inside the hard oracle gate in its
+# sparse form. The dense form feeds cosine_topk/ann_topk/IvfIndex
+# (integration-tested in tests/test_similarity.py).
+_FH_DIM = 64
+
+_FH_ORACLE = rf"""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split_regex(TRIM(LOWER(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    t2 AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+    hashed AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % {_FH_DIM} AS bucket,
+             CASE WHEN CAST('0x' || substr(md5(tok), 9, 1) AS BIGINT) % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS sign
+      FROM t2
+    ),
+    sparse AS (
+      SELECT doc_id, bucket, CAST(SUM(sign) AS DOUBLE) AS val
+      FROM hashed GROUP BY 1, 2
+    ),
+    nz AS (SELECT * FROM sparse WHERE val <> 0)
+    SELECT doc_id, bucket,
+           ROUND(val / SQRT(SUM(val * val) OVER (PARTITION BY doc_id)), 4) AS weight
+    FROM nz
+    ORDER BY doc_id, bucket
+    """
+
+
+@register("doc_feature_hash_embeddings", oracle=_FH_ORACLE)
+def doc_feature_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature-hash embedding of every document, sparse form
+    (doc_id, bucket, weight) — the engine-portable projection of the
+    dense array<float> the similarity/ANN operators consume."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        S.feature_hash_sparse(d, "text", "doc_id", dim=_FH_DIM)
+        .withColumnRenamed("_id", "doc_id")
+        .orderBy("doc_id", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Leakage-safe split assignment: every near-duplicate cluster lands in
 # ONE split. Plain per-doc hash splits leak — two near-identical docs
 # can straddle train and test, contaminating evaluation. The fix:

@@ -214,3 +214,57 @@ def test_cosine_near_dup_lsh_bucket_cap(spark, vectors):
         vectors, dim=DIM, threshold=0.9, bands=8, rows_per_band=2, max_bucket=1
     )
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashing embeddings: text → vector → ANN, fully in-engine.
+
+
+def test_feature_hash_dense_matches_sparse_and_is_normalized(spark):
+    from etl_database_spark.functions.similarity import (
+        feature_hash_embeddings,
+        feature_hash_sparse,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "a completely different sentence here"),
+         (3, "the cat sat on the mat")],
+        "doc_id long, text string",
+    )
+    sparse = {
+        (r._id, r.bucket): r.weight
+        for r in feature_hash_sparse(docs, "text", "doc_id", dim=16).collect()
+    }
+    dense = {r.doc_id: list(r.embedding) for r in
+             feature_hash_embeddings(docs, "text", "doc_id", dim=16).collect()}
+    # dense assembles exactly the sparse weights (zeros elsewhere)
+    for (did, bucket), wgt in sparse.items():
+        assert abs(dense[did][bucket] - wgt) < 1e-6
+    for did, vec in dense.items():
+        nz = [x for x in vec if x != 0.0]
+        assert len(nz) == sum(1 for k in sparse if k[0] == did)
+        assert abs(sum(x * x for x in vec) - 1.0) < 1e-2  # L2-normalized (4dp rounding)
+    # identical text → identical embedding; different text → different
+    assert dense[1] == dense[3] != dense[2]
+
+
+def test_feature_hash_feeds_cosine_topk(spark):
+    from etl_database_spark.functions.similarity import (
+        cosine_topk,
+        feature_hash_embeddings,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"common prefix tokens variant {i}") for i in range(10)]
+        + [(99, "zq xv totally unrelated wk")],
+        "doc_id long, text string",
+    )
+    emb = feature_hash_embeddings(docs, "text", "doc_id", dim=32).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    queries = emb.where("vec_id = 0")
+    top = cosine_topk(emb, queries, k=3).collect()
+    assert len(top) == 3
+    # shared-vocabulary docs must outrank the unrelated one
+    assert all(r.neighbor_id != 99 for r in top)
+    assert all(-1.0001 <= r.cos_sim <= 1.0001 for r in top)
