@@ -124,6 +124,28 @@ def minhash_signatures(
     return sh.select("_id", h.alias("h")).groupBy("_id").agg(*aggs)
 
 
+def band_table(sigs: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(_id, band_id, band_hash) — the banded LSH bucket keys of a
+    signature frame. THE one construction of band hashes: batch
+    (lsh_candidate_pairs) and streaming (streaming/near_dup.py) both
+    build keys here, so their band_hash values can never drift apart
+    (drift would make cross-batch matching silently return nothing).
+    """
+    rows_per_band = num_perm // bands
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band_id"),
+            F.xxhash64(
+                *[F.col(f"sig_{i}") for i in range(j * rows_per_band, (j + 1) * rows_per_band)]
+            ).alias("band_hash"),
+        )
+        for j in range(bands)
+    ]
+    return sigs.select(
+        "_id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("_id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash"))
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, num_perm: int = 32, bands: int = 8, max_bucket: int = 200
 ) -> DataFrame:
@@ -136,19 +158,7 @@ def lsh_candidate_pairs(
     guard for LSH at scale; dropped buckets are exact-dup groups that
     the exact pass already catches.
     """
-    rows_per_band = num_perm // bands
-    band_structs = [
-        F.struct(
-            F.lit(j).alias("band_id"),
-            F.xxhash64(
-                *[F.col(f"sig_{i}") for i in range(j * rows_per_band, (j + 1) * rows_per_band)]
-            ).alias("band_hash"),
-        )
-        for j in range(bands)
-    ]
-    banded = sigs.select(
-        "_id", F.explode(F.array(*band_structs)).alias("b")
-    ).select("_id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash"))
+    banded = band_table(sigs, num_perm, bands)
     bucket_sizes = banded.groupBy("band_id", "band_hash").agg(F.count("*").alias("bucket_n"))
     banded = banded.join(
         bucket_sizes.where(F.col("bucket_n") <= max_bucket), ["band_id", "band_hash"]
@@ -501,7 +511,13 @@ def connected_components(
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         out = [(x, find(x)) for x in parent]
-        result = pairs.sparkSession.createDataFrame(out, "_id long, component long")
+        # Schema follows the caller's id type — hardcoding long would
+        # make the driver path crash for string/int ids while the
+        # distributed path (same inputs, more edges) worked.
+        id_type = pairs.schema["id_a"].dataType.simpleString()
+        result = pairs.sparkSession.createDataFrame(
+            out, f"_id {id_type}, component {id_type}"
+        )
         pairs.unpersist()
         return result
 
@@ -567,9 +583,11 @@ def near_duplicate_clusters(
 
 
 def _bp(a, b):
-    """Exact integer division (basis points) — same arithmetic as the
-    SQL oracle's // so results are engine-identical."""
-    return ((a - F.pmod(a, b)) / b).cast("long")
+    """Exact integer division (basis points) — routes through the one
+    canonical helper so all engines/oracles share the arithmetic."""
+    from etl_database_spark.functions.text import exact_idiv
+
+    return exact_idiv(a, b)
 
 
 def contamination_check(

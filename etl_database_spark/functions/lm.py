@@ -34,11 +34,7 @@ from pyspark.sql import functions as F
 BROADCAST_MAX_COUNT_ROWS = 2_000_000
 
 
-def _idiv(a, b):
-    """Exact integer floor-division for nonnegative longs (mirrors the
-    SQL oracle's ``//`` — both operands stay far below 2^53, so the
-    double division is exact)."""
-    return ((a - F.pmod(a, b)) / b).cast("long")
+from etl_database_spark.functions.text import exact_idiv as _idiv  # noqa: E402
 
 
 def _doc_token_arrays(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -351,6 +351,9 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10, id_col: str = "id") -> D
     binary stage only sees rows that survived frame selection."""
     return (
         df.select(id_col, "frame_count")
+        # zero-frame rows yield zero samples; without the guard the
+        # sequence(0, -1, n) bound is illegal and fails the whole job
+        .where(F.col("frame_count") > 0)
         .withColumn(
             "frame_idx",
             F.explode(F.sequence(F.lit(0), F.col("frame_count") - 1, F.lit(every_n))),
@@ -472,6 +475,8 @@ def audio_segment_plan(
     ).alias("seg_start_ms")
     return (
         df.select(id_col, duration_col)
+        # zero-duration rows yield zero segments (sequence(0,-1) guard)
+        .where(F.col(duration_col) > 0)
         .select(id_col, duration_col, start)
         .select(
             id_col,

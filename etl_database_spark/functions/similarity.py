@@ -123,9 +123,10 @@ def ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates share the full LSH signature bucket
-    OR any of the 4-bit-rotated sub-bucket keys (multi-probe-lite),
-    then exact cosine + rank within candidates.
+    """Approximate top-k: candidates share the low-half OR high-half
+    of the LSH sign signature (two-probe banding — Hamming-1 misses in
+    one half are caught by the other), then exact cosine + rank within
+    candidates.
 
     → (query_id, neighbor_id, cos_sim) with ≤k rows per query."""
     sub_bits = num_planes // 2
@@ -133,13 +134,26 @@ def ann_topk(
     q_sigs = lsh_signatures(queries, dim, num_planes, id_col, vec_col)
 
     def sub_keys(sig_df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        # Each probe's key is (probe_id, bits): lo and hi halves come
+        # from different hyperplanes, so a shared scalar key space
+        # would let a query's lo bits collide with a candidate's hi
+        # bits — spurious candidates at rate ~2^-sub_bits per pair
+        # that degrade the join toward all-pairs on large corpora.
         return sig_df.select(
             F.col("_id").alias(id_alias),
             F.col("_vec").alias(vec_alias),
             F.explode(
                 F.array(
-                    F.col("lsh_sig").bitwiseAND(F.lit((1 << sub_bits) - 1).cast("long")).alias("lo"),
-                    F.shiftright("lsh_sig", num_planes - sub_bits).alias("hi"),
+                    F.struct(
+                        F.lit(0).alias("probe"),
+                        F.col("lsh_sig")
+                        .bitwiseAND(F.lit((1 << sub_bits) - 1).cast("long"))
+                        .alias("bits"),
+                    ),
+                    F.struct(
+                        F.lit(1).alias("probe"),
+                        F.shiftright("lsh_sig", num_planes - sub_bits).alias("bits"),
+                    ),
                 )
             ).alias("bucket"),
         )

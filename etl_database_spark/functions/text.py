@@ -8,10 +8,12 @@ UDFs, so these run at full scan speed over 100 TB of documents:
 - language ID (stopword-occurrence n-gram heuristic),
 - document fingerprinting (normalized md5 + rolling 64-bit hash).
 
-Design note: occurrence counting uses the length-difference trick
-``(len(s) - len(replace(s, pat, ''))) / len(pat)`` where cross-engine
-reproducibility matters (it has identical semantics in every SQL
-engine), and regex where expressiveness matters.
+Design note: token/word counting tokenizes once and filters the array
+(`split` + `filter` — mirrored in SQL as string_split_regex +
+list_filter, identical semantics in every engine); the
+length-difference trick ``(len(s) - len(replace(s, pat, '')))`` is
+reserved for counting separators (doc_token_stats), where
+non-overlapping replace semantics are exact.
 """
 
 from __future__ import annotations
@@ -55,15 +57,18 @@ def bpe_token_count(col) -> Column:
 
 
 def word_occurrences(col, word: str) -> Column:
-    """Count occurrences of ``word`` as a whitespace-delimited token,
-    via the engine-portable length-difference trick on a padded string."""
+    """Count occurrences of ``word`` as a whitespace-delimited token:
+    tokenize once, count exact matches.
+
+    NOT the padded-replace length-difference trick: a non-overlapping
+    ``replace`` scan consumes the boundary space shared by adjacent
+    occurrences, so ``'the the'`` counts as 1 instead of 2. The token
+    filter has no such edge and mirrors stopword_score (DuckDB form:
+    ``len(list_filter(string_split_regex(TRIM(x), '\\s+'),
+    t -> t = 'word'))``)."""
     c = F.col(col) if isinstance(col, str) else col
-    padded = F.concat(F.lit(" "), c, F.lit(" "))
-    needle = f" {word} "
-    return (
-        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(" "))))
-        / F.lit(len(needle) - 1)
-    ).cast("long")
+    toks = F.split(F.trim(c), r"\s+")
+    return F.size(F.filter(toks, lambda t: t == F.lit(word))).cast("long")
 
 
 def punct_ratio(col) -> Column:
@@ -170,13 +175,18 @@ def quality_score(col) -> Column:
     return (quality_u.cast("double") / F.lit(10_000.0)).cast("double")
 
 
-def _idiv(a: Column, b: Column) -> Column:
+def exact_idiv(a: Column, b: Column) -> Column:
     """Exact integer division for nonnegative longs: (a − a mod b) / b.
 
     The numerator is exactly divisible, and both operands stay well
     under 2^53, so the double division is exact — identical in every
-    engine (equivalent to SQL's DIV / //)."""
+    engine (equivalent to SQL's DIV / //). THE canonical helper: the
+    cross-engine bit-identical-arithmetic guarantee in text/dedup/lm
+    scoring all routes through this one definition."""
     return ((a - F.pmod(a, b)) / b).cast("long")
+
+
+_idiv = exact_idiv  # internal alias
 
 
 def normalize_text(col) -> Column:

@@ -41,39 +41,54 @@ def asof_join_backward(
     suffix: str = "_right",
 ) -> DataFrame:
     """Inner as-of join: left rows paired with the latest right row at
-    ``right.ts <= left.ts`` per key (ties: the right row latest in the
-    deterministic (ts, order-cols) order wins). Left rows with no prior
-    right row are dropped (inner semantics — engine-portable output
-    with no null timestamps).
+    ``right.ts <= left.ts`` per key (ties among right rows with equal
+    (key, ts): the row greatest in payload-struct order wins — a total
+    order, so results are identical under any partitioning). Left rows
+    with no prior right row are dropped (inner semantics —
+    engine-portable output with no null timestamps).
 
     ``tolerance_us``: optional max staleness in microseconds.
     """
     left = normalize_event_time(left, [left_ts])
     right = normalize_event_time(right, [right_ts])
     right_cols = right_cols or [c for c in right.columns if c not in (key, right_ts)]
-    carried = [f"{c}{suffix}" for c in right_cols] + [f"{right_ts}{suffix}"]
 
     l_tagged = left.withColumn("_side", F.lit(1)).withColumn("_ats", F.col(left_ts))
-    r_tagged = (
-        right.select(
-            F.col(key),
-            F.col(right_ts).alias("_ats"),
+    # The whole right payload is carried as ONE struct: carrying each
+    # column independently with last(ignorenulls) would splice fields
+    # from different right rows whenever a payload value is NULL —
+    # composite rows that never existed. A struct is non-null as a
+    # whole even when fields are null, so last(struct, ignorenulls)
+    # picks the latest right ROW atomically.
+    r_tagged = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ats"),
+        F.struct(
             F.col(right_ts).alias(f"{right_ts}{suffix}"),
             *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
-        )
-        .withColumn("_side", F.lit(0))
-    )
+        ).alias("_rpayload"),
+    ).withColumn("_side", F.lit(0))
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
-    # right rows (side 0) sort before left rows at equal ts → inclusive <=
+    # right rows (side 0) sort before left rows at equal ts → inclusive
+    # <=; the struct itself is the final tie-break so equal-(key, ts)
+    # right rows resolve deterministically regardless of partitioning.
     w = (
         W.partitionBy(key)
-        .orderBy("_ats", "_side")
+        .orderBy("_ats", "_side", "_rpayload")
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    for c in carried:
-        unioned = unioned.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    out = unioned.where(F.col("_side") == 1).drop("_side", "_ats")
-    out = out.where(F.col(f"{right_ts}{suffix}").isNotNull())
+    unioned = unioned.withColumn(
+        "_rcarried", F.last("_rpayload", ignorenulls=True).over(w)
+    )
+    out = (
+        unioned.where(F.col("_side") == 1)
+        .where(F.col("_rcarried").isNotNull())
+        .select(
+            *[c for c in left.columns],
+            *[F.col(f"_rcarried.{f}{suffix}").alias(f"{f}{suffix}") for f in right_cols],
+            F.col(f"_rcarried.{right_ts}{suffix}").alias(f"{right_ts}{suffix}"),
+        )
+    )
     if tolerance_us is not None:
         out = out.where(
             F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col(f"{right_ts}{suffix}"))

@@ -34,55 +34,58 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_database_spark.functions.dedup import (
+    band_table as _band_table,  # shared construction — see dedup.band_table
     lsh_candidate_pairs,
     minhash_signatures,
     shingles,
 )
 
 
-def _band_table(sigs: DataFrame, num_perm: int, bands: int) -> DataFrame:
-    """(_id, band_id, band_hash) — the LSH bucket keys of a sig frame."""
-    rows_per_band = num_perm // bands
-    band_structs = [
-        F.struct(
-            F.lit(j).alias("band_id"),
-            F.xxhash64(
-                *[
-                    F.col(f"sig_{i}")
-                    for i in range(j * rows_per_band, (j + 1) * rows_per_band)
-                ]
-            ).alias("band_hash"),
-        )
-        for j in range(bands)
-    ]
-    return sigs.select("_id", F.explode(F.array(*band_structs)).alias("b")).select(
-        "_id",
-        F.col("b.band_id").alias("band_id"),
-        F.col("b.band_hash").alias("band_hash"),
-    )
-
-
 class SignatureStore:
     """Parquet-backed MinHash signature store: one row per document,
-    wide sig columns. Append-only; the band table is derived on read
-    (k xxhash64 calls per row — cheaper than persisting and keeps the
-    store a single source of truth)."""
+    wide sig columns. The band table is derived on read (k xxhash64
+    calls per row — cheaper than persisting and keeps the store a
+    single source of truth).
+
+    Writes are per-batch subdirectories overwritten by batch id, NOT
+    plain parquet appends: foreachBatch replays the same batch id
+    after a crash-before-checkpoint, and a blind append would
+    double-store those signatures (after which every future band join
+    against the duplicated rows emits duplicated matches)."""
 
     def __init__(self, spark: SparkSession, path: str, num_perm: int = 32):
         self.spark = spark
         self.path = path
         self.num_perm = num_perm
 
+    def _batch_dirs(self) -> list[str]:
+        if not os.path.isdir(self.path):
+            return []
+        return [
+            os.path.join(self.path, d)
+            for d in os.listdir(self.path)
+            if d.startswith("batch=")
+        ]
+
     def exists(self) -> bool:
-        return os.path.isdir(self.path) and any(
-            name.endswith(".parquet") for name in os.listdir(self.path)
+        return bool(self._batch_dirs())
+
+    def read(self, exclude_batch: int | None = None) -> DataFrame | None:
+        """All stored signatures; ``exclude_batch`` skips one batch's
+        partition — a replayed batch must not cross-join against its
+        own first-attempt signatures (they are already in the store
+        when the retry runs)."""
+        dirs = self._batch_dirs()
+        if exclude_batch is not None:
+            skip = os.path.join(self.path, f"batch={exclude_batch}")
+            dirs = [d for d in dirs if d != skip]
+        return self.spark.read.parquet(*dirs) if dirs else None
+
+    def append(self, sigs: DataFrame, batch_id: int = 0) -> None:
+        # overwrite-by-batch-id = idempotent under foreachBatch replay
+        sigs.write.mode("overwrite").parquet(
+            os.path.join(self.path, f"batch={batch_id}")
         )
-
-    def read(self) -> DataFrame | None:
-        return self.spark.read.parquet(self.path) if self.exists() else None
-
-    def append(self, sigs: DataFrame) -> None:
-        sigs.write.mode("append").parquet(self.path)
 
 
 def process_batch(
@@ -95,13 +98,19 @@ def process_batch(
     num_perm: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    batch_id: int = 0,
 ) -> None:
     """One micro-batch: sign new docs, LSH-join them against the
-    store, append estimate-scored matches, then append the new sigs.
+    store, write estimate-scored matches, then store the new sigs.
 
     Within-batch near-dups are found by the same banded self-join the
     batch operator uses (lsh_candidate_pairs), so a duplicate pair
     split across batches and one inside a single batch both surface.
+
+    Both writes key on ``batch_id`` with overwrite semantics, so a
+    foreachBatch replay of the same batch (crash before checkpoint
+    commit) reproduces rather than duplicates its output — the
+    exactly-once story depends on this, not just the checkpoint.
     """
     if batch_df.isEmpty():
         return
@@ -129,7 +138,8 @@ def process_batch(
     )
 
     # cross-batch pairs: batch band table joins the store's band table
-    stored = store.read()
+    # (minus this batch's own partition — present if this is a replay)
+    stored = store.read(exclude_batch=batch_id)
     if stored is not None:
         stored_bands = _band_table(stored, store.num_perm, bands)
         new_bands = _band_table(new_sigs, num_perm, bands)
@@ -144,8 +154,10 @@ def process_batch(
         cross = score(cross_pairs, stored, new_sigs)
         within = within.unionByName(cross)
 
-    within.write.mode("append").parquet(matches_path)
-    store.append(new_sigs)
+    within.write.mode("overwrite").parquet(
+        os.path.join(matches_path, f"batch={batch_id}")
+    )
+    store.append(new_sigs, batch_id)
     sh.unpersist()
     new_sigs.unpersist()
 
@@ -164,7 +176,7 @@ def run_near_dup_once(
     store = SignatureStore(spark, store_path, kwargs.get("num_perm", 32))
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        process_batch(batch_df, store, matches_path, **kwargs)
+        process_batch(batch_df, store, matches_path, batch_id=batch_id, **kwargs)
 
     (
         stream.writeStream.foreachBatch(handle)

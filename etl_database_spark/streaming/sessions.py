@@ -124,7 +124,14 @@ def sessionize_stream(
                 start = ts
             last, n, total = ts, n + 1, total + val
         state.update((start, last, n, total))
-        state.setTimeoutTimestamp(int(last.timestamp() * 1000) + gap_minutes * 60_000)
+        # Arrow hands the UDF tz-naive wall times; .timestamp() on a
+        # naive pandas Timestamp assumes UTC, which is only correct
+        # because the engine pins spark.sql.session.timeZone to UTC
+        # (session.py). Localize explicitly so the assumption is
+        # visible and a future non-UTC session fails loudly here
+        # rather than silently shifting timeouts.
+        last_utc = last if last.tzinfo is not None else last.tz_localize("UTC")
+        state.setTimeoutTimestamp(int(last_utc.timestamp() * 1000) + gap_minutes * 60_000)
         if closed:
             yield pd.DataFrame(closed)
 

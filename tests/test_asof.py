@@ -82,3 +82,42 @@ def test_range_join_matches_naive(spark):
             if a_k == b_k and 0 < d <= 300_000_000:
                 naive.add((a_id, b_id))
     assert got == naive
+
+
+def test_asof_null_payload_does_not_splice_rows(spark):
+    """A NULL payload value in the latest right row must NOT be
+    backfilled from an older right row — the carried payload is one
+    atomic row, never a composite of several."""
+    import datetime as dt
+
+    from etl_database_spark.operators.asof import asof_join_backward
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    right = spark.createDataFrame(
+        [(1, t(1), 5.0, "r1"), (1, t(2), None, "r2")],
+        "user_id long, ts timestamp, a double, b string",
+    )
+    left = spark.createDataFrame([(1, t(3), 100)], "user_id long, ts timestamp, x long")
+    (row,) = asof_join_backward(left, right, key="user_id").collect()
+    # latest right row is r2: a must be NULL (not r1's 5.0), b = 'r2'
+    assert row.b_right == "r2" and row.ts_right == t(2)
+    assert row.a_right is None
+
+
+def test_asof_equal_ts_ties_are_deterministic(spark):
+    import datetime as dt
+
+    from etl_database_spark.operators.asof import asof_join_backward
+
+    ts = dt.datetime(2024, 1, 1)
+    right = spark.createDataFrame(
+        [(1, ts, "p1"), (1, ts, "p2")], "user_id long, ts timestamp, payload string"
+    )
+    left = spark.createDataFrame([(1, ts, 1)], "user_id long, ts timestamp, x long")
+    results = {
+        asof_join_backward(left.repartition(n), right.repartition(5 - n), "user_id")
+        .collect()[0]
+        .payload_right
+        for n in (1, 2, 3)
+    }
+    assert results == {"p2"}  # greatest payload-struct wins, every time

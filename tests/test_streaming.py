@@ -346,3 +346,25 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     expected = sorted(key(r) for r in attributed_purchases(cdf, pdf).collect())
     assert got == expected
     assert len(got) > 0
+
+
+def test_near_dup_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch replays a batch id after a crash-before-checkpoint;
+    re-running process_batch with the same id must not duplicate
+    matches or store rows."""
+    from etl_database_spark.streaming.near_dup import SignatureStore, process_batch
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    store = SignatureStore(spark, str(tmp_path / "store"))
+    matches = str(tmp_path / "matches")
+    process_batch(docs, store, matches, batch_id=7)
+    first = sorted((r.id_a, r.id_b) for r in spark.read.parquet(matches).collect())
+    n_store_first = store.read().count()
+    process_batch(docs, store, matches, batch_id=7)  # replay
+    again = sorted((r.id_a, r.id_b) for r in spark.read.parquet(matches).collect())
+    assert again == first and len(first) >= 1
+    assert store.read().count() == n_store_first == 2
