@@ -50,6 +50,11 @@ def build_calendar(
         hol = spark.createDataFrame(
             [(h,) for h in holidays] or [("0001-01-01",)], "holiday_date string"
         ).select(F.col("holiday_date").cast("date"))
+    # A holiday source may carry several rows per date (one per holiday
+    # NAME); without the distinct, the left join below would duplicate
+    # those calendar days and every downstream calendar join would
+    # multiply matching fact rows.
+    hol = hol.distinct()
 
     # dayofweek(): 1=Sunday..7=Saturday → reference downum 0=Sunday..6.
     cal = (

@@ -244,8 +244,12 @@ class ImportJob:
             os.path.join(src, f) for f in os.listdir(src) if pat.match(f)
         )
 
-    def _read_file(self, path: str) -> DataFrame:
+    def _read_file(self, path: str) -> tuple[DataFrame, str | None]:
+        """→ (frame, scratch_dir): ``scratch_dir`` is the Excel
+        conversion tempdir to delete once the frame has been fully
+        consumed (the read is lazy, so it cannot be removed here)."""
         cfg = self.config
+        scratch = None
         if cfg.file_type.upper() in ("XLS", "XLSX"):
             import tempfile
 
@@ -253,23 +257,37 @@ class ImportJob:
 
             # Convert into a temp dir — the converted CSV must not land
             # in the watch dir (it is a derived artifact, not an input).
+            scratch = tempfile.mkdtemp(prefix="xls2csv_")
             out = os.path.join(
-                tempfile.mkdtemp(prefix="xls2csv_"),
-                os.path.splitext(os.path.basename(path))[0] + ".csv",
+                scratch, os.path.splitext(os.path.basename(path))[0] + ".csv"
             )
             path = excel_to_csv(path, out)
-        return (
+        df = (
             self.spark.read.option("header", "true")
             .option("sep", cfg.delimiter)
             .option("inferSchema", "false")  # all-string, reference semantics
             .csv(path)
         )
+        return df, scratch
 
     def _archive(self, path: str) -> None:
         os.makedirs(self.config.archive_directory, exist_ok=True)
         shutil.move(path, os.path.join(self.config.archive_directory, os.path.basename(path)))
 
     def run_file(self, path: str) -> ImportResult:
+        try:
+            return self._run_file(path)
+        finally:
+            # Excel conversion scratch dir (if any) is dead once the
+            # append materialized — without the cleanup a scheduled
+            # XLSX config leaks a full converted copy per run.
+            scratch = getattr(self, "_scratch_dir", None)
+            if scratch:
+                shutil.rmtree(scratch, ignore_errors=True)
+                self._scratch_dir = None
+
+    def _run_file(self, path: str) -> ImportResult:
+        self._scratch_dir = None
         cfg = self.config
         label = parse_label(path, cfg.metadata) or cfg.config_name
         snap_date = parse_date(path, cfg.metadata)
@@ -279,7 +297,7 @@ class ImportJob:
             snap_date, label, type_id, source_id, STATUS_ID["New"]
         )
         try:
-            df = self._read_file(path)
+            df, self._scratch_dir = self._read_file(path)
         except Exception:  # unreadable file → Empty, archive (generic_import.py:612-640)
             self.registry.set_status(dataset_id, "Empty")
             self._archive(path)
@@ -306,7 +324,21 @@ class ImportJob:
 
         df = normalize_columns(df)
         if cfg.truncate_to_width:
-            df = truncate_to_widths(df, profile_widths(df))
+            # Truncate to the TARGET table's profiled widths when it
+            # exists (the reference's semantics: align the incoming
+            # snapshot to the established schema). Profiling the
+            # incoming frame itself would be a no-op below the cap.
+            if self.table.exists():
+                existing = self.table.read()
+                shared = [c for c in df.columns if c in existing.columns]
+                widths = profile_widths(existing.select(shared)) if shared else {}
+                # columns new to the target keep their own profile
+                own_cols = [c for c in df.columns if c not in shared]
+                if own_cols:
+                    widths.update(profile_widths(df.select(own_cols)))
+            else:
+                widths = profile_widths(df)
+            df = truncate_to_widths(df, widths)
         df = (
             df.withColumn("datasetid", F.lit(dataset_id).cast("long"))
             .withColumn("datasetdate", F.lit(snap_date).cast("date"))
@@ -318,7 +350,10 @@ class ImportJob:
         df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         try:
             new_cols = self.table.append(df, cfg.import_strategy)
-        except ValueError:
+        except Exception:
+            # ANY append failure (schema validation ValueError, Spark
+            # AnalysisException, write errors) marks the dataset Failed
+            # — a row stuck in 'New' would re-register forever.
             self.registry.set_status(dataset_id, "Failed")
             raise
         rows = obs.get["rows"]
@@ -327,7 +362,16 @@ class ImportJob:
         return ImportResult(path, dataset_id, rows, "Active", new_cols)
 
     def run(self) -> list[ImportResult]:
-        results = [self.run_file(p) for p in self.discover()]
+        """Per-file error isolation: one bad file is recorded as Failed
+        and the rest of the directory still loads (the reference's
+        nightly sweep semantics — one malformed delivery must not
+        block the feed)."""
+        results = []
+        for p in self.discover():
+            try:
+                results.append(self.run_file(p))
+            except Exception:
+                results.append(ImportResult(p, -1, 0, "Failed"))
         if self.config.compact_max_files is not None:
             self.table.maybe_compact(self.config.compact_max_files)
         return results
@@ -351,13 +395,22 @@ def load_directory(
 
     pattern = config.file_pattern
     src = config.source_directory
+    # File selection MUST agree with ImportJob.discover() (re.match,
+    # anchored at the start): rlike is a substring search, so anchor
+    # the regex explicitly. The glob prefilter is derived from the
+    # pattern's literal extension when it has one (scan-cost
+    # optimization only — the regex remains the filter of record).
+    m = re.search(r"\\\.(\w+)$", pattern)
+    glob = f"*.{m.group(1)}" if m else "*"
     df = (
         spark.read.option("header", "true")
         .option("sep", config.delimiter)
         .option("inferSchema", "false")
-        .option("pathGlobFilter", "*.csv")
+        .option("pathGlobFilter", glob)
         .csv(src)
-        .where(F.element_at(F.split(F.input_file_name(), "/"), -1).rlike(pattern))
+        .where(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).rlike(f"^(?:{pattern})")
+        )
     )
     label_col, date_col = file_metadata_columns(config.metadata)
     df = normalize_columns(df).withColumn("label", label_col).withColumn(

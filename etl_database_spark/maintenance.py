@@ -24,12 +24,31 @@ from pyspark.sql import DataFrame, Row, SparkSession
 from etl_database_spark.registry import _atomic_overwrite
 
 
+def _layout_partition_cols(path: str) -> list[str]:
+    """Partition columns from the hive-style directory layout
+    (``col=value`` path segments), walked from the table root. The
+    layout is the source of truth — inferring from a hardcoded column
+    name would silently flatten any table partitioned by something
+    else, destroying partition pruning on the rewrite."""
+    cols: list[str] = []
+    cur = path
+    while True:
+        subdirs = [
+            d for d in (os.listdir(cur) if os.path.isdir(cur) else [])
+            if "=" in d and os.path.isdir(os.path.join(cur, d))
+        ]
+        if not subdirs:
+            return cols
+        cols.append(subdirs[0].split("=", 1)[0])
+        cur = os.path.join(cur, subdirs[0])
+
+
 def compact_table(spark: SparkSession, path: str, target_files: int = 8) -> int:
     """Rewrite a Parquet table into ``target_files`` files per
     partition directory; returns file count before compaction."""
     before = sum(len(files) for _, _, files in os.walk(path))
     df = spark.read.option("mergeSchema", "true").parquet(path)
-    partition_cols = [c for c in df.columns if c == "datasetdate"]
+    partition_cols = [c for c in _layout_partition_cols(path) if c in df.columns]
     compacted = df.repartition(target_files)
     tmp_written = compacted
     if partition_cols:

@@ -229,6 +229,18 @@ class DatasetRegistry:
                 ),
             )
             updated = _enforce_single_active(updated, now, winner_id=datasetid)
+        else:
+            # Deactivation closes the effective range exactly like the
+            # displacement path — an isactive=false row with an open
+            # effthrudate would still satisfy point-in-time range
+            # predicates forever.
+            updated = updated.withColumn(
+                "effthrudate",
+                F.when(
+                    (F.col("datasetid") == datasetid) & (F.col("effthrudate") > F.lit(now)),
+                    F.lit(now),
+                ).otherwise(F.col("effthrudate")),
+            )
         _atomic_overwrite(updated.coalesce(1), self.path)
 
     def status_table(self) -> DataFrame:
@@ -242,10 +254,19 @@ def _enforce_single_active(df: DataFrame, now: dt.datetime, winner_id: int | Non
     losers get isactive=false, effthrudate=now. The winner is the
     explicitly-activated row when ``winner_id`` is given (set_status
     path), else the most recent active row (register path)."""
+    # Active rows MUST rank before inactive ones: a newer inactive
+    # sibling (an Empty/Failed re-delivery) would otherwise take rank 1
+    # and silently deactivate the key's active snapshot on the next
+    # unrelated enforcement pass.
     if winner_id is not None:
-        order = [F.desc(F.col("datasetid") == winner_id), F.desc("efffromdate"), F.desc("datasetid")]
+        order = [
+            F.desc(F.col("datasetid") == winner_id),
+            F.desc("isactive"),
+            F.desc("efffromdate"),
+            F.desc("datasetid"),
+        ]
     else:
-        order = [F.desc("efffromdate"), F.desc("datasetid")]
+        order = [F.desc("isactive"), F.desc("efffromdate"), F.desc("datasetid")]
     w = W.partitionBy("label", "datasettypeid", "datasetdate").orderBy(*order)
     return (
         df.withColumn("_rn", F.row_number().over(w))

@@ -55,7 +55,16 @@ def render_report(spark: SparkSession, cfg: ReportConfig, max_rows: int = 10000)
     ``max_rows`` bounds driver-side materialization — report grids are
     human-facing; a query that returns more than this is truncated (the
     render is a sink, not a data path)."""
+    # Unreplaced slots are stripped from the TEMPLATE before
+    # substitution — a post-hoc sweep over the rendered body would
+    # also delete any '{{...}}'-looking text that arrives via query
+    # DATA (e.g. a config value stored in a table), corrupting the
+    # report content.
     body = cfg.body_template
+    known = {"{{" + p + "}}" for p in cfg.body_queries}
+    body = re.sub(
+        r"\{\{[^}]+\}\}", lambda m: m.group(0) if m.group(0) in known else "", body
+    )
     errors: dict[str, str] = {}
     for placeholder, sql in cfg.body_queries.items():
         slot = "{{" + placeholder + "}}"
@@ -66,8 +75,6 @@ def render_report(spark: SparkSession, cfg: ReportConfig, max_rows: int = 10000)
             html = f"<p>Error in query '{placeholder}': {e}</p>"
             errors[placeholder] = str(e)
         body = body.replace(slot, html)
-    # Unreplaced slots render empty rather than leaking template syntax.
-    body = re.sub(r"\{\{[^}]+\}\}", "", body)
 
     attachments: dict[str, str] = {}
     for spec in cfg.attachment_queries:

@@ -51,6 +51,11 @@ def cron_matches(expr: str, when: dt.datetime) -> bool:
         _parse_field(f, lo, hi) for f, (lo, hi) in zip(fields, _FIELD_RANGES)
     ]
     minute, hour, dom, month, dow = sets
+    # Vixie cron: DOW 7 is a standard alias for Sunday (0); the range
+    # guard would otherwise silently drop it and '* * * * 7' entries
+    # would never fire.
+    if "7" in fields[4]:
+        dow = dow | {v % 7 for v in _parse_field(fields[4], 0, 7)}
     # cron DOW: 0=Sunday; Python weekday(): 0=Monday → convert
     py_dow = (when.weekday() + 1) % 7
     time_ok = when.minute in minute and when.hour in hour and when.month in month

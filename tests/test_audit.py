@@ -64,8 +64,10 @@ def test_strategy3_failure_audited(spark, tmp_path):
     (tmp_path / "watch" / "20250301T120000_MeetMax_1.csv").write_text("A,B\n1,2\n")
     job.run()
     (tmp_path / "watch" / "20250302T120000_MeetMax_1.csv").write_text("A\n3\n")
-    with pytest.raises(ValueError, match="strategy 3"):
-        job.run()
+    # run() isolates the failure per file (Failed result, no raise);
+    # the audit row is written either way.
+    (res,) = job.run()
+    assert res.status == "Failed"
     fails = audit.events().where(F.col("eventtype") == VALIDATION_FAILED).collect()
     assert len(fails) == 1
     assert "b" in fails[0].detail

@@ -60,3 +60,17 @@ def test_asof_business_day_join(spark):
     out = asof_business_day(facts, cal, "d", "prev_bd").orderBy("id").collect()
     assert out[0].prev_bd == dt.date(2025, 1, 3)
     assert out[1].prev_bd == dt.date(2025, 1, 10)
+
+
+def test_duplicate_holiday_rows_do_not_duplicate_days(spark):
+    """A holiday table with several rows per date (one per holiday
+    name) must not duplicate calendar days."""
+    from etl_database_spark.calendar import build_calendar
+
+    hol = spark.createDataFrame(
+        [("2024-01-01",), ("2024-01-01",)], "holiday_date string"
+    )
+    cal = build_calendar(spark, "2024-01-01", "2024-01-07", hol)
+    assert cal.count() == 7
+    assert cal.where("fulldate = DATE '2024-01-01'").count() == 1
+    assert cal.where("isholiday").count() == 1

@@ -127,10 +127,17 @@ def test_strategy3_fails_on_missing_columns(spark, tmp_path):
     (tmp_path / "watch" / "20250301T120000_MeetMax_1.csv").write_text("A,B\n1,2\n")
     job.run()
     (tmp_path / "watch" / "20250302T120000_MeetMax_1.csv").write_text("A\n3\n")
+    # run_file surfaces the violation directly...
     with pytest.raises(ValueError, match="strategy 3"):
-        job.run()
+        job.run_file(str(tmp_path / "watch" / "20250302T120000_MeetMax_1.csv"))
     failed = reg.datasets().orderBy(F.desc("datasetid")).first()
     assert failed.datastatusid == 5  # Failed
+    # ...while the directory sweep isolates it: the bad file records a
+    # Failed result and later files still load.
+    (tmp_path / "watch" / "20250303T120000_MeetMax_1.csv").write_text("A,B\n4,5\n")
+    results = {r.filename.split("/")[-1]: r.status for r in job.run()}
+    assert results["20250302T120000_MeetMax_1.csv"] == "Failed"
+    assert results["20250303T120000_MeetMax_1.csv"] == "Active"
 
 
 def test_compaction_aware_ingest(spark, tmp_path):

@@ -113,3 +113,33 @@ def test_survey_core_queries_inside_driver_window():
     # rows-only (no-oracle) queries must sort after every oracle-backed one
     tiers = [0 if reg[n].oracle is not None or n in core else 1 for n in names]
     assert tiers == sorted(tiers), "rows-only queries must register last"
+
+
+def test_newer_inactive_sibling_never_displaces_active(spark, tmp_path):
+    """Regression: the single-active window must rank active rows
+    first. A newer inactive sibling (Empty re-delivery) present when a
+    LATER unrelated activation sweeps the registry must not knock out
+    the key's active snapshot."""
+    reg = DatasetRegistry(spark, str(tmp_path / "registry"))
+    t = reg.ensure_type("T")
+    d = dt.date(2025, 3, 1)
+    id_active = reg.register_snapshot(d, "evt", t)
+    id_empty = reg.register_snapshot(d, "evt", t, datastatusid=STATUS_ID["Empty"])
+    # unrelated key activates → global enforcement pass runs
+    other = reg.register_snapshot(d, "other", t)
+    rows = {r.datasetid: r for r in reg.datasets().collect()}
+    assert rows[id_active].isactive, "active snapshot was displaced by an inactive sibling"
+    assert not rows[id_empty].isactive
+    assert rows[other].isactive
+
+
+def test_deactivation_closes_effective_range(spark, tmp_path):
+    """set_status to a non-Active status must close effthrudate —
+    point-in-time range predicates must stop matching the row."""
+    reg = DatasetRegistry(spark, str(tmp_path / "registry"))
+    t = reg.ensure_type("T")
+    did = reg.register_snapshot(dt.date(2025, 3, 1), "evt", t)
+    reg.set_status(did, "Inactive")
+    row = reg.datasets().where(F.col("datasetid") == did).first()
+    assert not row.isactive
+    assert row.effthrudate < dt.datetime(9999, 1, 1)

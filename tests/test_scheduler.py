@@ -47,3 +47,17 @@ def test_due_tasks():
     ]
     due = due_tasks(entries, dt.datetime(2025, 1, 1, 5, 0))
     assert [e.taskname for e in due] == ["a"]
+
+
+def test_cron_dow_seven_is_sunday():
+    """Vixie-cron alias: DOW 7 == Sunday; '* * * * 7' must fire on
+    Sundays instead of never."""
+    import datetime as dt
+
+    from etl_database_spark.scheduler import cron_matches
+
+    sunday = dt.datetime(2025, 3, 2, 2, 0)  # a Sunday
+    monday = dt.datetime(2025, 3, 3, 2, 0)
+    assert cron_matches("0 2 * * 7", sunday)
+    assert not cron_matches("0 2 * * 7", monday)
+    assert cron_matches("0 2 * * 0", sunday)  # canonical form unaffected
