@@ -26,7 +26,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from etl_database_spark.functions.sampling import hash_bucket
 
 
 def chunk_documents(
@@ -79,10 +78,17 @@ def pack_documents(
     over the id-ordered window is that rule as one expression —
     no loop, no state, deterministic, and the window runs per shard so
     no single task ever sees more than one shard's rows."""
-    sharded = df.withColumn(
-        "shard", (hash_bucket(id_col, 1000 * n_shards) % n_shards).cast("int")
+    from etl_database_spark.operators.sharding import with_shard
+
+    sharded = with_shard(df, id_col, n_shards)
+    # ROWS frame, not the default RANGE: with RANGE, duplicate ids are
+    # frame peers and each would see the cumsum including BOTH rows,
+    # overflowing bins past the one-document contract on dirty input.
+    w = (
+        W.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    w = W.partitionBy("shard").orderBy(id_col)
     cum = F.sum(tokens_col).over(w)
     return sharded.select(
         F.col(id_col).alias("doc_id"),

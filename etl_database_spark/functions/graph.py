@@ -36,12 +36,20 @@ def pagerank(
     damping: float = 0.85,
     max_iter: int = 20,
     tol: float = 1e-6,
+    check_every: int = 5,
 ) -> DataFrame:
     """PageRank over an undirected pair list (id_a, id_b) → (_id, rank).
 
     Ranks follow the sum-to-N convention (uniform start rank 1.0).
     Undirected: each pair contributes an edge in both directions, so
     there are no dangling nodes by construction.
+
+    Convergence (L1 delta < tol·N) is tested every ``check_every``
+    rounds — the delta is its own join+aggregate job over all nodes,
+    so testing every round would add one full extra pass per
+    iteration for a check that rarely fires early. The returned frame
+    is localCheckpoint'd; callers holding many results across a long
+    session should ``unpersist()`` ones they are done with.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -60,7 +68,7 @@ def pagerank(
         return nodes.withColumn("rank", F.lit(0.0))
 
     ranks = nodes.withColumn("rank", F.lit(1.0)).localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    for it in range(max_iter):
         contribs = (
             edges.join(degrees, "src")
             .join(ranks, edges.src == ranks._id)
@@ -79,10 +87,13 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+        check = (it + 1) % check_every == 0 or it == max_iter - 1
         delta = (
             new_ranks.join(ranks.withColumnRenamed("rank", "prev"), "_id")
             .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("d"))
             .first()[0]
+            if check
+            else None
         )
         ranks.unpersist()
         ranks = new_ranks

@@ -54,12 +54,18 @@ def split_assign(
     if abs(sum(weights.values()) - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {weights}")
     bucket = hash_bucket(key_col, buckets)
-    expr = None
+    # NULL keys hash to NULL, and a NULL bucket would fall through
+    # every `<` condition into the otherwise() branch — silently
+    # depositing null-keyed rows in the LAST split (typically the
+    # eval/test set). Route them explicitly to the FIRST split so
+    # evaluation sets stay clean; they remain in the output (dropping
+    # rows from a split assignment would silently shrink the corpus).
+    first = next(iter(weights))
+    expr = F.when(bucket.isNull(), first)
     hi = 0
     for name, w in weights.items():
         hi += int(round(w * buckets))
-        cond = bucket < F.lit(hi)
-        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        expr = expr.when(bucket < F.lit(hi), name)
     # rounding can leave the last bucket unassigned; fold it into the
     # final split
     last = list(weights)[-1]

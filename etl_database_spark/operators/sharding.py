@@ -28,12 +28,12 @@ from etl_database_spark.functions.sampling import hash_bucket
 
 
 def with_shard(df: DataFrame, key_col: str, n_shards: int) -> DataFrame:
-    """Deterministic shard id in [0, n_shards): md5-bucket of the key
-    modulo the shard count (bucket space 1000 × n_shards keeps the
-    modulo unbiased for any practical shard count)."""
-    return df.withColumn(
-        "shard", (hash_bucket(key_col, 1000 * n_shards) % n_shards).cast("int")
-    )
+    """Deterministic shard id in [0, n_shards): md5-bucket of the key.
+    THE one shard-derivation helper (pack_documents shares it) —
+    ``hash_bucket(key, n) == (hash_bucket(key, 1000n) % n)`` since
+    1000n is a multiple of n, so the single modulo is equivalent to
+    the former double-modulo form and values are unchanged."""
+    return df.withColumn("shard", hash_bucket(key_col, n_shards).cast("int"))
 
 
 def write_training_shards(
@@ -47,8 +47,19 @@ def write_training_shards(
     partitioned by shard id, stable row order inside each shard."""
     sharded = with_shard(df, key_col, n_shards)
     (
-        sharded.repartition(n_shards, "shard")
-        .sortWithinPartitions(sort_col or key_col)
+        # Range-partition on the shard id: hash repartition would send
+        # colliding shard ids to one task (murmur3(shard) % n is not
+        # identity), leaving straggler tasks writing 2-3 shards while
+        # others sit idle. Range boundaries over 0..n-1 give ~one
+        # shard per task; the on-disk layout (one directory+file per
+        # shard) is guaranteed by partitionBy regardless.
+        sharded.repartitionByRange(n_shards, "shard")
+        # 'shard' leads the sort: the partitionBy write requires an
+        # ordering on the partition column, and without it the planner
+        # inserts its own Sort ABOVE ours — under spill, merge order
+        # between spill files is heap order, which would break the
+        # stable intra-shard layout contract.
+        .sortWithinPartitions("shard", sort_col or key_col)
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)

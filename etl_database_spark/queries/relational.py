@@ -1115,7 +1115,12 @@ def supplier_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "|", F.upper(F.trim("s_name")), F.col("n_name"), F.substring("n_name", 1, 3)
             ).alias("label"),
             F.length("s_name").cast("long").alias("name_len"),
-            F.element_at(F.split("s_name", "#"), 2).alias("name_num"),
+            # try_element_at: under ANSI mode (Spark 4 default) a name
+            # with no '#' would make element_at throw; SPLIT_PART in
+            # the oracle yields '' for the missing field instead.
+            F.coalesce(
+                F.try_element_at(F.split("s_name", "#"), F.lit(2)), F.lit("")
+            ).alias("name_num"),
         )
         .orderBy("s_suppkey")
     )
@@ -1485,7 +1490,7 @@ _HIST_WIDTH_CENTS = 50_000_00  # $50k bins
 @register(
     "order_price_histogram",
     oracle=f"""
-    SELECT CAST(CAST(o_totalprice * 100 AS BIGINT) // {_HIST_WIDTH_CENTS} AS BIGINT) AS bin,
+    SELECT CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) // {_HIST_WIDTH_CENTS} AS BIGINT) AS bin,
            COUNT(*) AS n_orders,
            MIN(o_totalprice) AS min_price,
            MAX(o_totalprice) AS max_price
@@ -1497,7 +1502,10 @@ _HIST_WIDTH_CENTS = 50_000_00  # $50k bins
 def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$50k-wide histogram of order totals (integer cents binning)."""
     o = table(spark, sf_dir, "orders")
-    cents = (F.col("o_totalprice") * 100).cast("long")
+    # explicit round-to-nearest on BOTH engines: a bare double→long
+    # cast truncates in Spark but rounds in DuckDB, so prices whose
+    # cents value sits fractionally below a bin edge would diverge.
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     bin_col = ((cents - F.pmod(cents, F.lit(_HIST_WIDTH_CENTS))) / _HIST_WIDTH_CENTS).cast(
         "long"
     )

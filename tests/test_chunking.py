@@ -65,3 +65,21 @@ def test_packing_sequential_fill_contract(spark):
             totals.setdefault(r.bin_id, []).append(tokens[r.doc_id])
         for b, ts in totals.items():
             assert sum(ts) - ts[-1] < budget
+
+
+def test_pack_documents_duplicate_ids_keep_rows_frame(spark):
+    """Duplicate ids must not become RANGE-frame peers: with the
+    default RANGE frame, three 150-token docs sharing an id would all
+    see the full 450 cumsum and land in bin 1 (bin 0 empty, bin 1
+    overfilled by two docs); the ROWS frame fills sequentially —
+    starts 0/150/300 → bins 0/0/1, never more than one doc of
+    overflow per bin."""
+    from etl_database_spark.functions.chunking import pack_documents
+
+    df = spark.createDataFrame(
+        [(1, 150), (1, 150), (1, 150)], "doc_id long, n_tokens long"
+    )
+    bins = sorted(
+        r.bin_id for r in pack_documents(df, budget=200, n_shards=1).collect()
+    )
+    assert bins == [0, 0, 1]

@@ -105,3 +105,13 @@ def test_leakage_safe_splits_cluster_atomicity(spark):
 def _py_split(key):
     b = _py_bucket(key)
     return "train" if b < 900 else ("val" if b < 950 else "test")
+
+
+def test_split_assign_null_keys_go_to_first_split(spark):
+    """NULL keys must not silently land in the eval/test split (the
+    otherwise() fallback) — they are routed to the first split and
+    never dropped."""
+    df = spark.createDataFrame([(1,), (None,), (2,)], "doc_id long")
+    out = {r.doc_id: r.split for r in SMP.split_assign(df, "doc_id").collect()}
+    assert len(out) == 3
+    assert out[None] == "train"
