@@ -26,8 +26,25 @@ def backup_data_root(data_root: str, backup_dir: str, keep_days: int = 3) -> str
     os.makedirs(backup_dir, exist_ok=True)
     stamp = dt.datetime.now().strftime("%Y%m%dT%H%M%S")
     path = os.path.join(backup_dir, f"backup_{stamp}.tar.gz")
+    seq = 1
+    while os.path.exists(path):  # same-second run must not clobber
+        path = os.path.join(backup_dir, f"backup_{stamp}.{seq}.tar.gz")
+        seq += 1
+    # If backup_dir lives inside data_root, the recursion would
+    # archive every previous backup plus the partial in-progress
+    # archive itself (geometric growth) — exclude it.
+    backup_abs = os.path.abspath(backup_dir)
+
+    def _exclude_backups(ti):
+        full = os.path.abspath(os.path.join(os.path.dirname(data_root.rstrip("/")), ti.name))
+        return None if full == backup_abs or full.startswith(backup_abs + os.sep) else ti
+
     with tarfile.open(path, "w:gz") as tar:
-        tar.add(data_root, arcname=os.path.basename(data_root.rstrip("/")))
+        tar.add(
+            data_root,
+            arcname=os.path.basename(data_root.rstrip("/")),
+            filter=_exclude_backups,
+        )
     cutoff = time.time() - keep_days * 86400
     for old in glob.glob(os.path.join(backup_dir, "backup_*.tar.gz")):
         if old != path and os.path.getmtime(old) < cutoff:

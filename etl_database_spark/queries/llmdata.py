@@ -80,7 +80,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
            COUNT(*) AS n_docs,
-           CAST(SUM(LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1 END) AS BIGINT) AS total_tokens,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(MAX(LENGTH(text)) AS BIGINT) AS max_len
     FROM documents
@@ -90,10 +90,14 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token counts via the engine-portable length-difference
-    form (single-space corpora); aggregated per source."""
+    form (single-space corpora), with an explicit 0-for-blank guard —
+    the bare separator count would report 1 token for empty text,
+    disagreeing with token_count(); aggregated per source."""
     d = table(spark, sf_dir, "documents")
     trimmed = F.trim(F.col("text"))
-    ntok = F.length(trimmed) - F.length(F.replace(trimmed, F.lit(" "), F.lit(""))) + 1
+    ntok = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.length(trimmed) - F.length(F.replace(trimmed, F.lit(" "), F.lit(""))) + 1
+    )
     return (
         d.groupBy("source")
         .agg(
@@ -267,6 +271,19 @@ _MINHASH_SIG_STORE: dict = {}
 _MINHASH_PARAMS = {"n": 7, "num_perm": 32, "bands": 8, "threshold": 0.5}
 
 
+def _evict_stale(cache: dict, sf_dir: str, key: tuple) -> None:
+    """Drop (and delete from disk) cache entries for ``sf_dir`` whose
+    key no longer matches — a rebuilt fixture replaces, not
+    accumulates, its full-corpus store copy on temp disk."""
+    import os
+    import shutil
+
+    for old_key in [k for k in cache if k[0] == sf_dir and k != key]:
+        path = cache.pop(old_key)
+        shutil.rmtree(os.path.dirname(path) if path.endswith("/sigs") else path,
+                      ignore_errors=True)
+
+
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
@@ -277,6 +294,7 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(sf_dir, "documents.parquet")
     key = (sf_dir, os.path.getmtime(src) if os.path.exists(src) else None)
     if key not in _MINHASH_SIG_STORE:
+        _evict_stale(_MINHASH_SIG_STORE, sf_dir, key)
         d = table(spark, sf_dir, "documents")
         sigs = D.minhash_signatures(
             D.shingles(d, "text", "doc_id", n=_MINHASH_PARAMS["n"]),
@@ -463,14 +481,25 @@ _IVF_INDEX_CACHE: dict = {}
 
 
 def _ivf_index(spark: SparkSession, sf_dir: str):
-    if sf_dir not in _IVF_INDEX_CACHE:
+    import os
+
+    # Same mtime keying as the minhash store: a rewritten embeddings
+    # fixture must invalidate the index instead of serving inverted
+    # lists built from deleted vectors.
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    key = (sf_dir, os.path.getmtime(src) if os.path.exists(src) else None)
+    if key not in _IVF_INDEX_CACHE:
+        import shutil
         import tempfile
 
+        for old_key in [k for k in _IVF_INDEX_CACHE if k[0] == sf_dir and k != key]:
+            old = _IVF_INDEX_CACHE.pop(old_key)
+            shutil.rmtree(old.path, ignore_errors=True)
         emb = table(spark, sf_dir, "embeddings")
         cents = S.kmeans_fit(emb, dim=64, k=8, max_iter=5)
         path = tempfile.mkdtemp(prefix="spark_graft_ivf_")
-        _IVF_INDEX_CACHE[sf_dir] = S.IvfIndex.build(spark, emb, cents, path)
-    return _IVF_INDEX_CACHE[sf_dir]
+        _IVF_INDEX_CACHE[key] = S.IvfIndex.build(spark, emb, cents, path)
+    return _IVF_INDEX_CACHE[key]
 
 
 @register("ivf_topk_ann")
@@ -726,7 +755,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_docs,
            CAST(SUM(len(regexp_extract_all(text, '{T.BPE_TOKEN_RE}'))) AS BIGINT)
              AS total_bpe_tokens,
-           CAST(SUM(LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1) AS BIGINT)
+           CAST(SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1 END) AS BIGINT)
              AS total_ws_tokens
     FROM documents
     GROUP BY source
@@ -739,7 +768,9 @@ def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     training pipeline actually bills by."""
     d = table(spark, sf_dir, "documents")
     trimmed = F.trim(F.col("text"))
-    ws = F.length(trimmed) - F.length(F.replace(trimmed, F.lit(" "), F.lit(""))) + 1
+    ws = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.length(trimmed) - F.length(F.replace(trimmed, F.lit(" "), F.lit(""))) + 1
+    )
     return (
         d.groupBy("source")
         .agg(
@@ -800,7 +831,7 @@ _PACK_BUDGET, _PACK_SHARDS = 2000, 8
 _PACK_ORACLE = f"""
     WITH s AS (
       SELECT doc_id,
-             LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1 AS n_tokens,
+             CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1 END AS n_tokens,
              CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
                % {1000 * _PACK_SHARDS} % {_PACK_SHARDS} AS shard
       FROM documents),
@@ -825,7 +856,9 @@ def doc_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     trimmed = F.trim(F.col("text"))
     ntok = (
+        F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
         F.length(trimmed) - F.length(F.replace(trimmed, F.lit(" "), F.lit(""))) + 1
+    )
     )
     packed = C.pack_documents(
         d.select("doc_id", ntok.alias("n_tokens")),

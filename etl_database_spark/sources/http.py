@@ -48,15 +48,19 @@ def fetch_with_retry(
     initial_delay: float = 15.0,
     sleep: Callable[[float], None] = time.sleep,
 ) -> tuple[int, str]:
-    """GET with exponential backoff; 429 and transport errors retry,
-    doubling the delay each time (web_utils.py:5-29)."""
+    """GET with exponential backoff; ONLY 429 (rate limit) and
+    transport errors retry, doubling the delay each time
+    (web_utils.py:5-29). Permanent statuses (404, 403, 500...) return
+    immediately — retrying a dead link would stall its partition for
+    the full backoff schedule for nothing."""
     delay = initial_delay
-    for attempt in range(max_retries):
+    status, body = -1, ""
+    for attempt in range(max(max_retries, 1)):
         try:
             status, body = fetcher(url)
         except Exception:  # noqa: BLE001 — transport failure → retry
             status, body = -1, ""
-        if status == 200:
+        if status not in (429, -1):
             return status, body
         if attempt < max_retries - 1:
             sleep(delay)
@@ -69,11 +73,13 @@ def fetch_urls(
     urls: list[str],
     fetcher: Fetcher,
     max_retries: int = 5,
-    initial_delay: float = 0.0,
+    initial_delay: float = 1.0,
 ) -> DataFrame:
     """Distributed fetch: (url, status, body) via mapInPandas — each
     partition fetches serially with backoff (per-partition politeness;
-    parallelism = partition count, the knob the reference sets to 1)."""
+    parallelism = partition count, the knob the reference sets to 1).
+    ``initial_delay`` must be positive for the backoff to throttle at
+    all (0 doubles to 0 forever — no politeness)."""
     import pandas as pd
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:

@@ -74,7 +74,21 @@ def process_inbox(
             os.makedirs(cfg.local_repository_path, exist_ok=True)
             stamp = msg.received.strftime("%Y%m%dT%H%M%S")
             for name, data in matching_attachments(msg, cfg).items():
-                path = os.path.join(cfg.local_repository_path, f"{stamp}_{name}")
+                # Attachment names come from external senders: strip
+                # any path components (a name containing separators
+                # would escape the repository dir or crash the write),
+                # and uniquify on collision — two messages in the same
+                # second with same-named attachments must not silently
+                # overwrite each other.
+                safe = os.path.basename(name.replace("\\", "/")) or "attachment"
+                path = os.path.join(cfg.local_repository_path, f"{stamp}_{safe}")
+                seq = 1
+                while os.path.exists(path):
+                    stem, ext = os.path.splitext(safe)
+                    path = os.path.join(
+                        cfg.local_repository_path, f"{stamp}_{stem}.{seq}{ext}"
+                    )
+                    seq += 1
                 with open(path, "wb") as f:
                     f.write(data)
                 written.append(path)
