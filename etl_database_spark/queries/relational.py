@@ -19,11 +19,15 @@ Cross-engine determinism notes (applied throughout):
 - **Top-k / row_number**: every ORDER BY inside a window carries a
   unique tie-break key so both engines pick identical rows.
 
-Scale notes: dimension joins (region/nation/customer/supplier/part) are
-explicitly ``broadcast()`` — at 100 TB the fact tables shuffle only for
-fact-fact joins and aggregations, never to co-locate a dimension.
-Aggregations are single-pass hash aggregates with map-side partial
-combine (verified via .explain: HashAggregate partial/final pairs).
+Scale notes: only *schema-bounded* dimensions (region, nation, the
+business calendar, 1-row scalar frames) carry an explicit
+``broadcast()`` hint — see ``dim()`` below. Tables that grow with the
+scale factor (customer/supplier/part) are passed unhinted: AQE picks a
+broadcast join for them at small SF anyway, and at 100 TB the plan
+degrades gracefully to a shuffle join instead of dying on a forced
+terabyte broadcast. Aggregations are single-pass hash aggregates with
+map-side partial combine (verified via .explain: HashAggregate
+partial/final pairs).
 """
 
 from __future__ import annotations
@@ -41,6 +45,27 @@ DEC = "decimal(18,6)"
 def dsum(col, alias):
     """Deterministic double sum: decimal-exact accumulate, double result."""
     return F.sum(col.cast(DEC)).cast("double").alias(alias)
+
+
+# Dimension-broadcast policy. Only tables whose cardinality is fixed by
+# the SCHEMA may carry an unconditional broadcast hint: region (5 rows)
+# and nation (25) never grow with the scale factor. customer, supplier,
+# part, orders and lineitem all scale linearly with SF — at the 100 TB
+# target customer alone is terabytes, and an explicit F.broadcast hint
+# bypasses spark.sql.autoBroadcastJoinThreshold, so Spark would attempt
+# the broadcast and fail outright (broadcast size cap / driver OOM)
+# rather than fall back. Scaling tables are therefore passed through
+# unhinted: AQE still chooses a broadcast join at small scale factors
+# (measured size under the threshold — local plans unchanged) while the
+# 100x plan degrades gracefully to a shuffle hash join. Same policy as
+# the measured-size gates in functions/dedup._maybe_broadcast.
+BOUNDED_DIMS = frozenset({"region", "nation"})
+
+
+def dim(df: DataFrame, name: str) -> DataFrame:
+    """Hint broadcast only for schema-bounded dimensions; scaling
+    tables go to Catalyst/AQE unhinted (the scale-safe default)."""
+    return F.broadcast(df) if name in BOUNDED_DIMS else df
 
 
 # Shared fixed holiday list for business-day calendar queries
@@ -112,8 +137,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact-fact join (lineitem-orders) shuffles on orderkey; every
-    dimension is broadcast so no extra shuffle of the fact stream."""
+    """Fact-fact join (lineitem-orders) shuffles on orderkey; the
+    schema-bounded dims (nation, region) are broadcast, and customer —
+    which scales with SF — is left to AQE (broadcast at small SF,
+    shuffle join at 100 TB)."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
@@ -121,7 +148,7 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = table(spark, sf_dir, "region")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(dim(c, "customer"), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -459,7 +486,7 @@ def top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     w = W.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(dim(c, "customer"), o.o_custkey == c.c_custkey)
         .select("c_mktsegment", "o_orderkey", "o_totalprice")
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
@@ -482,7 +509,7 @@ def distinct_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(dim(c, "customer"), o.o_custkey == c.c_custkey)
         .select("c_mktsegment", "o_orderstatus")
         .distinct()
         .orderBy("c_mktsegment", "o_orderstatus")
@@ -802,7 +829,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(dim(c, "customer"), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", F.to_date("o_orderdate").alias("order_date"), "o_orderpriority")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
@@ -838,7 +865,7 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(dim(c, "customer"), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -897,7 +924,7 @@ def segment_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(dim(c, "customer"), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .count()
@@ -931,7 +958,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(dim(c, "customer"), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .rollup("r_name", "n_name")
@@ -969,7 +996,7 @@ def nation_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(dim(s, "supplier"), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
@@ -1321,7 +1348,7 @@ def top_value_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = rev.agg(dsum(F.col("supplier_revenue"), "total_revenue"))
     return (
-        rev.join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        rev.join(dim(s, "supplier"), rev.l_suppkey == s.s_suppkey)
         .join(F.broadcast(total))
         .where(F.col("supplier_revenue") > 0.0015 * F.col("total_revenue"))
         .select("s_suppkey", "s_name", "supplier_revenue")
