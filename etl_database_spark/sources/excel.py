@@ -8,10 +8,11 @@ reader, the files are small driver-side artifacts, and the CSV output
 feeds the distributed reader.
 
 Engine ladder: pandas+openpyxl → pandas+xlrd (legacy .xls) → a
-stdlib OOXML reader (zipfile + ElementTree — .xlsx is a zip of XML,
-so modern workbooks convert even in environments with neither Excel
-library installed). Legacy binary .xls with no xlrd raises a clear
-ImportError.
+stdlib fallback dispatched on the file magic: OOXML reader for
+.xlsx (zipfile + ElementTree — a zip of XML) or BIFF8 reader for
+legacy binary .xls (sources/xls_biff.py — OLE2 compound document).
+Workbooks of either vintage convert even in environments with
+neither Excel library installed.
 """
 
 from __future__ import annotations
@@ -135,11 +136,16 @@ def excel_to_csv(path: str, out_path: str | None = None) -> str:
             df = pd.read_excel(path, engine="xlrd")  # legacy .xls fallback
         except Exception as e:
             try:
-                rows = _read_xlsx_stdlib(path)
+                from etl_database_spark.sources.xls_biff import is_ole2, read_xls_stdlib
+
+                if is_ole2(path):
+                    rows = read_xls_stdlib(path)
+                else:
+                    rows = _read_xlsx_stdlib(path)
             except Exception:
                 raise ImportError(
                     f"cannot read Excel file {path}: openpyxl/xlrd unavailable "
-                    "or file invalid (stdlib xlsx fallback also failed)"
+                    "or file invalid (stdlib xls/xlsx fallback also failed)"
                 ) from e
             header = [str(h) for h in rows[0]] if rows else []
             # Data rows wider than the header keep their cells under
