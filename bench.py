@@ -41,6 +41,8 @@ HEADLINE = [
     "minhash_near_dups",
     "simhash_fingerprints",
     "corpus_curation_pipeline",
+    "doc_bigram_lm_scores",
+    "train_eval_contamination",
 ]
 
 

@@ -82,11 +82,35 @@ class DatasetRegistry:
         )
         return self.spark.createDataFrame([], schema)
 
+    # ensure_lookup collects the entire lookup table per call, which is
+    # only sound because these tables are configuration-cardinality
+    # (dataset types / data sources: one row per configured pipeline,
+    # tens of rows). The cap below makes that invariant executable —
+    # routing per-row or per-file data through a lookup would otherwise
+    # silently become a driver-side collect of unbounded data at scale.
+    MAX_LOOKUP_ROWS = 10_000
+
     def ensure_lookup(self, path: str, id_col: str, name_col: str, name: str) -> int:
         """Idempotent get-or-insert of a lookup row (ON CONFLICT DO
-        NOTHING shape, generic_import.py:218-243). Returns the id."""
+        NOTHING shape, generic_import.py:218-243). Returns the id.
+
+        Lookup tables must stay configuration-sized (see
+        MAX_LOOKUP_ROWS); this is not a general-purpose dimension
+        writer."""
         df = self._read_lookup(path, id_col, name_col)
+        if df.limit(self.MAX_LOOKUP_ROWS + 1).count() > self.MAX_LOOKUP_ROWS:
+            raise ValueError(
+                f"lookup table {path} exceeds MAX_LOOKUP_ROWS="
+                f"{self.MAX_LOOKUP_ROWS}; ensure_lookup is for "
+                "configuration-cardinality tables only"
+            )
         existing = {r[name_col]: r[id_col] for r in df.collect()}
+        if name not in existing and len(existing) >= self.MAX_LOOKUP_ROWS:
+            raise ValueError(
+                f"lookup table {path} is at MAX_LOOKUP_ROWS="
+                f"{self.MAX_LOOKUP_ROWS}; refusing to grow it — "
+                "ensure_lookup is for configuration-cardinality tables only"
+            )
         if name in existing:
             return existing[name]
         new_id = (max(existing.values()) + 1) if existing else 1

@@ -1,0 +1,82 @@
+"""DuckDB-oracle equivalence for queries OUTSIDE the driver's window.
+
+The round driver's correctness gate checks only the first 50 entries
+of `queries()`; the registry deliberately orders the SURVEY §2 core
+operators inside that window, which leaves the later llmdata /
+similarity queries with no driver-visible red row if they regress.
+This suite closes that gap: every oracle-backed query past the cap is
+compared against DuckDB here, so a green `pytest` implies all
+registered oracle-backed queries are green, not just the first 50.
+
+Runs at sf0.01 (the driver's own comparison scale — small enough to be
+fast, large enough that joins/windows produce non-trivial output).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+from check_oracle import TABLES, value_hash  # noqa: E402  (tools/check_oracle.py)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+DRIVER_CAP = 50
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason=f"testdata {SF_DIR} not present"
+)
+
+
+def _uncapped_oracle_queries():
+    from etl_database_spark.queries import load_all
+
+    registry = load_all()
+    names = list(registry)
+    return [(n, registry[n]) for n in names[DRIVER_CAP:] if registry[n].oracle is not None]
+
+
+_QUERIES = _uncapped_oracle_queries() if os.path.isdir(SF_DIR) else []
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    yield con
+    con.close()
+
+
+def test_uncapped_query_set_is_what_we_expect():
+    """The cap math only protects anything if the uncapped tail is
+    non-empty and oracle-backed; pin the shape so a registry reorder
+    that silently drops oracles from the tail fails loudly."""
+    assert len(_QUERIES) >= 20
+    names = {n for n, _ in _QUERIES}
+    # representative llmdata queries that must stay covered somewhere
+    for probe in ("ngram_jaccard_pairs", "train_eval_contamination", "leakage_safe_splits"):
+        from etl_database_spark.queries import load_all
+
+        registry = load_all()
+        assert probe in registry
+        if list(registry).index(probe) >= DRIVER_CAP:
+            assert probe in names
+
+
+@pytest.mark.parametrize("name,rq", _QUERIES, ids=[n for n, _ in _QUERIES])
+def test_oracle_equivalence(spark, duck, name, rq):
+    sdf = rq.fn(spark, SF_DIR).toPandas()
+    odf = duck.execute(rq.oracle).df()
+    assert len(sdf) == len(odf), f"{name}: rows {len(sdf)} vs oracle {len(odf)}"
+    assert sorted(sdf.columns) == sorted(odf.columns), (
+        f"{name}: cols {sorted(sdf.columns)} vs oracle {sorted(odf.columns)}"
+    )
+    assert value_hash(sdf) == value_hash(odf), f"{name}: value-hash mismatch vs oracle"

@@ -13,6 +13,23 @@ def test_lookup_idempotent(spark, tmp_path):
     assert a != b
 
 
+def test_lookup_cardinality_cap(spark, tmp_path, monkeypatch):
+    """ensure_lookup collects the whole table driver-side; the cap
+    keeps it restricted to configuration-cardinality tables so per-row
+    data can never be routed through it unnoticed."""
+    import pytest
+
+    reg = DatasetRegistry(spark, str(tmp_path / "registry"))
+    monkeypatch.setattr(DatasetRegistry, "MAX_LOOKUP_ROWS", 3)
+    for i in range(3):
+        reg.ensure_type(f"T{i}")
+    with pytest.raises(ValueError, match="MAX_LOOKUP_ROWS"):
+        reg.ensure_type("T3")
+    # existing names still resolve under the cap
+    monkeypatch.setattr(DatasetRegistry, "MAX_LOOKUP_ROWS", 10_000)
+    assert reg.ensure_type("T0") == 1
+
+
 def test_single_active_invariant(spark, tmp_path):
     """Reference trigger semantics (dataset_setup.sql:193-216): any
     insert sequence leaves ≤1 active row per (label, type, date), the

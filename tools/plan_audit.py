@@ -47,7 +47,11 @@ def main() -> int:
             print(f"| {name} | ERROR: {str(e)[:60]} | | | | | |")
             continue
         n_ex = plan.count("Exchange")
-        n_bc = plan.count("BroadcastHashJoin")
+        # Count every broadcast join strategy: BroadcastHashJoin for
+        # keyed joins plus BroadcastNestedLoopJoin for the 1-row
+        # scalar-frame cross joins (bounds/thresholds), which are
+        # broadcasts the audit exists to verify too.
+        n_bc = plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin")
         pushed = any(
             "PushedFilters:" in ln and "PushedFilters: []" not in ln
             for ln in plan.splitlines()
