@@ -274,6 +274,45 @@ class ImportJob:
         os.makedirs(self.config.archive_directory, exist_ok=True)
         shutil.move(path, os.path.join(self.config.archive_directory, os.path.basename(path)))
 
+    def _widths_path(self) -> str:
+        # Beside the table directory (not inside it): creating the
+        # table dir early would flip table.exists() before any data
+        # lands, and parquet discovery should never see this file.
+        return self.table.path + "._widths.json"
+
+    def _target_widths(self, df: DataFrame) -> dict[str, int]:
+        """Profiled VARCHAR widths for truncation, persisted with the
+        target table and only ever WIDENED.
+
+        Re-deriving widths from the target's data each run had two
+        scale problems: a whole-table aggregate scan per imported
+        file, and a ratchet-down — an early narrow snapshot would set
+        max_len*1.5 low and silently truncate wider values in later
+        deliveries. Here each import profiles only its own incoming
+        frame (one pass over the new file), merges max-wise into the
+        persisted widths, and writes them back. The one legacy case —
+        a pre-existing table with no widths file — profiles the target
+        once to seed the file."""
+        import json
+
+        path = self._widths_path()
+        if os.path.exists(path):
+            with open(path) as f:
+                persisted = {k: int(v) for k, v in json.load(f).items()}
+        elif self.table.exists():
+            persisted = profile_widths(self.table.read())  # one-time seed
+        else:
+            persisted = {}
+        incoming = profile_widths(df)
+        merged = {c: max(persisted.get(c, 0), w) for c, w in incoming.items()}
+        merged = persisted | merged
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(merged, f)
+        os.replace(tmp, path)
+        return merged
+
     def run_file(self, path: str) -> ImportResult:
         try:
             return self._run_file(path)
@@ -296,70 +335,66 @@ class ImportJob:
         dataset_id = self.registry.register_snapshot(
             snap_date, label, type_id, source_id, STATUS_ID["New"]
         )
+        # ANY exception between registration and a terminal status —
+        # append failures, but also width profiling, normalization, or
+        # observation retrieval — must mark the row Failed: a row left
+        # in 'New' with the file un-archived would be re-registered as
+        # a fresh 'New' row by every subsequent sweep (unbounded
+        # registry growth). The flag keeps a post-success failure
+        # (e.g. the archive move) from demoting an Active dataset
+        # whose data already landed.
+        terminal = False
         try:
-            df, self._scratch_dir = self._read_file(path)
-        except Exception:  # unreadable file → Empty, archive (generic_import.py:612-640)
-            self.registry.set_status(dataset_id, "Empty")
-            self._archive(path)
-            return ImportResult(path, dataset_id, 0, "Empty")
+            try:
+                df, self._scratch_dir = self._read_file(path)
+            except Exception:  # unreadable file → Empty, archive (generic_import.py:612-640)
+                self.registry.set_status(dataset_id, "Empty")
+                terminal = True
+                self._archive(path)
+                return ImportResult(path, dataset_id, 0, "Empty")
 
-        if not df.columns or df.isEmpty():
-            self.registry.set_status(dataset_id, "Empty")
-            self._archive(path)
-            return ImportResult(path, dataset_id, 0, "Empty")
+            empty = not df.columns or df.isEmpty()
+            if not empty:
+                # Content gate: first column contains 'Invalid Event ID'
+                # (generic_import.py:353-362).
+                first_col = df.columns[0]
+                empty = (
+                    df.where(
+                        F.lower(F.col(first_col).cast("string")).contains("invalid event id")
+                    )
+                    .limit(1)
+                    .count()
+                    > 0
+                )
+            if empty:
+                self.registry.set_status(dataset_id, "Empty")
+                terminal = True
+                self._archive(path)
+                return ImportResult(path, dataset_id, 0, "Empty")
 
-        # Content gate: first column contains 'Invalid Event ID'
-        # (generic_import.py:353-362).
-        first_col = df.columns[0]
-        invalid = (
-            df.where(F.lower(F.col(first_col).cast("string")).contains("invalid event id"))
-            .limit(1)
-            .count()
-            > 0
-        )
-        if invalid:
-            self.registry.set_status(dataset_id, "Empty")
-            self._archive(path)
-            return ImportResult(path, dataset_id, 0, "Empty")
-
-        df = normalize_columns(df)
-        if cfg.truncate_to_width:
-            # Truncate to the TARGET table's profiled widths when it
-            # exists (the reference's semantics: align the incoming
-            # snapshot to the established schema). Profiling the
-            # incoming frame itself would be a no-op below the cap.
-            if self.table.exists():
-                existing = self.table.read()
-                shared = [c for c in df.columns if c in existing.columns]
-                widths = profile_widths(existing.select(shared)) if shared else {}
-                # columns new to the target keep their own profile
-                own_cols = [c for c in df.columns if c not in shared]
-                if own_cols:
-                    widths.update(profile_widths(df.select(own_cols)))
-            else:
-                widths = profile_widths(df)
-            df = truncate_to_widths(df, widths)
-        df = (
-            df.withColumn("datasetid", F.lit(dataset_id).cast("long"))
-            .withColumn("datasetdate", F.lit(snap_date).cast("date"))
-        )
-        # Row count is observed DURING the append job (metric piggy-backs
-        # on the write) — a post-hoc df.count() would re-execute the full
-        # read (and for Excel, the driver-side conversion) once more.
-        obs = Observation()
-        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
-        try:
+            df = normalize_columns(df)
+            if cfg.truncate_to_width:
+                df = truncate_to_widths(df, self._target_widths(df))
+            df = (
+                df.withColumn("datasetid", F.lit(dataset_id).cast("long"))
+                .withColumn("datasetdate", F.lit(snap_date).cast("date"))
+            )
+            # Row count is observed DURING the append job (metric
+            # piggy-backs on the write) — a post-hoc df.count() would
+            # re-execute the full read (and for Excel, the driver-side
+            # conversion) once more.
+            obs = Observation()
+            df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
             new_cols = self.table.append(df, cfg.import_strategy)
+            rows = obs.get["rows"]
+            self.registry.set_status(dataset_id, "Active")
+            terminal = True
+            self._archive(path)
+            return ImportResult(path, dataset_id, rows, "Active", new_cols)
         except Exception:
-            # ANY append failure (schema validation ValueError, Spark
-            # AnalysisException, write errors) marks the dataset Failed
-            # — a row stuck in 'New' would re-register forever.
-            self.registry.set_status(dataset_id, "Failed")
+            if not terminal:
+                self.registry.set_status(dataset_id, "Failed")
             raise
-        rows = obs.get["rows"]
-        self.registry.set_status(dataset_id, "Active")
-        self._archive(path)
-        return ImportResult(path, dataset_id, rows, "Active", new_cols)
 
     def run(self) -> list[ImportResult]:
         """Per-file error isolation: one bad file is recorded as Failed

@@ -48,11 +48,13 @@ def fetch_with_retry(
     initial_delay: float = 15.0,
     sleep: Callable[[float], None] = time.sleep,
 ) -> tuple[int, str]:
-    """GET with exponential backoff; ONLY 429 (rate limit) and
+    """GET with exponential backoff; 429 (rate limit), transient 5xx
+    (500/502/503/504 — flaky upstreams and gateways recover), and
     transport errors retry, doubling the delay each time
-    (web_utils.py:5-29). Permanent statuses (404, 403, 500...) return
+    (web_utils.py:5-29). 4xx client errors (404, 403...) return
     immediately — retrying a dead link would stall its partition for
     the full backoff schedule for nothing."""
+    retryable = {429, 500, 502, 503, 504, -1}
     delay = initial_delay
     status, body = -1, ""
     for attempt in range(max(max_retries, 1)):
@@ -60,7 +62,7 @@ def fetch_with_retry(
             status, body = fetcher(url)
         except Exception:  # noqa: BLE001 — transport failure → retry
             status, body = -1, ""
-        if status not in (429, -1):
+        if status not in retryable:
             return status, body
         if attempt < max_retries - 1:
             sleep(delay)

@@ -51,8 +51,13 @@ def read_jsonl_corpus(
     that parsed as JSON objects; the observation reports
     ``rows_total`` / ``rows_corrupt`` counted during whatever action
     the caller runs — no extra scan. If ``quarantine_path`` is set,
-    corrupt raw lines are appended there (one write job) before the
-    clean frame returns, so nothing is silently lost.
+    corrupt raw lines are written (one write job) before the clean
+    frame returns, so nothing is silently lost. The write goes to a
+    deterministic subdirectory keyed by the input path and is
+    OVERWRITTEN, not appended: re-running the same corpus (a retry, a
+    re-executed pipeline stage) reproduces the same quarantine rather
+    than duplicating every corrupt line — the same idempotence the
+    batch-id-keyed streaming writes use.
     """
     # Blank/whitespace-only lines are not records in JSONL (they would
     # otherwise parse to all-null rows that pass the corrupt filter) —
@@ -71,9 +76,13 @@ def read_jsonl_corpus(
     )
     bad = F.col(f"_doc.{_CORRUPT}").isNotNull()
     if quarantine_path is not None:
+        import hashlib
+        import os
+
+        key = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:16]
         parsed.where(bad).select(
             F.col(f"_doc.{_CORRUPT}").alias("raw_line")
-        ).write.mode("append").text(quarantine_path)
+        ).write.mode("overwrite").text(os.path.join(quarantine_path, f"source={key}"))
     obs = Observation()
     observed = parsed.observe(
         obs,

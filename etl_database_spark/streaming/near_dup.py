@@ -51,12 +51,43 @@ class SignatureStore:
     plain parquet appends: foreachBatch replays the same batch id
     after a crash-before-checkpoint, and a blind append would
     double-store those signatures (after which every future band join
-    against the duplicated rows emits duplicated matches)."""
+    against the duplicated rows emits duplicated matches).
+
+    Batch ids are only unique WITHIN one stream checkpoint — a stream
+    started with a fresh checkpoint restarts at batch 0, so pointing
+    it at an existing store would silently overwrite previously stored
+    signatures. The store therefore records the owning stream's query
+    id (stable across restarts of the same checkpoint) and ``bind``
+    refuses reuse by any other stream: store_path and checkpoint
+    lifecycles are coupled by construction, not convention."""
 
     def __init__(self, spark: SparkSession, path: str, num_perm: int = 32):
         self.spark = spark
         self.path = path
         self.num_perm = num_perm
+
+    def _stream_id_path(self) -> str:
+        return os.path.join(self.path, "_stream_id")
+
+    def bind(self, stream_id: str) -> None:
+        """Claim the store for one stream identity, or verify the
+        claim on restart; raise if another stream already owns it."""
+        marker = self._stream_id_path()
+        if os.path.exists(marker):
+            with open(marker) as f:
+                owner = f.read().strip()
+            if owner != stream_id:
+                raise ValueError(
+                    f"signature store {self.path} belongs to stream "
+                    f"{owner}; refusing reuse by stream {stream_id} "
+                    "(its batch ids would overwrite stored batches — "
+                    "use a fresh store path or keep the original "
+                    "checkpoint)"
+                )
+            return
+        os.makedirs(self.path, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write(stream_id)
 
     def _batch_dirs(self) -> list[str]:
         if not os.path.isdir(self.path):
@@ -162,6 +193,16 @@ def process_batch(
     new_sigs.unpersist()
 
 
+def _checkpoint_stream_id(checkpoint: str) -> str:
+    """The query id Spark persists in <checkpoint>/metadata — stable
+    across restarts of the same checkpoint, fresh for a new one."""
+    import json
+
+    path = checkpoint[len("file:") :] if checkpoint.startswith("file:") else checkpoint
+    with open(os.path.join(path, "metadata")) as f:
+        return str(json.load(f)["id"])
+
+
 def run_near_dup_once(
     spark: SparkSession,
     stream: DataFrame,
@@ -172,10 +213,14 @@ def run_near_dup_once(
 ) -> None:
     """AvailableNow driver: drain the source through the near-dup
     batch handler; the checkpoint guarantees each input file is signed
-    and matched exactly once across restarts."""
+    and matched exactly once across restarts, and the store is bound
+    to this checkpoint's stream identity before any batch writes."""
     store = SignatureStore(spark, store_path, kwargs.get("num_perm", 32))
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        # The metadata file exists once the query has started, which
+        # is always before the first foreachBatch call.
+        store.bind(_checkpoint_stream_id(checkpoint))
         process_batch(batch_df, store, matches_path, batch_id=batch_id, **kwargs)
 
     (

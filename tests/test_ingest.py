@@ -81,6 +81,75 @@ def test_import_end_to_end(spark, tmp_path):
     assert ds.label == "94583" and ds.datasetdate == dt.date(2025, 3, 1) and ds.isactive
 
 
+def test_width_persistence_never_ratchets_down(spark, tmp_path):
+    """Widths are persisted with the table and only widen: an early
+    narrow delivery must not cause later, wider values to be silently
+    truncated (the re-derive-from-data-each-run ratchet), and imports
+    after the first must not rescan the whole target to profile it."""
+    import json
+
+    cfg = _config(tmp_path, truncate_to_width=True)
+    reg = DatasetRegistry(spark, str(tmp_path / "registry"))
+    job = ImportJob(spark, cfg, reg, str(tmp_path / "data"))
+
+    # delivery 1: narrow values → narrow persisted widths
+    (tmp_path / "watch" / "20250301T120000_MeetMax_1.csv").write_text(
+        "Name,Notes\na,xy\n"
+    )
+    (res1,) = job.run()
+    assert res1.status == "Active"
+    widths_path = tmp_path / "data" / "tmeetmaxevent._widths.json"
+    assert widths_path.exists()
+    w1 = json.loads(widths_path.read_text())
+
+    # delivery 2: much wider value in the same column survives intact
+    wide = "z" * 500
+    (tmp_path / "watch" / "20250302T120000_MeetMax_2.csv").write_text(
+        f"Name,Notes\nb,{wide}\n"
+    )
+    (res2,) = job.run()
+    assert res2.status == "Active"
+    got = {r.name: r.notes for r in job.table.read().collect()}
+    assert got["b"] == wide, "later wider delivery was truncated by early narrow widths"
+    w2 = json.loads(widths_path.read_text())
+    assert all(w2[c] >= w1.get(c, 0) for c in w2), "widths ratcheted down"
+    assert w2["notes"] >= 500
+
+    # the hard cap still applies to pathological values
+    huge = "q" * 5000
+    (tmp_path / "watch" / "20250303T120000_MeetMax_3.csv").write_text(
+        f"Name,Notes\nc,{huge}\n"
+    )
+    (res3,) = job.run()
+    assert res3.status == "Active"
+    got = {r.name: r.notes for r in job.table.read().collect()}
+    assert len(got["c"]) == 4000  # WIDTH_CAP
+
+
+def test_failure_outside_append_marks_failed(spark, tmp_path, monkeypatch):
+    """A failure raised after registration but OUTSIDE the append (in
+    width profiling here) must set the dataset row to Failed — a row
+    stuck in 'New' with the file un-archived would be re-registered as
+    a fresh 'New' row by every subsequent sweep."""
+    from etl_database_spark.registry import STATUS_ID
+
+    cfg = _config(tmp_path, truncate_to_width=True)
+    reg = DatasetRegistry(spark, str(tmp_path / "registry"))
+    job = ImportJob(spark, cfg, reg, str(tmp_path / "data"))
+    (tmp_path / "watch" / "20250301T120000_MeetMax_1.csv").write_text("A,B\n1,2\n")
+
+    def boom(self, df):
+        raise RuntimeError("profiling exploded")
+
+    monkeypatch.setattr(ImportJob, "_target_widths", boom)
+    (res,) = job.run()
+    assert res.status == "Failed"
+    statuses = [r.datastatusid for r in reg.datasets().collect()]
+    assert statuses == [STATUS_ID["Failed"]]
+    # file intentionally left in place for operator inspection/retry
+    assert os.path.exists(tmp_path / "watch" / "20250301T120000_MeetMax_1.csv")
+
+
 def test_schema_evolution_strategy1(spark, tmp_path):
     """Ragged snapshot headers (FIXTURES.md F1): later file brings a new
     column; earlier rows read as null for it (union-by-name semantics)."""

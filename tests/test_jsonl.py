@@ -48,6 +48,11 @@ def test_jsonl_quarantine_preserves_raw_lines(spark, tmp_path):
     bad = {r.value for r in spark.read.text(q).collect()}
     assert "{this is not json" in bad
     assert len(bad) == 2
+    # re-running the same corpus (retry / re-executed stage) overwrites
+    # its keyed quarantine dir instead of duplicating every line
+    clean2, _ = read_jsonl_corpus(spark, src, quarantine_path=q)
+    assert clean2.count() == 3
+    assert spark.read.text(q).count() == 2
 
 
 def test_jsonl_gzip_native(spark, tmp_path):

@@ -30,10 +30,31 @@ def test_fetch_with_retry_backoff():
 
 
 def test_fetch_with_retry_gives_up():
+    calls = []
+
+    def fetcher(u):
+        calls.append(u)
+        return (503, "")
+
     status, _ = fetch_with_retry(
-        "http://x/1", lambda u: (500, ""), max_retries=3, initial_delay=0, sleep=lambda d: None
+        "http://x/1", fetcher, max_retries=3, initial_delay=0, sleep=lambda d: None
     )
-    assert status == 500
+    assert status == 503
+    assert len(calls) == 3  # transient 5xx is retried before giving up
+
+
+def test_fetch_client_error_fails_fast():
+    calls = []
+
+    def fetcher(u):
+        calls.append(u)
+        return (404, "gone")
+
+    status, _ = fetch_with_retry(
+        "http://x/1", fetcher, max_retries=5, initial_delay=0, sleep=lambda d: None
+    )
+    assert status == 404
+    assert len(calls) == 1  # 4xx never retries — dead links don't stall the partition
 
 
 def test_url_check_extraction(spark):

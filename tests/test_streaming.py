@@ -1,5 +1,6 @@
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -302,6 +303,52 @@ def test_streaming_near_dup_within_and_across_batches(spark, tmp_path):
     # store now holds every signed doc exactly once
     assert spark.read.parquet(store).select("_id").distinct().count() == 5
     assert spark.read.parquet(store).count() == 5
+
+
+def test_near_dup_store_refuses_foreign_checkpoint(spark, tmp_path):
+    """A stream with a FRESH checkpoint restarts batch ids at 0; its
+    writes would overwrite an existing store's batch partitions. The
+    store is bound to the first checkpoint's query id and must refuse
+    any other stream rather than destroy data."""
+    from etl_database_spark.streaming.near_dup import run_near_dup_once
+
+    src = str(tmp_path / "src")
+    store, matches = str(tmp_path / "store"), str(tmp_path / "matches")
+    schema = "doc_id long, text string"
+    d1 = spark.createDataFrame([(1, "alpha " * 40), (2, "beta " * 40)], schema)
+    d1.write.parquet(src)
+    run_near_dup_once(
+        spark,
+        spark.readStream.schema(d1.schema).parquet(src),
+        store,
+        matches,
+        str(tmp_path / "ckpt1"),
+    )
+    stored_before = spark.read.parquet(store).count()
+    assert stored_before == 2
+
+    with pytest.raises(Exception, match="signature store"):
+        run_near_dup_once(
+            spark,
+            spark.readStream.schema(d1.schema).parquet(src),
+            store,
+            str(tmp_path / "matches2"),
+            str(tmp_path / "ckpt2"),  # fresh checkpoint → new stream id
+        )
+    # nothing was overwritten
+    assert spark.read.parquet(store).count() == stored_before
+
+    # the ORIGINAL checkpoint still works (same stream id rebinds)
+    d2 = spark.createDataFrame([(3, "gamma " * 40)], schema)
+    d2.write.mode("append").parquet(src)
+    run_near_dup_once(
+        spark,
+        spark.readStream.schema(d1.schema).parquet(src),
+        store,
+        matches,
+        str(tmp_path / "ckpt1"),
+    )
+    assert spark.read.parquet(store).count() == 3
 
 
 def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
