@@ -13,12 +13,14 @@ Design (the 100 TB pattern):
   a typed column frame;
 - codec policy: formats the Python standard library + numpy can
   decode are decoded FOR REAL — uncompressed BMP (BI_RGB 24-bit),
-  binary PPM (P6) images, and PCM WAV audio (stdlib ``wave``) — with
-  real pixel/sample math for features and resizing; compressed
-  formats (JPEG/PNG/MP3/video) raise NotImplementedError at the
-  marked slot until an imaging/audio library is present. ``fake=True``
-  selects the deterministic digest-based decoder for pipeline tests
-  that don't care about payload contents.
+  binary PPM (P6), 8-bit truecolor PNG (zlib inflate + per-row
+  unfiltering) images, and PCM WAV audio (stdlib ``wave``) — with
+  real pixel/sample math for features and resizing; the remaining
+  compressed formats (JPEG/MP3/video, and PNG variants beyond 8-bit
+  RGB/RGBA) raise NotImplementedError at the marked slot until an
+  imaging/audio library is present. ``fake=True`` selects the
+  deterministic digest-based decoder for pipeline tests that don't
+  care about payload contents.
 """
 
 from __future__ import annotations
@@ -43,12 +45,102 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def _decode_pixels(payload: bytes):
-    """Decode an uncompressed image payload to an HxWx3 uint8 numpy
-    array. Supports BMP (BI_RGB 24-bit) and binary PPM (P6) — the
-    formats a stdlib-only build can read. Returns None for other
-    (compressed) formats."""
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _unfilter_png_row(ftype: int, row: bytearray, prev: bytes, bpp: int) -> bytearray:
+    """Reverse one scanline's PNG filter (spec §9: None/Sub/Up/
+    Average/Paeth, all arithmetic mod 256). Sequential by definition —
+    Sub/Average/Paeth reference the just-reconstructed left neighbor."""
+    n = len(row)
+    recon = bytearray(row)
+    if ftype == 0:
+        return recon
+    if ftype == 1:  # Sub
+        for i in range(bpp, n):
+            recon[i] = (recon[i] + recon[i - bpp]) & 0xFF
+        return recon
+    if ftype == 2:  # Up
+        for i in range(n):
+            recon[i] = (recon[i] + prev[i]) & 0xFF
+        return recon
+    if ftype == 3:  # Average
+        for i in range(n):
+            left = recon[i - bpp] if i >= bpp else 0
+            recon[i] = (recon[i] + ((left + prev[i]) >> 1)) & 0xFF
+        return recon
+    if ftype == 4:  # Paeth
+        for i in range(n):
+            a = recon[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            recon[i] = (recon[i] + pred) & 0xFF
+        return recon
+    raise ValueError(f"bad PNG filter type {ftype}")
+
+
+def _decode_png(payload: bytes):
+    """8-bit truecolor PNG (color type 2 RGB / 6 RGBA, non-interlaced)
+    → HxWx3 uint8 array via stdlib zlib: chunk walk, IDAT inflate,
+    per-row unfilter, alpha dropped. Returns None for PNG variants
+    outside that envelope (paletted/16-bit/interlaced → the
+    real-codec slot). Per-byte unfiltering is Python-speed — fine for
+    the metadata-first pipeline shape where only selected rows are
+    decoded; swap in an imaging library for bulk pixel work."""
+    import zlib
+
     import numpy as np
+
+    pos = 8
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if ctype == b"IHDR":
+            width = int.from_bytes(data[0:4], "big")
+            height = int.from_bytes(data[4:8], "big")
+            bit_depth, color_type = data[8], data[9]
+            interlace = data[12]
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln  # length + type + payload-less CRC skip
+    if width is None or bit_depth != 8 or color_type not in (2, 6) or interlace != 0:
+        return None
+    ch = 3 if color_type == 2 else 4
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) < (stride + 1) * height:
+        raise ValueError("truncated PNG pixel data")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = bytes(stride)
+    for r in range(height):
+        off = r * (stride + 1)
+        recon = _unfilter_png_row(
+            raw[off], bytearray(raw[off + 1 : off + 1 + stride]), prev, ch
+        )
+        out[r] = np.frombuffer(bytes(recon), dtype=np.uint8)
+        prev = bytes(recon)
+    px = out.reshape(height, width, ch)
+    return px[:, :, :3].copy() if ch == 4 else px.copy()
+
+
+def _decode_pixels(payload: bytes):
+    """Decode an image payload to an HxWx3 uint8 numpy array.
+    Supports BMP (BI_RGB 24-bit), binary PPM (P6), and 8-bit
+    truecolor PNG — the formats a stdlib-only build can read.
+    Returns None for other (compressed) formats."""
+    import numpy as np
+
+    if payload[:8] == _PNG_MAGIC:
+        return _decode_png(payload)
 
     if payload[:2] == b"BM" and len(payload) >= 54:
         data_off = int.from_bytes(payload[10:14], "little")

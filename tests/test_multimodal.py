@@ -155,6 +155,105 @@ def test_real_bmp_and_ppm_decode(spark):
     assert out[1].features == out[2].features
 
 
+def _png_bytes(pixels, rgba=False, filters=None):
+    """Encode rows of RGB tuples as an 8-bit truecolor PNG; per-row
+    filter types selectable to exercise every unfilter branch."""
+    import struct
+    import zlib
+
+    h, w = len(pixels), len(pixels[0])
+    ch = 4 if rgba else 3
+    filters = filters or [0] * h
+
+    def px_bytes(p):
+        return bytes(p) + (b"\xff" if rgba else b"")
+
+    def apply_filter(ftype, row, prev):
+        out = bytearray()
+        for i, b in enumerate(row):
+            a = row[i - ch] if i >= ch else 0
+            up = prev[i] if prev else 0
+            c = prev[i - ch] if (prev and i >= ch) else 0
+            if ftype == 0:
+                out.append(b)
+            elif ftype == 1:
+                out.append((b - a) & 0xFF)
+            elif ftype == 2:
+                out.append((b - up) & 0xFF)
+            elif ftype == 3:
+                out.append((b - ((a + up) >> 1)) & 0xFF)
+            else:  # Paeth
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                out.append((b - pred) & 0xFF)
+        return bytes(out)
+
+    raw = b""
+    prev = None
+    for ftype, row in zip(filters, pixels):
+        flat = b"".join(px_bytes(p) for p in row)
+        raw += bytes([ftype]) + apply_filter(ftype, flat, prev)
+        prev = flat
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6 if rgba else 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_real_png_decode_matches_bmp(spark):
+    """The same image stored as BMP and PNG (every filter type, and
+    RGBA with opaque alpha) must yield identical features — the PNG
+    path is a real zlib-inflate + unfilter decode, not a stub."""
+    px = [
+        [(255, 0, 0), (0, 255, 0), (17, 34, 51)],
+        [(0, 0, 255), (255, 255, 255), (200, 100, 50)],
+        [(1, 2, 3), (4, 5, 6), (7, 8, 9)],
+        [(90, 80, 70), (60, 50, 40), (30, 20, 10)],
+        [(0, 0, 0), (128, 128, 128), (255, 255, 255)],
+    ]
+    rows = [
+        (1, _bmp_bytes(px)),
+        (2, _png_bytes(px, filters=[0, 1, 2, 3, 4])),  # every filter branch
+        (3, _png_bytes(px, rgba=True, filters=[4, 3, 2, 1, 0])),
+    ]
+    df = spark.createDataFrame(rows, "id long, media binary")
+    out = {r.id: r for r in M.image_features(df, fake=False).collect()}
+    assert (out[1].width, out[1].height) == (3, 5)
+    assert out[1].features == out[2].features == out[3].features
+
+
+def test_png_beyond_envelope_is_explicit_slot(spark):
+    """Paletted/16-bit/interlaced PNGs stay at the real-codec slot."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    # color type 3 (paletted) is outside the stdlib envelope
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00")) + chunk(b"IEND", b"")
+    )
+    df = spark.createDataFrame([(1, payload)], "id long, media binary")
+    with pytest.raises(Exception, match="NotImplementedError|imaging library"):
+        M.image_features(df, fake=False).collect()
+
+
 def test_real_resize_preserves_aspect_and_pixels(spark):
     # 4x2 gradient; resize longest side to 2 → 2x1
     px = [[(i * 20, 0, 0) for i in range(4)] for _ in range(2)]
