@@ -1424,6 +1424,84 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
 # like near_dup_clusters; rows-only — float fixpoint iteration is not
 # SQL-portable. Accuracy is property-tested against dense power
 # iteration in tests/test_graph.py).
+@register("streaming_near_dups")
+def streaming_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming minhash near-dup end-to-end: the corpus is delivered
+    in two micro-batches (doc_id parity split), drained through the
+    signature store + cross-batch LSH merge (streaming/near_dup.py),
+    and every emitted pair is checked in-line against the batch twin
+    (batch_estimate_pairs over the whole corpus at once) — the
+    ``in_batch`` column must be uniformly true. Rows-only: stateful
+    streaming with a persisted store is not SQL-expressible; the
+    equivalence column IS the correctness signal (plus the pytest
+    batch-equivalence suite).
+
+    The streamed matches are bounded (near-dup pairs, not corpus) so
+    materializing them driver-side to free the temp store/checkpoint
+    is safe at any scale — a production run would keep the store and
+    read matches lazily instead."""
+    import os
+    import shutil
+    import tempfile
+
+    from etl_database_spark.streaming.near_dup import (
+        batch_estimate_pairs,
+        run_near_dup_once,
+    )
+
+    params = dict(n=_MINHASH_PARAMS["n"], num_perm=_MINHASH_PARAMS["num_perm"],
+                  bands=_MINHASH_PARAMS["bands"], threshold=_MINHASH_PARAMS["threshold"])
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="spark_graft_stream_nd_")
+    src = os.path.join(work, "src")
+    try:
+        d.where(F.col("doc_id") % 2 == 0).write.parquet(src)
+        args = (
+            os.path.join(work, "store"),
+            os.path.join(work, "matches"),
+            os.path.join(work, "ckpt"),
+        )
+        run_near_dup_once(
+            spark, spark.readStream.schema(d.schema).parquet(src), *args, **params
+        )
+        d.where(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+        run_near_dup_once(
+            spark, spark.readStream.schema(d.schema).parquet(src), *args, **params
+        )
+        streamed = [
+            (int(r.lo), int(r.hi), float(r.est))
+            for r in spark.read.parquet(os.path.join(work, "matches"))
+            .select(
+                F.least("id_a", "id_b").alias("lo"),
+                F.greatest("id_a", "id_b").alias("hi"),
+                F.round("est_jaccard", 4).alias("est"),
+            )
+            .distinct()
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    stream_df = spark.createDataFrame(
+        streamed, "id_a long, id_b long, est_jaccard double"
+    )
+    batch = (
+        batch_estimate_pairs(d, "text", "doc_id", **params)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+        .withColumn("in_batch", F.lit(True))
+    )
+    return (
+        stream_df.join(batch, ["id_a", "id_b"], "left")
+        .select(
+            "id_a", "id_b", "est_jaccard", F.coalesce("in_batch", F.lit(False)).alias("in_batch")
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 @register("doc_similarity_pagerank")
 def doc_similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (d=0.85) on the 5-gram Jaccard ≥ 0.3 pair graph;

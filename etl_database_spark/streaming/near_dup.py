@@ -149,10 +149,7 @@ def process_batch(
     new_sigs = minhash_signatures(sh, num_perm).cache()
     new_sigs.count()
 
-    agree = sum(
-        (F.col(f"a.sig_{i}") == F.col(f"b.sig_{i}")).cast("int")
-        for i in range(num_perm)
-    ) / F.lit(num_perm)
+    agree = signature_agreement(num_perm)
 
     def score(pairs: DataFrame, left: DataFrame, right: DataFrame) -> DataFrame:
         return (
@@ -191,6 +188,41 @@ def process_batch(
     store.append(new_sigs, batch_id)
     sh.unpersist()
     new_sigs.unpersist()
+
+
+def signature_agreement(num_perm: int):
+    """The streaming scorer's estimate: fraction of agreeing minhash
+    components between frames aliased 'a' and 'b' (σ ≈ sqrt(J(1-J)/k))."""
+    return sum(
+        (F.col(f"a.sig_{i}") == F.col(f"b.sig_{i}")).cast("int")
+        for i in range(num_perm)
+    ) / F.lit(num_perm)
+
+
+def batch_estimate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The batch twin of the streaming pipeline: sign the WHOLE corpus
+    at once, banded-LSH self-join, score with the same
+    signature-agreement estimate. Streaming over any batch split must
+    reproduce exactly this pair set (within-batch pairs via the batch
+    self-join, cross-batch pairs via the signature store) — the
+    equivalence the registry query and tests assert."""
+    sigs = minhash_signatures(shingles(docs, text_col, id_col, n), num_perm)
+    return (
+        lsh_candidate_pairs(sigs, num_perm, bands)
+        .join(sigs.alias("a"), F.col("id_a") == F.col("a._id"))
+        .join(sigs.alias("b"), F.col("id_b") == F.col("b._id"))
+        .withColumn("est_jaccard", signature_agreement(num_perm))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
 
 
 def _checkpoint_stream_id(checkpoint: str) -> str:

@@ -351,6 +351,39 @@ def test_near_dup_store_refuses_foreign_checkpoint(spark, tmp_path):
     assert spark.read.parquet(store).count() == 3
 
 
+def test_streaming_near_dups_registry_query_equals_batch(spark):
+    """The registry-level streaming near-dup query: every streamed
+    pair is confirmed by the batch twin (in_batch all true), and no
+    batch pair is missing from the streamed set — full two-sided
+    equivalence of the store+merge path with one-shot batch LSH."""
+    import os
+
+    import pytest as _pytest
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        _pytest.skip("testdata not present")
+    from etl_database_spark.queries import load_all
+    from etl_database_spark.queries.llmdata import _MINHASH_PARAMS
+    from etl_database_spark.queries import table as load_table
+    from etl_database_spark.streaming.near_dup import batch_estimate_pairs
+
+    rows = load_all()["streaming_near_dups"].fn(spark, sf_dir).collect()
+    assert rows, "no near-dup pairs found at sf0.001 — fixture changed?"
+    assert all(r.in_batch for r in rows)
+    streamed = {(r.id_a, r.id_b) for r in rows}
+    d = load_table(spark, sf_dir, "documents")
+    batch = {
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+        for r in batch_estimate_pairs(
+            d, "text", "doc_id",
+            n=_MINHASH_PARAMS["n"], num_perm=_MINHASH_PARAMS["num_perm"],
+            bands=_MINHASH_PARAMS["bands"], threshold=_MINHASH_PARAMS["threshold"],
+        ).collect()
+    }
+    assert streamed == batch
+
+
 def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     """Watermarked stream-stream interval join emits exactly the batch
     interval join when the watermark outlives the data span."""
