@@ -281,18 +281,29 @@ class ImportJob:
         return self.table.path + "._widths.json"
 
     def _target_widths(self, df: DataFrame) -> dict[str, int]:
-        """Profiled VARCHAR widths for truncation, persisted with the
-        target table and only ever WIDENED.
+        """Profiled VARCHAR widths for truncation — the Parquet-world
+        analog of the reference's DDL column lengths, persisted in a
+        sidecar JSON and only ever WIDENED.
 
-        Re-deriving widths from the target's data each run had two
-        scale problems: a whole-table aggregate scan per imported
-        file, and a ratchet-down — an early narrow snapshot would set
-        max_len*1.5 low and silently truncate wider values in later
-        deliveries. Here each import profiles only its own incoming
-        frame (one pass over the new file), merges max-wise into the
-        persisted widths, and writes them back. The one legacy case —
-        a pre-existing table with no widths file — profiles the target
-        once to seed the file."""
+        This mirrors generic_import.py exactly: each import profiles
+        its OWN incoming frame (get_column_lengths, :183-193), widens
+        the established widths where required (add_columns_to_table's
+        ALTER COLUMN branch, :317-347), then truncates against the
+        post-widening widths (:440-456) — so, as in the reference,
+        truncation fires only at the 4000 hard cap and the widths are
+        the durable schema record. Re-deriving them from the target's
+        DATA each run (the previous behavior) had two scale problems:
+        a whole-table aggregate scan per imported file, and a
+        ratchet-down — an early narrow snapshot could silently
+        truncate wider later deliveries. The one legacy case — a
+        pre-existing table with no sidecar — profiles the target once
+        to seed it.
+
+        Returns the merged widths; the caller persists them via
+        ``_persist_widths`` only AFTER the append succeeds, so a
+        failed delivery leaves no schema trace (the reference gets
+        the same effect from PostgreSQL's transactional DDL: its
+        ALTERs roll back with the failed INSERT)."""
         import json
 
         path = self._widths_path()
@@ -305,13 +316,17 @@ class ImportJob:
             persisted = {}
         incoming = profile_widths(df)
         merged = {c: max(persisted.get(c, 0), w) for c, w in incoming.items()}
-        merged = persisted | merged
+        return persisted | merged
+
+    def _persist_widths(self, widths: dict[str, int]) -> None:
+        import json
+
+        path = self._widths_path()
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(merged, f)
+            json.dump(widths, f)
         os.replace(tmp, path)
-        return merged
 
     def run_file(self, path: str) -> ImportResult:
         try:
@@ -373,8 +388,10 @@ class ImportJob:
                 return ImportResult(path, dataset_id, 0, "Empty")
 
             df = normalize_columns(df)
+            widths = None
             if cfg.truncate_to_width:
-                df = truncate_to_widths(df, self._target_widths(df))
+                widths = self._target_widths(df)
+                df = truncate_to_widths(df, widths)
             df = (
                 df.withColumn("datasetid", F.lit(dataset_id).cast("long"))
                 .withColumn("datasetdate", F.lit(snap_date).cast("date"))
@@ -387,6 +404,8 @@ class ImportJob:
             df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
             new_cols = self.table.append(df, cfg.import_strategy)
             rows = obs.get["rows"]
+            if widths is not None:
+                self._persist_widths(widths)  # only after the append lands
             self.registry.set_status(dataset_id, "Active")
             terminal = True
             self._archive(path)

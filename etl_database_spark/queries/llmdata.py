@@ -1419,11 +1419,8 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# PageRank over the exact n-gram similarity graph — ranks canonical
-# docs inside near-dup neighborhoods (iterative algorithm family,
-# like near_dup_clusters; rows-only — float fixpoint iteration is not
-# SQL-portable. Accuracy is property-tested against dense power
-# iteration in tests/test_graph.py).
+# Streaming near-dup batch equivalence — rows-only (stateful streaming
+# with a persisted signature store is not SQL-expressible).
 @register("streaming_near_dups")
 def streaming_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming minhash near-dup end-to-end: the corpus is delivered
@@ -1502,6 +1499,12 @@ def streaming_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# PageRank over the exact n-gram similarity graph — ranks canonical
+# docs inside near-dup neighborhoods (iterative algorithm family,
+# like near_dup_clusters; rows-only — float fixpoint iteration is not
+# SQL-portable. Accuracy is property-tested against dense power
+# iteration in tests/test_graph.py).
 @register("doc_similarity_pagerank")
 def doc_similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (d=0.85) on the 5-gram Jaccard ≥ 0.3 pair graph;

@@ -97,14 +97,19 @@ class DatasetRegistry:
         Lookup tables must stay configuration-sized (see
         MAX_LOOKUP_ROWS); this is not a general-purpose dimension
         writer."""
-        df = self._read_lookup(path, id_col, name_col)
-        if df.limit(self.MAX_LOOKUP_ROWS + 1).count() > self.MAX_LOOKUP_ROWS:
+        # One capped collect serves both the guard and the lookup —
+        # the limit keeps a mis-routed huge table from reaching the
+        # driver, and the row count past the cap is the error signal.
+        rows = self._read_lookup(path, id_col, name_col).limit(
+            self.MAX_LOOKUP_ROWS + 1
+        ).collect()
+        if len(rows) > self.MAX_LOOKUP_ROWS:
             raise ValueError(
                 f"lookup table {path} exceeds MAX_LOOKUP_ROWS="
                 f"{self.MAX_LOOKUP_ROWS}; ensure_lookup is for "
                 "configuration-cardinality tables only"
             )
-        existing = {r[name_col]: r[id_col] for r in df.collect()}
+        existing = {r[name_col]: r[id_col] for r in rows}
         if name not in existing and len(existing) >= self.MAX_LOOKUP_ROWS:
             raise ValueError(
                 f"lookup table {path} is at MAX_LOOKUP_ROWS="

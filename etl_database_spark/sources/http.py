@@ -48,13 +48,14 @@ def fetch_with_retry(
     initial_delay: float = 15.0,
     sleep: Callable[[float], None] = time.sleep,
 ) -> tuple[int, str]:
-    """GET with exponential backoff; 429 (rate limit), transient 5xx
-    (500/502/503/504 — flaky upstreams and gateways recover), and
-    transport errors retry, doubling the delay each time
-    (web_utils.py:5-29). 4xx client errors (404, 403...) return
-    immediately — retrying a dead link would stall its partition for
+    """GET with exponential backoff; 429 (rate limit), gateway-
+    transient 5xx (502/503/504 — upstream restarts and load shedding
+    recover), and transport errors retry, doubling the delay each
+    time (web_utils.py:5-29). 4xx client errors AND plain 500 return
+    immediately: 500 usually means a deterministic server bug for
+    this URL, and retrying a dead link would stall its partition for
     the full backoff schedule for nothing."""
-    retryable = {429, 500, 502, 503, 504, -1}
+    retryable = {429, 502, 503, 504, -1}
     delay = initial_delay
     status, body = -1, ""
     for attempt in range(max(max_retries, 1)):

@@ -210,8 +210,13 @@ class _Chunks:
             if self.ci >= len(self.chunks):
                 raise ValueError("truncated string in SST")
             chunk = self.chunks[self.ci]
-            if self.pos == 0 and out:
-                # Continuation boundary mid-string: fresh option byte.
+            if self.pos == 0:
+                # Character data beginning at a continuation boundary
+                # carries a fresh option byte — including when the
+                # split falls exactly between a string's header and
+                # its first character (pos can only be 0 here after a
+                # boundary crossing: the 3-byte header always precedes
+                # the characters within its own chunk).
                 high = bool(chunk[0] & 1)
                 self.pos = 1
             width = 2 if high else 1
@@ -251,19 +256,19 @@ def _parse_sst(chunks: list[bytes]) -> list[str]:
     return [rdr.read_xl_string() for _ in range(unique)]
 
 
-def _short_string(payload: bytes, off: int) -> str:
-    """ShortXLUnicodeString (u8 length) — used by BOUNDSHEET names."""
-    cch = payload[off]
-    high = bool(payload[off + 1] & 1)
-    raw = payload[off + 2 : off + 2 + cch * (2 if high else 1)]
-    return raw.decode("utf-16-le" if high else "latin-1")
-
-
 def _inline_string(payload: bytes, off: int) -> str:
-    """XLUnicodeString (u16 length) — LABEL / STRING records."""
+    """XLUnicodeRichExtendedString inline in a record (LABEL / STRING,
+    [MS-XLS] 2.4.148): the rich (0x08) and ext (0x04) flags shift the
+    character array past the cRun / cbExtRst fields."""
     cch = struct.unpack_from("<H", payload, off)[0]
-    high = bool(payload[off + 2] & 1)
-    raw = payload[off + 3 : off + 3 + cch * (2 if high else 1)]
+    flags = payload[off + 2]
+    high = bool(flags & 0x01)
+    pos = off + 3
+    if flags & 0x08:  # fRichSt: u16 cRun precedes the characters
+        pos += 2
+    if flags & 0x04:  # fExtSt: u32 cbExtRst precedes the characters
+        pos += 4
+    raw = payload[pos : pos + cch * (2 if high else 1)]
     return raw.decode("utf-16-le" if high else "latin-1")
 
 

@@ -130,6 +130,7 @@ def process_batch(
     bands: int = 8,
     threshold: float = 0.5,
     batch_id: int = 0,
+    max_bucket: int = 200,
 ) -> None:
     """One micro-batch: sign new docs, LSH-join them against the
     store, write estimate-scored matches, then store the new sigs.
@@ -137,6 +138,10 @@ def process_batch(
     Within-batch near-dups are found by the same banded self-join the
     batch operator uses (lsh_candidate_pairs), so a duplicate pair
     split across batches and one inside a single batch both surface.
+    The cross-batch band join applies the same ``max_bucket`` skew cap
+    as the batch operator, measured on the COMBINED (stored + new)
+    bucket membership — without it one boilerplate band bucket grows
+    quadratically with corpus size across batches.
 
     Both writes key on ``batch_id`` with overwrite semantics, so a
     foreachBatch replay of the same batch (crash before checkpoint
@@ -171,8 +176,17 @@ def process_batch(
     if stored is not None:
         stored_bands = _band_table(stored, store.num_perm, bands)
         new_bands = _band_table(new_sigs, num_perm, bands)
+        combined_ok = (
+            stored_bands.select("band_id", "band_hash")
+            .unionByName(new_bands.select("band_id", "band_hash"))
+            .groupBy("band_id", "band_hash")
+            .agg(F.count("*").alias("bucket_n"))
+            .where(F.col("bucket_n") <= max_bucket)
+            .select("band_id", "band_hash")
+        )
         cross_pairs = (
-            stored_bands.join(new_bands.alias("n"), ["band_id", "band_hash"])
+            stored_bands.join(combined_ok, ["band_id", "band_hash"], "left_semi")
+            .join(new_bands.alias("n"), ["band_id", "band_hash"])
             .where(stored_bands["_id"] != F.col("n._id"))
             .select(
                 stored_bands["_id"].alias("id_a"), F.col("n._id").alias("id_b")
@@ -207,16 +221,23 @@ def batch_estimate_pairs(
     num_perm: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """The batch twin of the streaming pipeline: sign the WHOLE corpus
     at once, banded-LSH self-join, score with the same
-    signature-agreement estimate. Streaming over any batch split must
-    reproduce exactly this pair set (within-batch pairs via the batch
+    signature-agreement estimate. Streaming over a batch split
+    reproduces exactly this pair set (within-batch pairs via the batch
     self-join, cross-batch pairs via the signature store) — the
-    equivalence the registry query and tests assert."""
+    equivalence the registry query and tests assert — PROVIDED no band
+    bucket straddles the ``max_bucket`` skew cap across deliveries: a
+    bucket that is under the cap within an early batch but over it
+    globally has already emitted pairs a batch run would drop, and a
+    streaming system cannot retract them. The cap is a skew guard,
+    not a semantic filter; both tiers drop only exact-dup-grade
+    boilerplate buckets that the exact dedup pass catches."""
     sigs = minhash_signatures(shingles(docs, text_col, id_col, n), num_perm)
     return (
-        lsh_candidate_pairs(sigs, num_perm, bands)
+        lsh_candidate_pairs(sigs, num_perm, bands, max_bucket)
         .join(sigs.alias("a"), F.col("id_a") == F.col("a._id"))
         .join(sigs.alias("b"), F.col("id_b") == F.col("b._id"))
         .withColumn("est_jaccard", signature_agreement(num_perm))

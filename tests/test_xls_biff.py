@@ -293,6 +293,31 @@ def test_xls_sst_continue_split(tmp_path):
     assert grid[0] == ["first", full]
 
 
+def test_xls_sst_split_after_header(tmp_path):
+    """The split falls EXACTLY between a string's 3-byte header and
+    its first character: the continuation still leads with a fresh
+    option byte, which must not be decoded as a character."""
+    s = "boundary"
+    sst_payload = struct.pack("<II", 1, 1) + struct.pack("<HB", len(s), 0)
+    cont_payload = b"\x00" + s.encode("latin-1")
+    sst_records = _rec(0x00FC, sst_payload) + _rec(0x003C, cont_payload)
+    rows = [[("raw", _rec(0x00FD, struct.pack("<HHHI", 0, 0, 0, 0)))]]
+    xls = tmp_path / "hdr_split.xls"
+    _write_xls(str(xls), rows, sst_records=sst_records)
+    assert read_xls_stdlib(str(xls)) == [["boundary"]]
+
+
+def test_xls_rich_inline_label(tmp_path):
+    """LABEL records carry XLUnicodeRichExtendedString: rich/ext
+    field lengths precede the characters and must be skipped."""
+    rich = struct.pack("<HHH", 0, 0, 0) + struct.pack("<HBH", 4, 0x08, 1) + b"rich" + b"\x00" * 4
+    ext = struct.pack("<HHH", 0, 1, 0) + struct.pack("<HBI", 3, 0x04, 2) + b"ext" + b"\x00" * 2
+    rows = [[("raw", _rec(0x0204, rich)), ("raw", _rec(0x0204, ext))]]
+    xls = tmp_path / "rich.xls"
+    _write_xls(str(xls), rows)
+    assert read_xls_stdlib(str(xls)) == [["rich", "ext"]]
+
+
 def test_pre_biff8_raises(tmp_path):
     stream = _rec(0x0809, struct.pack("<HHHHII", 0x0500, 0x0005, 0, 0, 0, 0)) + _rec(
         0x000A, b""
