@@ -608,3 +608,131 @@ def feature_hash_embeddings(
         )
     )
     return dense
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup): cluster the embedding space, then prune
+# near-semantic-duplicates WITHIN each cluster. The all-pairs cosine
+# problem becomes cluster-local — with k sized so clusters stay
+# bounded, total pair work is Σ|cluster|² ≪ n², which is what makes
+# embedding dedup tractable at corpus scale (Abbas et al. 2023,
+# "SemDeDup: Data-efficient learning at web-scale through semantic
+# deduplication", arXiv:2303.09540). Extension operator — no
+# counterpart in the reference repo (its dedup surface is the
+# single-active-snapshot trigger, dataset_setup.sql:193-216).
+
+
+def assign_nearest(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid by squared-L2
+    (ties → lowest cluster_id) → (_id, _vec, cluster_id).
+
+    ``centroids`` is (cluster_id, cvec) — k rows, broadcast. The k-way
+    candidate expansion happens map-side; the argmin runs as
+    ``min(struct(dist, cluster_id, vec))`` so partial aggregation
+    collapses the k candidates per vector BEFORE the shuffle — one
+    exchange of n rows, not k·n. Unlike the literal when-ladder in
+    ``_nearest_centroid_expr`` this scales to large k (SemDeDup uses
+    k ~ 10⁵) without codegen blowup: distances fold left-to-right in
+    double, deterministic across engines.
+    """
+    v = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+    c = centroids.select("cluster_id", "cvec")
+    dist = F.aggregate(
+        F.zip_with(
+            _to_double(F.col("_vec")),
+            _to_double(F.col("cvec")),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = v.join(F.broadcast(c)).withColumn("_dist", dist)
+    best = (
+        scored.groupBy("_id")
+        .agg(F.min(F.struct("_dist", "cluster_id", "_vec")).alias("_m"))
+        .select(
+            "_id",
+            F.col("_m._vec").alias("_vec"),
+            F.col("_m.cluster_id").alias("cluster_id"),
+        )
+    )
+    return best
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """SemDeDup prune list → (cluster_id, pruned_id, kept_id, cos_sim).
+
+    A vector is pruned when some LOWER-id vector in its own cluster is
+    cosine-similar at ≥ ``threshold`` (the greedy keep-first rule under
+    id order — deterministic, engine-portable). ``kept_id`` is the
+    lowest such partner and ``cos_sim`` the rounded similarity to it;
+    the surviving corpus is exactly the ids that never appear as
+    ``pruned_id``.
+
+    Physical shape: one broadcast of the k×dim centroids, one shuffle
+    to argmin-assign, one shuffle on cluster_id for the intra-cluster
+    self-join. Pair work is quadratic only within a cluster — at scale
+    k is raised so clusters stay bounded (the paper's lever); a skewed
+    giant cluster is an AQE skew-join case, same as the LSH buckets'
+    MAX_BUCKET treatment in functions/dedup.py.
+    """
+    assigned = assign_nearest(df, centroids, id_col, vec_col)
+    left = assigned.select(
+        "cluster_id", F.col("_id").alias("id_a"), F.col("_vec").alias("_va")
+    )
+    right = assigned.select(
+        "cluster_id", F.col("_id").alias("id_b"), F.col("_vec").alias("_vb")
+    )
+    pairs = (
+        left.join(right, "cluster_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), round_digits)
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+    w = W.partitionBy("cluster_id", "id_b").orderBy(F.asc("id_a"))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("id_b").alias("pruned_id"),
+            F.col("id_a").alias("kept_id"),
+            "cos_sim",
+        )
+        .orderBy("cluster_id", "pruned_id")
+    )
+
+
+def semantic_dedup_kmeans(
+    df: DataFrame,
+    dim: int,
+    k: int = 8,
+    max_iter: int = 4,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup with a k-means coarse quantizer (the paper's setup):
+    fit deterministic Lloyd's k-means (seeds = k lowest-id vectors,
+    see ``kmeans_fit``), then prune within the fitted clusters."""
+    cents = kmeans_fit(df, dim, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col)
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cluster_id long, cvec array<double>",
+    )
+    return semantic_dedup(df, cdf, threshold, id_col=id_col, vec_col=vec_col)

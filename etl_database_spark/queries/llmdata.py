@@ -1517,3 +1517,84 @@ def doc_similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("_id").alias("doc_id"), F.round("rank", 6).alias("rank")
     ).orderBy(F.desc("rank"), "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, arXiv:2303.09540): cluster embeddings,
+# prune cosine-near-duplicates within each cluster. Two tiers: the
+# seed-Voronoi variant is fully oracle-checked (assignment + pruning
+# are plain double arithmetic, portable to DuckDB); the k-means
+# variant (the paper's setup) is rows-only — Lloyd iteration is not
+# SQL-portable — and is property-tested in tests/test_semdedup.py.
+_SEMDEDUP_K = 8
+_SEMDEDUP_THRESHOLD = 0.35
+
+_SEMDEDUP_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeds AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster_id, v AS cv
+        FROM e ORDER BY vec_id LIMIT {_SEMDEDUP_K}),
+    d AS (
+        SELECT e.vec_id, e.v, s.cluster_id,
+               list_sum(list_transform(list_zip(e.v, s.cv),
+                        x -> (x[1] - x[2]) * (x[1] - x[2]))) AS dist
+        FROM e CROSS JOIN seeds s),
+    a AS (
+        SELECT vec_id, v, cluster_id FROM (
+            SELECT d.*, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY dist, cluster_id) AS rn
+            FROM d) t
+        WHERE rn = 1),
+    p AS (
+        SELECT x.cluster_id, x.vec_id AS id_a, y.vec_id AS id_b,
+               ROUND(list_sum(list_transform(list_zip(x.v, y.v), z -> z[1] * z[2]))
+                     / (SQRT(list_sum(list_transform(x.v, z -> z * z)))
+                        * SQRT(list_sum(list_transform(y.v, z -> z * z)))),
+               4) AS cos_sim
+        FROM a x JOIN a y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id),
+    q AS (
+        SELECT cluster_id, id_b AS pruned_id, id_a AS kept_id, cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cluster_id, id_b ORDER BY id_a) AS rn
+        FROM p WHERE cos_sim >= {_SEMDEDUP_THRESHOLD})
+    SELECT cluster_id, pruned_id, kept_id, cos_sim
+    FROM q WHERE rn = 1
+    ORDER BY cluster_id, pruned_id
+    """
+
+
+@register("semdedup_prune", oracle=_SEMDEDUP_ORACLE)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup prune list over seed-Voronoi clusters: the 8
+    lowest-id embeddings act as fixed centroids (deterministic, no
+    iteration), every vector is argmin-assigned by squared-L2, and
+    within each cluster any vector cosine-≥-0.35-similar to a lower-id
+    vector is pruned (greedy keep-first). The bounded seed collect
+    mirrors the IVF probe-centroid pattern; assignment is a broadcast
+    join with map-side argmin combine, pruning one cluster-local
+    self-join — no all-pairs scan."""
+    emb = table(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(_SEMDEDUP_K)
+        .select("embedding")
+        .collect()
+    )
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in r.embedding]) for i, r in enumerate(seeds)],
+        "cluster_id long, cvec array<double>",
+    )
+    return S.semantic_dedup(emb, cents, _SEMDEDUP_THRESHOLD)
+
+
+@register("semdedup_kmeans_prune")
+def semdedup_kmeans_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup proper: deterministic Lloyd's k-means (k=8, 4
+    iterations, seeds = lowest-id vectors) as the coarse quantizer,
+    then the same intra-cluster cosine pruning. Rows-only (iterative
+    float fixpoint); assignment/pruning invariants are property-tested
+    against brute force in tests/test_semdedup.py."""
+    emb = table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup_kmeans(
+        emb, dim=64, k=_SEMDEDUP_K, max_iter=4, threshold=_SEMDEDUP_THRESHOLD
+    )
