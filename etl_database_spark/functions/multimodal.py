@@ -14,13 +14,13 @@ Design (the 100 TB pattern):
 - codec policy: formats the Python standard library + numpy can
   decode are decoded FOR REAL — uncompressed BMP (BI_RGB 24-bit),
   binary PPM (P6), 8-bit truecolor PNG (zlib inflate + per-row
-  unfiltering) images, and PCM WAV audio (stdlib ``wave``) — with
-  real pixel/sample math for features and resizing; the remaining
-  compressed formats (JPEG/MP3/video, and PNG variants beyond 8-bit
-  RGB/RGBA) raise NotImplementedError at the marked slot until an
-  imaging/audio library is present. ``fake=True`` selects the
-  deterministic digest-based decoder for pipeline tests that don't
-  care about payload contents.
+  unfiltering), GIF87a/89a (LZW, first frame) images, and PCM WAV
+  audio (stdlib ``wave``) — with real pixel/sample math for features
+  and resizing; the remaining compressed formats (JPEG/MP3/video, and
+  PNG variants beyond 8-bit RGB/RGBA) raise NotImplementedError at
+  the marked slot until an imaging/audio library is present.
+  ``fake=True`` selects the deterministic digest-based decoder for
+  pipeline tests that don't care about payload contents.
 """
 
 from __future__ import annotations
@@ -132,15 +132,142 @@ def _decode_png(payload: bytes):
     return px[:, :, :3].copy() if ch == 4 else px.copy()
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-variant LZW → pixel index list. LSB-first bit packing,
+    CLEAR/EOI codes, dictionary grows to 12-bit width (GIF89a spec
+    appendix F). Pure stdlib — the dictionary holds index tuples."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out: list[int] = []
+    table: list[tuple[int, ...]] = []
+    width = min_code_size + 1
+    prev: tuple[int, ...] | None = None
+
+    def reset_table():
+        nonlocal table, width, prev
+        table = [(i,) for i in range(clear)] + [(), ()]  # CLEAR/EOI slots
+        width = min_code_size + 1
+        prev = None
+
+    reset_table()
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                reset_table()
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + (entry[0],))
+            elif code == len(table):  # the KwK case
+                entry = prev + (prev[0],)
+                table.append(entry)
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            out.extend(entry)
+            prev = entry
+            # Width grows when the NEXT code would not fit; 12-bit cap —
+            # encoders must emit CLEAR before overflow.
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return out
+
+
+def _decode_gif(payload: bytes):
+    """GIF87a/89a → HxWx3 uint8 array via stdlib LZW: logical-screen
+    palette, first image frame only (animation = frame 1), local
+    palette and interlacing honored, transparency ignored (the
+    transparent index renders as its palette color). Returns None only
+    for payloads without a decodable first frame."""
+    import numpy as np
+
+    if len(payload) < 13:
+        return None
+    gw = int.from_bytes(payload[6:8], "little")
+    gh = int.from_bytes(payload[8:10], "little")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x21:  # extension: label + len-prefixed sub-blocks
+            pos += 1
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            w = int.from_bytes(payload[pos + 4 : pos + 6], "little")
+            h = int.from_bytes(payload[pos + 6 : pos + 8], "little")
+            ipacked = payload[pos + 8]
+            pos += 9
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if pal is None:
+                return None
+            min_code = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                lzw += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _gif_lzw_decode(bytes(lzw), min_code)
+            if len(idx) < w * h:
+                raise ValueError("truncated GIF pixel data")
+            grid = np.asarray(idx[: w * h], dtype=np.int64).reshape(h, w)
+            if ipacked & 0x40:  # interlaced: 4-pass row order
+                order = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                deinter = np.empty_like(grid)
+                deinter[order] = grid
+                grid = deinter
+            if int(grid.max(initial=0)) >= len(pal):
+                raise ValueError("GIF index outside palette")
+            px = pal[grid]
+            # Frames smaller than the logical screen are composited
+            # onto it only for animations; a single-frame decode is the
+            # frame itself — matches what feature math should see.
+            del gw, gh
+            return px.astype(np.uint8)
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            return None
+    return None
+
+
 def _decode_pixels(payload: bytes):
     """Decode an image payload to an HxWx3 uint8 numpy array.
-    Supports BMP (BI_RGB 24-bit), binary PPM (P6), and 8-bit
-    truecolor PNG — the formats a stdlib-only build can read.
-    Returns None for other (compressed) formats."""
+    Supports BMP (BI_RGB 24-bit), binary PPM (P6), 8-bit truecolor
+    PNG, and GIF87a/89a (first frame) — the formats a stdlib-only
+    build can read. Returns None for other (compressed) formats."""
     import numpy as np
 
     if payload[:8] == _PNG_MAGIC:
         return _decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
 
     if payload[:2] == b"BM" and len(payload) >= 54:
         data_off = int.from_bytes(payload[10:14], "little")

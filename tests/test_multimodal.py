@@ -315,3 +315,157 @@ def test_truncated_y4m_fails_loudly(spark):
 
     with _pytest.raises(Exception, match="truncated y4m frame"):
         M.video_frame_features(df, every_n=1).collect()
+
+
+def _gif_lzw_encode(indices, m):
+    """Standard GIF LZW compress with the non-early-change width rule
+    (grow when next_code == (1<<width)+1) — the inverse of the
+    decoder's grow-at-table-size==1<<width rule."""
+    clear, eoi = 1 << m, (1 << m) + 1
+    width = m + 1
+    next_code = eoi + 1
+    table = {(i,): i for i in range(1 << m)}
+    out = []
+
+    def emit(code):
+        out.append((code, width))
+
+    emit(clear)
+    cur = (indices[0],)
+    for k in indices[1:]:
+        if cur + (k,) in table:
+            cur = cur + (k,)
+        else:
+            emit(table[cur])
+            table[cur + (k,)] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+            cur = (k,)
+    emit(table[cur])
+    emit(eoi)
+    acc = bits = 0
+    data = bytearray()
+    for code, wd in out:
+        acc |= code << bits
+        bits += wd
+        while bits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def _gif_bytes(pixels, interlaced=False, local_palette=False, with_gce=False):
+    """Encode rows of RGB tuples as a single-frame GIF89a."""
+    h, w = len(pixels), len(pixels[0])
+    colors = []
+    for row in pixels:
+        for p in row:
+            if tuple(p) not in colors:
+                colors.append(tuple(p))
+    m = max(2, (len(colors) - 1).bit_length())
+    n = 1 << m
+    pal = b"".join(bytes(c) for c in colors) + b"\x00" * (3 * (n - len(colors)))
+    idx = {c: i for i, c in enumerate(colors)}
+    if interlaced:
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        rows = [pixels[r] for r in order]
+    else:
+        rows = pixels
+    indices = [idx[tuple(p)] for row in rows for p in row]
+
+    buf = bytearray(b"GIF89a")
+    buf += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    if local_palette:
+        buf += bytes([0x00, 0, 0])  # no global palette
+    else:
+        buf += bytes([0x80 | (m - 1), 0, 0]) + pal
+    if with_gce:
+        buf += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control ext
+        buf += b"\x21\xfe\x05hello\x00"  # comment ext, 1 sub-block
+    buf += b"\x2c" + b"\x00\x00\x00\x00" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    ipacked = (0x80 | (m - 1)) if local_palette else 0
+    if interlaced:
+        ipacked |= 0x40
+    buf += bytes([ipacked])
+    if local_palette:
+        buf += pal
+    buf += bytes([m])
+    lzw = _gif_lzw_encode(indices, m)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        buf += bytes([len(block)]) + block
+    buf += b"\x00\x3b"
+    return bytes(buf)
+
+
+def _gif_test_pixels():
+    """9x6 image with a long same-color run (exercises the LZW KwK
+    case), enough distinct colors for a 3-bit palette, and enough
+    entries to force code-width growth."""
+    palette = [
+        (255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0),
+        (255, 0, 255), (0, 255, 255), (10, 20, 30),
+    ]
+    px = []
+    for r in range(9):
+        row = []
+        for c in range(6):
+            if r < 2:
+                row.append(palette[0])  # solid run → KwK codes
+            else:
+                row.append(palette[(r * 6 + c) % len(palette)])
+        px.append(row)
+    return px
+
+
+def test_real_gif_decode_matches_bmp(spark):
+    """The same image stored as BMP and GIF (plain, interlaced+local
+    palette, and with extension blocks) must yield identical features —
+    the GIF path is a real LZW decode, not a stub."""
+    px = _gif_test_pixels()
+    rows = [
+        (1, _bmp_bytes(px)),
+        (2, _gif_bytes(px)),
+        (3, _gif_bytes(px, interlaced=True, local_palette=True)),
+        (4, _gif_bytes(px, with_gce=True)),
+    ]
+    df = spark.createDataFrame(rows, "id long, media binary")
+    out = {r.id: r for r in M.image_features(df, fake=False).collect()}
+    assert (out[2].width, out[2].height) == (6, 9)
+    assert out[1].features == out[2].features == out[3].features == out[4].features
+
+
+def test_gif_lzw_roundtrip_exact_pixels():
+    """Direct pixel-level roundtrip through encode→decode, including
+    a width-growth-heavy random image."""
+    import random
+
+    import numpy as np
+
+    from etl_database_spark.functions.multimodal import _decode_gif
+
+    rng = random.Random(3)
+    palette = [(i * 16 % 256, (i * 7 + 3) % 256, (i * 29 + 11) % 256) for i in range(16)]
+    px = [[palette[rng.randrange(16)] for _ in range(17)] for _ in range(13)]
+    decoded = _decode_gif(_gif_bytes(px))
+    assert decoded.shape == (13, 17, 3)
+    assert np.array_equal(decoded, np.array(px, dtype=np.uint8))
+    inter = _decode_gif(_gif_bytes(px, interlaced=True))
+    assert np.array_equal(inter, np.array(px, dtype=np.uint8))
+
+
+def test_truncated_gif_fails_loudly(spark):
+    px = _gif_test_pixels()
+    payload = _gif_bytes(px)
+    # Cut inside the LZW data: decode must raise, not return wrong stats
+    truncated = payload[: len(payload) // 2]
+    df = spark.createDataFrame([(1, truncated)], "id long, media binary")
+    with pytest.raises(Exception):
+        M.image_features(df, fake=False).collect()
