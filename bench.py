@@ -5,7 +5,7 @@ ONE JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {"q": sec, ...}, "sf": <sf>}
 
-Each query runs $SPARK_GRAFT_BENCH_REPEATS times (default 3) after a
+Each query runs $SPARK_GRAFT_BENCH_REPEATS times (default 5) after a
 shared session warmup; timing is end-to-end (plan + execute +
 collect-to-count) per query. The headline value stays best-of-N (the
 stable throughput signal); per-query p50/p95 over the repeats are
@@ -106,7 +106,7 @@ def main() -> None:
         lo, hi = int(i), min(int(i) + 1, len(xs) - 1)
         return xs[lo] + (xs[hi] - xs[lo]) * (i - lo)
 
-    repeats = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")), 1)
+    repeats = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5")), 1)
     timings: dict[str, float] = {}
     p50: dict[str, float] = {}
     p95: dict[str, float] = {}

@@ -14,13 +14,15 @@ Design (the 100 TB pattern):
 - codec policy: formats the Python standard library + numpy can
   decode are decoded FOR REAL — uncompressed BMP (BI_RGB 24-bit),
   binary PPM (P6), 8-bit truecolor PNG (zlib inflate + per-row
-  unfiltering), GIF87a/89a (LZW, first frame) images, and PCM WAV
-  audio (stdlib ``wave``) — with real pixel/sample math for features
-  and resizing; the remaining compressed formats (JPEG/MP3/video, and
-  PNG variants beyond 8-bit RGB/RGBA) raise NotImplementedError at
-  the marked slot until an imaging/audio library is present.
-  ``fake=True`` selects the deterministic digest-based decoder for
-  pipeline tests that don't care about payload contents.
+  unfiltering), GIF87a/89a (LZW, first frame), baseline JPEG
+  (functions/jpeg.py: Huffman + IDCT + chroma upsampling) images,
+  and PCM WAV audio (stdlib ``wave``) — with real pixel/sample math
+  for features and resizing; the remaining compressed formats
+  (progressive/arithmetic JPEG, MP3, compressed video, PNG variants
+  beyond 8-bit RGB/RGBA) raise NotImplementedError at the marked
+  slot until an imaging/audio library is present. ``fake=True``
+  selects the deterministic digest-based decoder for pipeline tests
+  that don't care about payload contents.
 """
 
 from __future__ import annotations
@@ -268,6 +270,12 @@ def _decode_pixels(payload: bytes):
         return _decode_png(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        from etl_database_spark.functions.jpeg import decode_jpeg
+
+        # None for non-baseline variants (progressive/arithmetic/12-bit)
+        # → stays at the real-codec slot below.
+        return decode_jpeg(payload)
 
     if payload[:2] == b"BM" and len(payload) >= 54:
         data_off = int.from_bytes(payload[10:14], "little")
