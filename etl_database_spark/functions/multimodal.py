@@ -491,6 +491,65 @@ FRAME_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def _iter_avi_mjpeg_frames(payload: bytes):
+    """Walk a RIFF/AVI container and yield (frame_idx, jpeg_bytes) for
+    an MJPEG video stream — each '##dc' movi chunk of a Motion-JPEG
+    AVI is a standalone baseline JPEG, which functions/jpeg.py decodes
+    with no external library. Non-MJPEG AVIs raise at the real-codec
+    slot; structurally broken containers raise ValueError.
+
+    The chunk walk is offset arithmetic only — a skipped frame is
+    never decoded, so every_n sampling touches just the sampled
+    frames' bytes (same metadata-first shape as the y4m path)."""
+    if len(payload) < 12 or payload[0:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    vids_handler = None
+    vids_stream: int | None = None
+    frames: list[tuple[int, int]] = []  # (offset, size) of stream chunks
+
+    def walk(start: int, end: int, depth: int) -> None:
+        nonlocal vids_handler, vids_stream
+        pos = start
+        stream_counter = 0
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+            body = pos + 8
+            if body + size > end:
+                raise ValueError(f"truncated AVI chunk {cid!r} at byte {pos}")
+            if cid == b"LIST":
+                subtype = payload[body : body + 4]
+                if subtype in (b"hdrl", b"movi", b"strl"):
+                    walk(body + 4, body + size, depth + 1)
+            elif cid == b"strh":
+                fcc_type = payload[body : body + 4]
+                handler = payload[body + 4 : body + 8]
+                if fcc_type == b"vids" and vids_stream is None:
+                    vids_handler = handler
+                    vids_stream = stream_counter
+                stream_counter += 1
+            elif len(cid) == 4 and cid[2:4] in (b"dc", b"db"):
+                try:
+                    stream_no = int(cid[:2])
+                except ValueError:
+                    stream_no = -1
+                if vids_stream is not None and stream_no == vids_stream:
+                    frames.append((body, size))
+            pos = body + size + (size & 1)  # chunks pad to even
+
+    walk(12, len(payload), 0)
+    if vids_stream is None:
+        raise ValueError("AVI has no video stream header")
+    if vids_handler not in (b"MJPG", b"mjpg"):
+        raise NotImplementedError(
+            "compressed-video decode beyond MJPEG requires a video library "
+            f"not present in this build (AVI handler {vids_handler!r})"
+        )
+    for idx, (off, size) in enumerate(frames):
+        yield idx, payload[off : off + size]
+
+
 def _iter_y4m_frames(payload: bytes):
     """Parse a YUV4MPEG2 (.y4m) stream — a stdlib-decodable raw video
     container: text header, then 'FRAME\\n' + planar YUV420 data.
@@ -498,7 +557,7 @@ def _iter_y4m_frames(payload: bytes):
     if not payload.startswith(b"YUV4MPEG2"):
         raise NotImplementedError(
             "compressed-video decode requires a video library not present "
-            "in this build; only raw YUV4MPEG2 (.y4m) parses natively"
+            "in this build; YUV4MPEG2 (.y4m) and MJPEG AVI parse natively"
         )
     hdr_end = payload.index(b"\n")
     width = height = None
@@ -539,32 +598,54 @@ def video_frame_features(
     media_col: str = "media",
 ) -> DataFrame:
     """REAL frame sampling + per-frame luma statistics for raw
-    YUV4MPEG2 video payloads via mapInPandas (every ``every_n``-th
-    frame; compressed containers raise at the documented slot). Same
-    Arrow-batch shape as the image/audio stages — at 100 TB the
-    payloads stream through Python once per batch and only the sampled
-    frames are touched (the y4m layout allows direct frame seeks)."""
+    YUV4MPEG2 and MJPEG-AVI video payloads via mapInPandas (every
+    ``every_n``-th frame; other compressed containers raise at the
+    documented slot). Same Arrow-batch shape as the image/audio
+    stages — at 100 TB the payloads stream through Python once per
+    batch and only the sampled frames are decoded (both container
+    layouts allow direct frame seeks)."""
     import numpy as np
 
+    def frame_row(_id, idx, w, h, y):
+        return {
+            "id": int(_id),
+            "frame_idx": idx,
+            "width": w,
+            "height": h,
+            "luma_mean": round(float(y.mean()), 6),
+            "luma_std": round(float(y.std()), 6),
+        }
+
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from etl_database_spark.functions.jpeg import decode_jpeg
+
         for pdf in batches:
             rows = []
             for _id, payload in zip(pdf[id_col], pdf[media_col]):
                 data = bytes(payload) if payload is not None else b""
+                if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+                    for idx, jpeg in _iter_avi_mjpeg_frames(data):
+                        if idx % every_n:
+                            continue
+                        rgb = decode_jpeg(jpeg)
+                        if rgb is None:
+                            raise NotImplementedError(
+                                "non-baseline JPEG inside MJPEG AVI requires an "
+                                "imaging library not present in this build"
+                            )
+                        f = rgb.astype(np.float64) / 255.0
+                        # BT.601 luma — same weights the MJPEG encoder used,
+                        # so stats line up with the y4m path's Y' plane
+                        y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+                        rows.append(
+                            frame_row(_id, idx, rgb.shape[1], rgb.shape[0], y)
+                        )
+                    continue
                 for idx, w, h, luma in _iter_y4m_frames(data):
                     if idx % every_n:
                         continue
                     y = np.frombuffer(luma, dtype=np.uint8).astype(np.float64) / 255.0
-                    rows.append(
-                        {
-                            "id": int(_id),
-                            "frame_idx": idx,
-                            "width": w,
-                            "height": h,
-                            "luma_mean": round(float(y.mean()), 6),
-                            "luma_std": round(float(y.std()), 6),
-                        }
-                    )
+                    rows.append(frame_row(_id, idx, w, h, y))
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_FEATURES_SCHEMA.fields])
 
     return df.select(id_col, media_col).mapInPandas(process, FRAME_FEATURES_SCHEMA)

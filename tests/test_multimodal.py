@@ -469,3 +469,71 @@ def test_truncated_gif_fails_loudly(spark):
     df = spark.createDataFrame([(1, truncated)], "id long, media binary")
     with pytest.raises(Exception):
         M.image_features(df, fake=False).collect()
+
+
+def _avi_bytes(jpeg_frames, handler=b"MJPG"):
+    """Minimal RIFF/AVI wrapper around per-frame JPEG payloads."""
+    def chunk(cid, data):
+        pad = b"\x00" if len(data) & 1 else b""
+        return cid + len(data).to_bytes(4, "little") + data + pad
+
+    def list_chunk(subtype, data):
+        return chunk(b"LIST", subtype + data)
+
+    avih = chunk(b"avih", bytes(56))
+    strh = chunk(b"strh", b"vids" + handler + bytes(48))
+    strf = chunk(b"strf", bytes(40))
+    hdrl = list_chunk(b"hdrl", avih + list_chunk(b"strl", strh + strf))
+    movi = list_chunk(b"movi", b"".join(chunk(b"00dc", f) for f in jpeg_frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_mjpeg_avi_frame_sampling(spark):
+    """MJPEG AVI decodes for real through the JPEG decoder: sampled
+    frames report their true luma statistics."""
+    import numpy as np
+
+    from tests.test_jpeg import _encode_jpeg
+
+    levels = [30, 80, 130, 180, 230]
+    frames = [
+        _encode_jpeg(np.full((16, 24, 3), lv, dtype=np.uint8), quality=95)
+        for lv in levels
+    ]
+    df = spark.createDataFrame([(7, _avi_bytes(frames))], "id long, media binary")
+    out = sorted(
+        M.video_frame_features(df, every_n=2).collect(), key=lambda r: r.frame_idx
+    )
+    assert [r.frame_idx for r in out] == [0, 2, 4]
+    for r, lv in zip(out, levels[::2]):
+        assert (r.width, r.height) == (24, 16)
+        assert abs(r.luma_mean - lv / 255.0) < 0.02
+        assert r.luma_std < 0.02
+
+
+def test_non_mjpeg_avi_is_explicit_slot(spark):
+    import numpy as np
+
+    from tests.test_jpeg import _encode_jpeg
+
+    frame = _encode_jpeg(np.full((8, 8, 3), 100, dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(1, _avi_bytes([frame], handler=b"H264"))], "id long, media binary"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|video library"):
+        M.video_frame_features(df, every_n=1).collect()
+
+
+def test_truncated_avi_fails_loudly(spark):
+    import numpy as np
+
+    from tests.test_jpeg import _encode_jpeg
+
+    frame = _encode_jpeg(np.full((8, 8, 3), 100, dtype=np.uint8))
+    payload = _avi_bytes([frame, frame])
+    df = spark.createDataFrame(
+        [(1, payload[: len(payload) - 40])], "id long, media binary"
+    )
+    with pytest.raises(Exception, match="truncated AVI|ValueError"):
+        M.video_frame_features(df, every_n=1).collect()
