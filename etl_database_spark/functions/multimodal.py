@@ -16,11 +16,12 @@ Design (the 100 TB pattern):
   binary PPM (P6), 8-bit truecolor PNG (zlib inflate + per-row
   unfiltering), GIF87a/89a (LZW, first frame), baseline JPEG
   (functions/jpeg.py: Huffman + IDCT + chroma upsampling) images,
-  and PCM WAV audio (stdlib ``wave``) — with real pixel/sample math
-  for features and resizing; the remaining compressed formats
-  (progressive/arithmetic JPEG, MP3, compressed video, PNG variants
-  beyond 8-bit RGB/RGBA) raise NotImplementedError at the marked
-  slot until an imaging/audio library is present. ``fake=True``
+  MJPEG AVI video (RIFF walk + per-frame JPEG), and PCM / G.711
+  μ-law / A-law WAV audio — with real pixel/sample math for features
+  and resizing; the remaining compressed formats
+  (progressive/arithmetic JPEG, MP3/AAC, non-MJPEG video, PNG
+  variants beyond 8-bit RGB/RGBA) raise NotImplementedError at the
+  marked slot until an imaging/audio library is present. ``fake=True``
   selects the deterministic digest-based decoder for pipeline tests
   that don't care about payload contents.
 """
@@ -692,9 +693,60 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
+_G711_TABLES: dict[int, "object"] = {}
+
+
+def _g711_table(law: int):
+    """256-entry decode table for G.711 companded bytes → 16-bit
+    linear PCM (law 7 = μ-law, 6 = A-law; the WAVE format codes)."""
+    import numpy as np
+
+    tbl = _G711_TABLES.get(law)
+    if tbl is not None:
+        return tbl
+    out = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        if law == 7:  # μ-law: stored complemented
+            u = ~b & 0xFF
+            seg = (u >> 4) & 0x07
+            quant = u & 0x0F
+            mag = (((quant << 3) + 0x84) << seg) - 0x84
+            out[b] = -mag if u & 0x80 else mag
+        else:  # A-law: even bits inverted
+            a = b ^ 0x55
+            seg = (a & 0x70) >> 4
+            quant = a & 0x0F
+            if seg == 0:
+                mag = (quant << 4) + 8
+            else:
+                mag = ((quant << 4) + 0x108) << (seg - 1)
+            out[b] = mag if a & 0x80 else -mag
+    _G711_TABLES[law] = out
+    return out
+
+
+def _wav_fmt_and_data(payload: bytes):
+    """RIFF/WAVE chunk walk → (fmt chunk bytes, data chunk bytes)."""
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        if pos + 8 + size > len(payload):
+            raise ValueError(f"truncated WAV chunk {cid!r} at byte {pos}")
+        if cid == b"fmt ":
+            fmt = payload[pos + 8 : pos + 8 + size]
+        elif cid == b"data":
+            data = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    return fmt, data
+
+
 def _decode_audio_real(payload: bytes) -> tuple[int, int, float]:
-    """Real decode for PCM WAV via the stdlib ``wave`` module →
-    (duration_ms, sample_rate, rms in [0,1], averaged across channels).
+    """Real decode for PCM WAV (stdlib ``wave``) and G.711 μ-law /
+    A-law WAV (format codes 7/6, expanded via the standard segment
+    formulas) → (duration_ms, sample_rate, rms in [0,1], averaged
+    across channels).
 
     REAL-CODEC SLOT for compressed audio (MP3/AAC/...): requires an
     audio library not present in this build."""
@@ -708,6 +760,21 @@ def _decode_audio_real(payload: bytes) -> tuple[int, int, float]:
             "compressed-audio decode requires an audio library not present "
             "in this build; plug a real decoder into _decode_audio_real"
         )
+    fmt, data = _wav_fmt_and_data(payload)
+    if fmt is not None and len(fmt) >= 8:
+        audio_format = int.from_bytes(fmt[0:2], "little")
+        if audio_format in (6, 7):
+            if data is None:
+                raise ValueError("G.711 WAV without a data chunk")
+            channels = int.from_bytes(fmt[2:4], "little") or 1
+            rate = int.from_bytes(fmt[4:8], "little")
+            x = _g711_table(audio_format)[np.frombuffer(data, np.uint8)].astype(
+                np.float64
+            )
+            n = len(x) // channels
+            rms = float(np.sqrt(np.mean(np.square(x / 32768.0)))) if len(x) else 0.0
+            duration_ms = int(round(n * 1000 / rate)) if rate else 0
+            return duration_ms, rate, round(rms, 6)
     with wave.open(io.BytesIO(payload)) as wf:
         rate = wf.getframerate()
         n = wf.getnframes()

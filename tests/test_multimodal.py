@@ -537,3 +537,59 @@ def test_truncated_avi_fails_loudly(spark):
     )
     with pytest.raises(Exception, match="truncated AVI|ValueError"):
         M.video_frame_features(df, every_n=1).collect()
+
+
+def _g711_wav_bytes(samples_u8, fmt_code, rate=8000, channels=1):
+    """Handcraft a G.711 WAV (format 6=A-law, 7=mu-law): stdlib wave
+    cannot write these, which is the point."""
+    import struct
+
+    fmt = struct.pack(
+        "<HHIIHH", fmt_code, channels, rate, rate * channels, channels, 8
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(samples_u8).to_bytes(4, "little") + bytes(samples_u8)
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_g711_tables_match_audioop():
+    """The μ-law/A-law expansion formulas must agree byte-for-byte
+    with the stdlib's C implementation (independent reference)."""
+    audioop = pytest.importorskip("audioop")
+    import numpy as np
+
+    from etl_database_spark.functions.multimodal import _g711_table
+
+    raw = bytes(range(256))
+    ulaw_ref = np.frombuffer(audioop.ulaw2lin(raw, 2), dtype=np.int16)
+    alaw_ref = np.frombuffer(audioop.alaw2lin(raw, 2), dtype=np.int16)
+    assert np.array_equal(_g711_table(7), ulaw_ref)
+    assert np.array_equal(_g711_table(6), alaw_ref)
+
+
+def test_g711_wav_features(spark):
+    """A μ-law/A-law sine must report true duration/rate and an rms
+    close to the PCM original's."""
+    audioop = pytest.importorskip("audioop")
+    import math
+    import struct
+
+    n, rate = 8000, 8000
+    pcm = [int(12000 * math.sin(2 * math.pi * 440 * i / rate)) for i in range(n)]
+    raw = b"".join(struct.pack("<h", s) for s in pcm)
+    rows = [
+        (1, _wav_bytes(pcm, rate=rate)),
+        (2, _g711_wav_bytes(audioop.lin2ulaw(raw, 2), 7, rate=rate)),
+        (3, _g711_wav_bytes(audioop.lin2alaw(raw, 2), 6, rate=rate)),
+    ]
+    df = spark.createDataFrame(rows, "id long, media binary")
+    out = {r.id: r for r in M.audio_features(df, fake=False).collect()}
+    for r in out.values():
+        assert r.duration_ms == 1000
+        assert r.sample_rate == rate
+    ref = out[1].rms
+    assert abs(out[2].rms - ref) < 0.005  # mu-law quantization noise
+    assert abs(out[3].rms - ref) < 0.005
