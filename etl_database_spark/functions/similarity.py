@@ -688,7 +688,12 @@ def semantic_dedup(
     giant cluster is an AQE skew-join case, same as the LSH buckets'
     MAX_BUCKET treatment in functions/dedup.py.
     """
-    assigned = assign_nearest(df, centroids, id_col, vec_col)
+    # The assignment fans out into both sides of the self-join; without
+    # materialization the broadcast-join + argmin subtree runs twice
+    # (caches alone don't dedupe plan branches inside one action — see
+    # functions/dedup._finish_eager). Cache + count forces one pass.
+    assigned = assign_nearest(df, centroids, id_col, vec_col).cache()
+    assigned.count()
     left = assigned.select(
         "cluster_id", F.col("_id").alias("id_a"), F.col("_vec").alias("_va")
     )
@@ -704,7 +709,7 @@ def semantic_dedup(
         .where(F.col("cos_sim") >= threshold)
     )
     w = W.partitionBy("cluster_id", "id_b").orderBy(F.asc("id_a"))
-    return (
+    pruned = (
         pairs.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .select(
@@ -715,6 +720,11 @@ def semantic_dedup(
         )
         .orderBy("cluster_id", "pruned_id")
     )
+    # Materialize the bounded prune list, then release the assignment
+    # cache — lineage is cut, so unpersist cannot trigger recompute.
+    out = pruned.localCheckpoint(eager=True)
+    assigned.unpersist()
+    return out
 
 
 def semantic_dedup_kmeans(

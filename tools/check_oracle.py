@@ -56,9 +56,11 @@ def main() -> int:
 
     registry = load_all()
     failures = []
+    attempted = 0
     for name, rq in registry.items():
         if only and name not in only:
             continue
+        attempted += 1
         t0 = time.time()
         try:
             sdf = rq.fn(spark, sf_dir).toPandas()
@@ -92,7 +94,7 @@ def main() -> int:
             print(f"FAIL  {name}: {'; '.join(problems)} ({el:.1f}s)")
         else:
             print(f"OK    {name}: {len(sdf)} rows ({el:.1f}s)")
-    print(f"\n{len(registry) - len(failures)}/{len(registry)} ok")
+    print(f"\n{attempted - len(failures)}/{attempted} ok")
     return 1 if failures else 0
 
 
