@@ -608,16 +608,24 @@ def contamination_check(
     text, and the train side aggregates with map-side partials.
     """
     tr = shingles(train, text_col, id_col, n).distinct()
-    ev = shingles(eval_df, text_col, id_col, n).select("shingle").distinct()
-    hit = (
-        tr.join(ev, "shingle", "left_semi")
-        .groupBy("_id")
-        .agg(F.count("*").alias("n_contaminated"))
+    # Distinct eval shingles are unique join keys, so a LEFT join
+    # cannot duplicate train rows — one pass computes both the shingle
+    # count and the hit count. (The previous semi-join + second
+    # aggregate + re-join shape re-ran the train shingle explode —
+    # the expensive stage — once per branch.)
+    ev = (
+        shingles(eval_df, text_col, id_col, n)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    sizes = tr.groupBy("_id").agg(F.count("*").alias("n_shingles"))
     return (
-        sizes.join(hit, "_id", "left")
-        .na.fill({"n_contaminated": 0})
+        tr.join(ev, "shingle", "left")
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
+        )
         .select(
             F.col("_id").alias("doc_id"),
             "n_shingles",
