@@ -12,16 +12,16 @@ Design (the 100 TB pattern):
   row), the UDF body calls the codec library, and the result is again
   a typed column frame;
 - codec policy: formats the Python standard library + numpy can
-  decode are decoded FOR REAL — uncompressed BMP (BI_RGB 24-bit),
-  binary PPM (P6), 8-bit truecolor PNG (zlib inflate + per-row
-  unfiltering), GIF87a/89a (LZW, first frame), baseline JPEG
-  (functions/jpeg.py: Huffman + IDCT + chroma upsampling) images,
-  MJPEG AVI video (RIFF walk + per-frame JPEG), and PCM / G.711
-  μ-law / A-law WAV audio — with real pixel/sample math for features
-  and resizing; the remaining compressed formats
-  (progressive/arithmetic JPEG, MP3/AAC, non-MJPEG video, PNG
-  variants beyond 8-bit RGB/RGBA) raise NotImplementedError at the
-  marked slot until an imaging/audio library is present. ``fake=True``
+  decode are decoded FOR REAL — BMP (BI_RGB 24-bit + 8-bit paletted),
+  binary PPM (P6), 8-bit PNG (gray/RGB/palette/alpha, sequential or
+  Adam7, zlib inflate + per-row unfiltering), GIF87a/89a (LZW, first
+  frame), baseline JPEG (functions/jpeg.py: Huffman + IDCT + chroma
+  upsampling) images, MJPEG AVI video (RIFF walk + per-frame JPEG),
+  and PCM / G.711 μ-law / A-law WAV audio — with real pixel/sample
+  math for features and resizing; the remaining compressed formats
+  (progressive/arithmetic JPEG, MP3/AAC, non-MJPEG video, 16-bit or
+  sub-byte PNG) raise NotImplementedError at the marked slot until an
+  imaging/audio library is present. ``fake=True``
   selects the deterministic digest-based decoder for pipeline tests
   that don't care about payload contents.
 """
@@ -85,14 +85,43 @@ def _unfilter_png_row(ftype: int, row: bytearray, prev: bytes, bpp: int) -> byte
     raise ValueError(f"bad PNG filter type {ftype}")
 
 
+def _unfilter_png_image(raw, offset, width, height, ch):
+    """Unfilter one (sub-)image of ``height`` scanlines starting at
+    ``offset`` in the inflated stream → (HxWxch uint8 array, bytes
+    consumed). Shared by the sequential and Adam7 paths."""
+    import numpy as np
+
+    stride = width * ch
+    if len(raw) - offset < (stride + 1) * height:
+        raise ValueError("truncated PNG pixel data")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = bytes(stride)
+    for r in range(height):
+        off = offset + r * (stride + 1)
+        recon = _unfilter_png_row(
+            raw[off], bytearray(raw[off + 1 : off + 1 + stride]), prev, ch
+        )
+        out[r] = np.frombuffer(bytes(recon), dtype=np.uint8)
+        prev = bytes(recon)
+    return out.reshape(height, width, ch), (stride + 1) * height
+
+
+# Adam7 pass grid: (x0, y0, dx, dy) per PNG spec §8.2
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
 def _decode_png(payload: bytes):
-    """8-bit truecolor PNG (color type 2 RGB / 6 RGBA, non-interlaced)
-    → HxWx3 uint8 array via stdlib zlib: chunk walk, IDAT inflate,
-    per-row unfilter, alpha dropped. Returns None for PNG variants
-    outside that envelope (paletted/16-bit/interlaced → the
-    real-codec slot). Per-byte unfiltering is Python-speed — fine for
-    the metadata-first pipeline shape where only selected rows are
-    decoded; swap in an imaging library for bulk pixel work."""
+    """8-bit PNG → HxWx3 uint8 array via stdlib zlib: chunk walk,
+    IDAT inflate, per-row unfilter. Supported: color types 0
+    (grayscale), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) at
+    bit depth 8, sequential or Adam7-interlaced; alpha is dropped.
+    Returns None outside that envelope (16-bit and sub-byte depths →
+    the real-codec slot). Per-byte unfiltering is Python-speed — fine
+    for the metadata-first pipeline shape where only selected rows
+    are decoded; swap in an imaging library for bulk pixel work."""
     import zlib
 
     import numpy as np
@@ -100,6 +129,7 @@ def _decode_png(payload: bytes):
     pos = 8
     width = height = None
     bit_depth = color_type = interlace = None
+    palette = None
     idat = bytearray()
     while pos + 8 <= len(payload):
         ln = int.from_bytes(payload[pos : pos + 4], "big")
@@ -110,29 +140,41 @@ def _decode_png(payload: bytes):
             height = int.from_bytes(data[4:8], "big")
             bit_depth, color_type = data[8], data[9]
             interlace = data[12]
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
             break
         pos += 12 + ln  # length + type + payload-less CRC skip
-    if width is None or bit_depth != 8 or color_type not in (2, 6) or interlace != 0:
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if width is None or bit_depth != 8 or channels is None or interlace not in (0, 1):
         return None
-    ch = 3 if color_type == 2 else 4
+    if color_type == 3 and palette is None:
+        raise ValueError("paletted PNG without PLTE chunk")
     raw = zlib.decompress(bytes(idat))
-    stride = width * ch
-    if len(raw) < (stride + 1) * height:
-        raise ValueError("truncated PNG pixel data")
-    out = np.empty((height, stride), dtype=np.uint8)
-    prev = bytes(stride)
-    for r in range(height):
-        off = r * (stride + 1)
-        recon = _unfilter_png_row(
-            raw[off], bytearray(raw[off + 1 : off + 1 + stride]), prev, ch
-        )
-        out[r] = np.frombuffer(bytes(recon), dtype=np.uint8)
-        prev = bytes(recon)
-    px = out.reshape(height, width, ch)
-    return px[:, :, :3].copy() if ch == 4 else px.copy()
+    if interlace == 0:
+        px, _ = _unfilter_png_image(raw, 0, width, height, channels)
+    else:
+        px = np.empty((height, width, channels), dtype=np.uint8)
+        offset = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            sub, used = _unfilter_png_image(raw, offset, pw, ph, channels)
+            px[y0::dy, x0::dx] = sub
+            offset += used
+    if color_type == 3:
+        if int(px.max(initial=0)) >= len(palette):
+            raise ValueError("PNG palette index out of range")
+        return palette[px[:, :, 0]].copy()
+    if channels == 1:
+        return np.repeat(px, 3, axis=2)
+    if channels == 2:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3].copy() if channels == 4 else px.copy()
 
 
 def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
@@ -284,10 +326,26 @@ def _decode_pixels(payload: bytes):
         height = int.from_bytes(payload[22:26], "little", signed=True)
         bpp = int.from_bytes(payload[28:30], "little")
         compression = int.from_bytes(payload[30:34], "little")
-        if bpp != 24 or compression != 0:
-            return None  # compressed / non-24bit BMP → real-codec slot
+        if compression != 0 or bpp not in (8, 24):
+            return None  # compressed / other depths → real-codec slot
         top_down = height < 0
         height = abs(height)
+        if bpp == 8:  # paletted: BGRA entries follow the info header
+            hdr_size = int.from_bytes(payload[14:18], "little")
+            clr_used = int.from_bytes(payload[46:50], "little") or 256
+            pal = (
+                np.frombuffer(payload, np.uint8, clr_used * 4, 14 + hdr_size)
+                .reshape(-1, 4)[:, 2::-1]  # BGRA → RGB
+            )
+            row_bytes = (width + 3) & ~3
+            idx = np.frombuffer(
+                payload, np.uint8, row_bytes * height, data_off
+            ).reshape(height, row_bytes)[:, :width]
+            if not top_down:
+                idx = idx[::-1]
+            if int(idx.max(initial=0)) >= len(pal):
+                raise ValueError("BMP palette index out of range")
+            return pal[idx].copy()
         row_bytes = (width * 3 + 3) & ~3  # rows padded to 4 bytes
         px = np.frombuffer(
             payload, dtype=np.uint8, count=row_bytes * height, offset=data_off

@@ -233,7 +233,7 @@ def test_real_png_decode_matches_bmp(spark):
 
 
 def test_png_beyond_envelope_is_explicit_slot(spark):
-    """Paletted/16-bit/interlaced PNGs stay at the real-codec slot."""
+    """16-bit PNGs stay at the real-codec slot."""
     import struct
     import zlib
 
@@ -243,11 +243,11 @@ def test_png_beyond_envelope_is_explicit_slot(spark):
             + struct.pack(">I", zlib.crc32(ctype + data))
         )
 
-    # color type 3 (paletted) is outside the stdlib envelope
-    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    # bit depth 16 is outside the stdlib envelope
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
     payload = (
         b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(b"\x00\x00")) + chunk(b"IEND", b"")
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 7)) + chunk(b"IEND", b"")
     )
     df = spark.createDataFrame([(1, payload)], "id long, media binary")
     with pytest.raises(Exception, match="NotImplementedError|imaging library"):
@@ -593,3 +593,98 @@ def test_g711_wav_features(spark):
     ref = out[1].rms
     assert abs(out[2].rms - ref) < 0.005  # mu-law quantization noise
     assert abs(out[3].rms - ref) < 0.005
+
+
+def _png_bytes_v2(pixels, color_type, interlace=False, palette=None):
+    """PNG encoder for the widened envelope: grayscale (0), RGB (2),
+    palette (3), gray+alpha (4), optionally Adam7-interlaced; all
+    scanlines use filter type 0 (filters are exercised elsewhere)."""
+    import struct
+    import zlib
+
+    h, w = len(pixels), len(pixels[0])
+
+    def sample(p):
+        if color_type == 0:
+            return bytes([p])
+        if color_type == 3:
+            return bytes([p])
+        if color_type == 4:
+            return bytes([p, 0xFF])
+        return bytes(p)
+
+    passes = (
+        [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+         (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+        if interlace
+        else [(0, 0, 1, 1)]
+    )
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        for r in range(y0, h, dy):
+            row = [pixels[r][c] for c in range(x0, w, dx)]
+            if not row:
+                continue
+            raw += b"\x00" + b"".join(sample(p) for p in row)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        out += chunk(b"PLTE", b"".join(bytes(c) for c in palette))
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+def _bmp8_bytes(index_rows, palette):
+    """8-bit paletted bottom-up BMP."""
+    h, w = len(index_rows), len(index_rows[0])
+    row_bytes = (w + 3) & ~3
+    body = b""
+    for row in reversed(index_rows):
+        body += bytes(row) + b"\x00" * (row_bytes - w)
+    pal = b"".join(bytes((b, g, r, 0)) for (r, g, b) in palette)
+    data_off = 54 + len(pal)
+    header = (
+        b"BM" + (data_off + len(body)).to_bytes(4, "little") + b"\x00" * 4
+        + data_off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(body).to_bytes(4, "little")
+        + b"\x00" * 8 + len(palette).to_bytes(4, "little") + b"\x00" * 4
+    )
+    return header + pal + body
+
+
+def test_png_palette_gray_and_interlace_variants(spark):
+    """Paletted, grayscale, gray+alpha, and Adam7-interlaced PNGs all
+    decode to the same pixels as their BMP twins."""
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (17, 34, 51)]
+    idx = [[(r * 7 + c) % 4 for c in range(9)] for r in range(11)]
+    rgb = [[palette[i] for i in row] for row in idx]
+    gray = [[(r * 11 + c * 5) % 256 for c in range(9)] for r in range(11)]
+    gray_rgb = [[(g, g, g) for g in row] for row in gray]
+
+    rows = [
+        (1, _bmp_bytes(rgb)),
+        (2, _png_bytes_v2(idx, 3, palette=palette)),
+        (3, _png_bytes_v2(idx, 3, palette=palette, interlace=True)),
+        (4, _png_bytes_v2(rgb, 2, interlace=True)),
+        (5, _bmp_bytes(gray_rgb)),
+        (6, _png_bytes_v2(gray, 0)),
+        (7, _png_bytes_v2(gray, 4)),
+        (8, _png_bytes_v2(gray, 0, interlace=True)),
+        (9, _bmp8_bytes(idx, palette)),
+    ]
+    df = spark.createDataFrame(rows, "id long, media binary")
+    out = {r.id: r for r in M.image_features(df, fake=False).collect()}
+    for r in out.values():
+        assert (r.width, r.height) == (9, 11)
+    assert out[1].features == out[2].features == out[3].features == out[4].features
+    assert out[1].features == out[9].features
+    assert out[5].features == out[6].features == out[7].features == out[8].features
