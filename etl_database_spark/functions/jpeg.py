@@ -76,7 +76,10 @@ class _BitReader:
                 self.pos += 1
             else:
                 raise ValueError(f"unexpected marker 0xFF{marker:02X} in scan")
-        self.acc = (self.acc << 8) | b
+        # Mask consumed high bits before shifting: without this the
+        # accumulator grows by ~7 bits per byte for the whole scan and
+        # every bit extraction turns O(image size).
+        self.acc = ((self.acc & ((1 << self.nbits) - 1)) << 8) | b
         self.nbits += 8
 
     def read_bit(self) -> int:

@@ -212,16 +212,19 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
                 entry = table[code]
             elif code < len(table):
                 entry = table[code]
-                table.append(prev + (entry[0],))
-            elif code == len(table):  # the KwK case
+                # Deferred clear (spec-legal): once the table is full the
+                # encoder stops adding entries, so the decoder must too —
+                # growing past 4096 would desync every later code.
+                if len(table) < 4096:
+                    table.append(prev + (entry[0],))
+            elif code == len(table) and len(table) < 4096:  # the KwK case
                 entry = prev + (prev[0],)
                 table.append(entry)
             else:
                 raise ValueError("corrupt GIF LZW stream")
             out.extend(entry)
             prev = entry
-            # Width grows when the NEXT code would not fit; 12-bit cap —
-            # encoders must emit CLEAR before overflow.
+            # Width grows when the NEXT code would not fit; 12-bit cap.
             if len(table) == (1 << width) and width < 12:
                 width += 1
     return out
@@ -579,7 +582,9 @@ def _iter_avi_mjpeg_frames(payload: bytes):
                 raise ValueError(f"truncated AVI chunk {cid!r} at byte {pos}")
             if cid == b"LIST":
                 subtype = payload[body : body + 4]
-                if subtype in (b"hdrl", b"movi", b"strl"):
+                # 'rec ' groups interleave chunks inside movi — walk
+                # through them or their frames are silently dropped.
+                if subtype in (b"hdrl", b"movi", b"strl", b"rec "):
                     walk(body + 4, body + size, depth + 1)
             elif cid == b"strh":
                 fcc_type = payload[body : body + 4]

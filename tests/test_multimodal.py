@@ -320,7 +320,10 @@ def test_truncated_y4m_fails_loudly(spark):
 def _gif_lzw_encode(indices, m):
     """Standard GIF LZW compress with the non-early-change width rule
     (grow when next_code == (1<<width)+1) — the inverse of the
-    decoder's grow-at-table-size==1<<width rule."""
+    decoder's grow-at-table-size==1<<width rule. Implements deferred
+    clear: at 4096 entries the table freezes and codes keep flowing
+    at 12 bits (the spec-legal path some encoders take instead of
+    emitting CLEAR)."""
     clear, eoi = 1 << m, (1 << m) + 1
     width = m + 1
     next_code = eoi + 1
@@ -337,13 +340,15 @@ def _gif_lzw_encode(indices, m):
             cur = cur + (k,)
         else:
             emit(table[cur])
-            table[cur + (k,)] = next_code
-            next_code += 1
-            if next_code - 1 == (1 << width) and width < 12:
-                width += 1
+            if next_code < 4096:  # deferred clear: freeze when full
+                table[cur + (k,)] = next_code
+                next_code += 1
+                if next_code - 1 == (1 << width) and width < 12:
+                    width += 1
             cur = (k,)
     emit(table[cur])
     emit(eoi)
+    _gif_lzw_encode.last_table_size = next_code
     acc = bits = 0
     data = bytearray()
     for code, wd in out:
@@ -688,3 +693,57 @@ def test_png_palette_gray_and_interlace_variants(spark):
     assert out[1].features == out[2].features == out[3].features == out[4].features
     assert out[1].features == out[9].features
     assert out[5].features == out[6].features == out[7].features == out[8].features
+
+
+def test_gif_deferred_clear_roundtrip():
+    """A stream long enough to fill the 4096-entry LZW table without a
+    CLEAR must still decode exactly: the table freezes on both sides
+    (deferred clear), it must not desync."""
+    import random
+
+    import numpy as np
+
+    from etl_database_spark.functions.multimodal import _decode_gif
+
+    rng = random.Random(41)
+    palette = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    px = [[palette[rng.randrange(4)] for _ in range(256)] for _ in range(128)]
+    payload = _gif_bytes(px)
+    assert _gif_lzw_encode.last_table_size >= 4096, "fixture must fill the table"
+    decoded = _decode_gif(payload)
+    assert np.array_equal(decoded, np.array(px, dtype=np.uint8))
+
+
+def test_mjpeg_avi_rec_grouped_frames(spark):
+    """Frames wrapped in 'rec ' grouping LISTs inside movi must still
+    be found by the chunk walker."""
+    import numpy as np
+
+    from etl_database_spark.functions.multimodal import _iter_avi_mjpeg_frames
+    from tests.test_jpeg import _encode_jpeg
+
+    frames = [
+        _encode_jpeg(np.full((8, 8, 3), lv, dtype=np.uint8), quality=95)
+        for lv in (40, 90, 140)
+    ]
+
+    def chunk(cid, data):
+        pad = b"\x00" if len(data) & 1 else b""
+        return cid + len(data).to_bytes(4, "little") + data + pad
+
+    def list_chunk(subtype, data):
+        return chunk(b"LIST", subtype + data)
+
+    avih = chunk(b"avih", bytes(56))
+    strh = chunk(b"strh", b"vids" + b"MJPG" + bytes(48))
+    strf = chunk(b"strf", bytes(40))
+    hdrl = list_chunk(b"hdrl", avih + list_chunk(b"strl", strh + strf))
+    movi = list_chunk(
+        b"movi",
+        b"".join(list_chunk(b"rec ", chunk(b"00dc", f)) for f in frames),
+    )
+    body = b"AVI " + hdrl + movi
+    payload = b"RIFF" + len(body).to_bytes(4, "little") + body
+    got = list(_iter_avi_mjpeg_frames(payload))
+    assert [idx for idx, _ in got] == [0, 1, 2]
+    assert [f for _, f in got] == frames
