@@ -1,11 +1,14 @@
-"""Baseline JPEG (ITU-T T.81) decoder in pure numpy + stdlib.
+"""JPEG (ITU-T T.81) decoder in pure numpy + stdlib.
 
-Scope: sequential DCT, Huffman-coded (SOF0) — the overwhelmingly
-common variant — with 8-bit samples, grayscale or YCbCr (JFIF), one
-interleaved scan, arbitrary sampling factors (4:4:4 / 4:2:2 / 4:2:0),
-and restart markers. Progressive (SOF2), arithmetic coding, and
-12-bit precision return ``None`` so the caller's real-codec slot
-stays explicit; corrupt streams raise rather than yield wrong pixels.
+Scope: Huffman-coded baseline (SOF0) and progressive (SOF2) — the two
+variants that cover essentially all real-world JPEG — with 8-bit
+samples, grayscale or YCbCr (JFIF), arbitrary sampling factors
+(4:4:4 / 4:2:2 / 4:2:0), restart markers, and for progressive both
+spectral selection and successive approximation (DC/AC first +
+refinement scans with EOB-run coding, T.81 G.2). Arithmetic coding,
+hierarchical mode, and 12-bit precision return ``None`` so the
+caller's real-codec slot stays explicit; corrupt streams raise rather
+than yield wrong pixels.
 
 Used by the multimodal layer's metadata-first pipeline
 (functions/multimodal.py): only rows selected for decoding reach this
@@ -146,8 +149,9 @@ def _decode_block(r: _BitReader, dc_tbl, ac_tbl, qt, pred: int):
 
 
 def decode_jpeg(payload: bytes):
-    """Baseline JPEG → HxWx3 uint8 RGB array (grayscale replicated),
-    or None if the payload is outside the baseline envelope."""
+    """Baseline (SOF0) or progressive (SOF2) JPEG → HxWx3 uint8 RGB
+    array (grayscale replicated), or None outside that envelope
+    (arithmetic coding, hierarchical, 12-bit)."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
@@ -155,6 +159,7 @@ def decode_jpeg(payload: bytes):
     qtables: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
     frame = None
+    coeffs = None  # progressive: per-comp quantized coefficient grids
     restart_interval = 0
     pos = 2
     while pos < len(payload):
@@ -191,7 +196,7 @@ def decode_jpeg(payload: bytes):
                 symbols = seg[i + 17 : i + 17 + n]
                 huff[(cls, tid)] = _build_huffman(counts, symbols)
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             precision = seg[0]
             if precision != 8:
                 return None
@@ -202,9 +207,9 @@ def decode_jpeg(payload: bytes):
             for c in range(ncomp):
                 cid, samp, qid = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F, "q": qid})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # non-baseline frame type → real-codec slot
+            frame = {"h": h, "w": w, "comps": comps, "prog": marker == 0xC2}
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # non-baseline/progressive frame → real-codec slot
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS — entropy-coded data follows
@@ -212,14 +217,232 @@ def decode_jpeg(payload: bytes):
                 raise ValueError("SOS before SOF")
             ns = seg[0]
             scan_tbl = {}
+            scan_cids = []
             for c in range(ns):
                 cid, tids = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan_tbl[cid] = (tids >> 4, tids & 0x0F)
-            return _decode_scan(
-                payload, pos + ln, frame, scan_tbl, qtables, huff, restart_interval
+                scan_cids.append(cid)
+            if not frame["prog"]:
+                return _decode_scan(
+                    payload, pos + ln, frame, scan_tbl, qtables, huff, restart_interval
+                )
+            band = (
+                seg[1 + 2 * ns],
+                seg[2 + 2 * ns],
+                seg[3 + 2 * ns] >> 4,
+                seg[3 + 2 * ns] & 0x0F,
             )
+            if coeffs is None:
+                hmax = max(c["h"] for c in frame["comps"])
+                vmax = max(c["v"] for c in frame["comps"])
+                mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+                coeffs = [
+                    np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+                    for c in frame["comps"]
+                ]
+            pos = _progressive_scan(
+                payload, pos + ln, frame, scan_cids, scan_tbl, band,
+                huff, restart_interval, coeffs,
+            )
+            continue
         pos += ln
+    if frame is not None and frame["prog"] and coeffs is not None:
+        return _reconstruct_progressive(frame, coeffs, qtables)
     raise ValueError("no scan data in JPEG")
+
+
+def _skip_to_marker(data: bytes, pos: int) -> int:
+    """Advance past entropy-coded data (and any RST markers) to the
+    next 'real' marker boundary."""
+    while pos + 1 < len(data):
+        if data[pos] == 0xFF and data[pos + 1] != 0x00:
+            if 0xD0 <= data[pos + 1] <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    raise ValueError("unterminated scan")
+
+
+def _dc_first(r, blk, dc_tbl, pred: int, al: int) -> int:
+    t = r.decode_symbol(dc_tbl)
+    pred += _extend(r.read_bits(t), t) if t else 0
+    blk[0] = pred << al
+    return pred
+
+
+def _dc_refine(r, blk, al: int) -> None:
+    if r.read_bit():
+        blk[0] = int(blk[0]) | (1 << al)
+
+
+def _ac_first(r, blk, ac_tbl, ss, se, al, eobrun: int) -> int:
+    """T.81 G.2: first pass over an AC band with EOB-run coding."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = r.decode_symbol(ac_tbl)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << run) - 1
+            if run:
+                eobrun += r.read_bits(run)
+            break
+        k += run
+        if k > se:
+            raise ValueError("AC coefficient outside spectral band")
+        blk[k] = _extend(r.read_bits(size), size) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(r, blk, ac_tbl, ss, se, al, eobrun: int) -> int:
+    """T.81 G.2 successive-approximation refinement of an AC band:
+    newly nonzero coefficients arrive as ±1<<Al; every already-nonzero
+    coefficient passed over contributes one correction bit."""
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(k: int) -> None:
+        cur = int(blk[k])
+        if r.read_bit() and not (cur & p1):
+            blk[k] = cur + (p1 if cur >= 0 else m1)
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = r.decode_symbol(ac_tbl)
+            run, size = rs >> 4, rs & 0x0F
+            val = 0
+            if size == 0:
+                if run < 15:
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += r.read_bits(run)
+                    break
+                # run == 15: ZRL — skip 16 zero-history positions
+            else:
+                if size != 1:
+                    raise ValueError("bad refinement magnitude size")
+                val = p1 if r.read_bit() else m1
+            while k <= se:
+                if int(blk[k]) != 0:
+                    correct(k)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if int(blk[k]) != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _progressive_scan(
+    payload, pos, frame, scan_cids, scan_tbl, band, huff, restart_interval, coeffs
+):
+    """Decode one progressive scan into the coefficient grids; returns
+    the offset of the next marker after the entropy data."""
+    ss, se, ah, al = band
+    comps = frame["comps"]
+    by_id = {c["id"]: (ci, c) for ci, c in enumerate(comps)}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    w, h = frame["w"], frame["h"]
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    r = _BitReader(payload, pos)
+    eobrun = 0
+    preds = {cid: 0 for cid in scan_cids}
+    rst = 0
+    if ss == 0 and se != 0:
+        raise ValueError("DC scan must have Se=0")
+    if ss > 0 and len(scan_cids) != 1:
+        raise ValueError("AC scans are single-component")
+
+    interleaved = len(scan_cids) > 1
+    if interleaved:
+        units = mcux * mcuy
+    else:
+        ci, c = by_id[scan_cids[0]]
+        cw = (w * c["h"] + hmax - 1) // hmax
+        chh = (h * c["v"] + vmax - 1) // vmax
+        nbx = (cw + 7) // 8
+        nby = (chh + 7) // 8
+        units = nbx * nby
+
+    for m in range(units):
+        if restart_interval and m and m % restart_interval == 0:
+            r.restart(rst)
+            rst = (rst + 1) & 7
+            preds = {cid: 0 for cid in preds}
+            eobrun = 0
+        if interleaved:  # DC scan over full MCUs
+            my, mx = divmod(m, mcux)
+            for cid in scan_cids:
+                ci, c = by_id[cid]
+                dc_id = scan_tbl[cid][0]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = coeffs[ci][my * c["v"] + by, mx * c["h"] + bx]
+                        if ah == 0:
+                            preds[cid] = _dc_first(
+                                r, blk, huff[(0, dc_id)], preds[cid], al
+                            )
+                        else:
+                            _dc_refine(r, blk, al)
+        else:
+            cid = scan_cids[0]
+            ci, c = by_id[cid]
+            by, bx = divmod(m, nbx)
+            blk = coeffs[ci][by, bx]
+            if ss == 0:
+                dc_id = scan_tbl[cid][0]
+                if ah == 0:
+                    preds[cid] = _dc_first(r, blk, huff[(0, dc_id)], preds[cid], al)
+                else:
+                    _dc_refine(r, blk, al)
+            else:
+                ac_tbl = huff[(1, scan_tbl[cid][1])]
+                if ah == 0:
+                    eobrun = _ac_first(r, blk, ac_tbl, ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine(r, blk, ac_tbl, ss, se, al, eobrun)
+    return _skip_to_marker(payload, r.pos)
+
+
+def _reconstruct_progressive(frame, coeffs, qtables):
+    """Dequantize + IDCT the accumulated coefficient grids."""
+    import numpy as np
+
+    a = _dct_matrix()
+    comps = frame["comps"]
+    planes = []
+    for ci, c in enumerate(comps):
+        qt = np.asarray(qtables[c["q"]], dtype=np.float64)
+        grid = coeffs[ci]
+        nby, nbx = grid.shape[:2]
+        plane = np.empty((nby * 8, nbx * 8))
+        block = np.zeros(64)
+        for by in range(nby):
+            for bx in range(nbx):
+                block[_ZIGZAG] = grid[by, bx] * qt
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    a.T @ block.reshape(8, 8) @ a + 128.0
+                )
+        planes.append(plane)
+    return _planes_to_rgb(frame, planes)
 
 
 def _decode_scan(payload, pos, frame, scan_tbl, qtables, huff, restart_interval):
@@ -256,6 +479,19 @@ def _decode_scan(payload, pos, frame, scan_tbl, qtables, huff, restart_interval)
                     y0 = (my * c["v"] + by) * 8
                     x0 = (mx * c["h"] + bx) * 8
                     planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+    return _planes_to_rgb(frame, planes)
+
+
+def _planes_to_rgb(frame, planes):
+    """Upsample component planes to full resolution, crop, and apply
+    the JFIF color transform (shared by the baseline and progressive
+    paths)."""
+    import numpy as np
+
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     out = []
     for ci, c in enumerate(comps):
         p = planes[ci]

@@ -15,13 +15,14 @@ Design (the 100 TB pattern):
   decode are decoded FOR REAL — BMP (BI_RGB 24-bit + 8-bit paletted),
   binary PPM (P6), 8-bit PNG (gray/RGB/palette/alpha, sequential or
   Adam7, zlib inflate + per-row unfiltering), GIF87a/89a (LZW, first
-  frame), baseline JPEG (functions/jpeg.py: Huffman + IDCT + chroma
-  upsampling) images, MJPEG AVI video (RIFF walk + per-frame JPEG),
-  and PCM / G.711 μ-law / A-law WAV audio — with real pixel/sample
-  math for features and resizing; the remaining compressed formats
-  (progressive/arithmetic JPEG, MP3/AAC, non-MJPEG video, 16-bit or
-  sub-byte PNG) raise NotImplementedError at the marked slot until an
-  imaging/audio library is present. ``fake=True``
+  frame), baseline + progressive JPEG (functions/jpeg.py: Huffman +
+  IDCT + chroma upsampling, spectral selection and successive
+  approximation) images, MJPEG AVI video (RIFF walk + per-frame
+  JPEG), and PCM / G.711 μ-law / A-law WAV audio — with real
+  pixel/sample math for features and resizing; the remaining
+  compressed formats (arithmetic-coded JPEG, MP3/AAC, non-MJPEG
+  video, 16-bit or sub-byte PNG) raise NotImplementedError at the
+  marked slot until an imaging/audio library is present. ``fake=True``
   selects the deterministic digest-based decoder for pipeline tests
   that don't care about payload contents.
 """
@@ -319,8 +320,8 @@ def _decode_pixels(payload: bytes):
     if payload[:3] == b"\xff\xd8\xff":
         from etl_database_spark.functions.jpeg import decode_jpeg
 
-        # None for non-baseline variants (progressive/arithmetic/12-bit)
-        # → stays at the real-codec slot below.
+        # None for out-of-envelope variants (arithmetic/12-bit) →
+        # stays at the real-codec slot below.
         return decode_jpeg(payload)
 
     if payload[:2] == b"BM" and len(payload) >= 54:

@@ -53,12 +53,11 @@ def _dct_mat():
     return a
 
 
-# Simple valid canonical tables: 12 DC size symbols at length 4;
-# the 162 standard AC (run,size) symbols at length 8.
+# Simple valid canonical tables: 12 DC size symbols at length 4; all
+# 176 AC (run,size) symbols at length 8 — s=0 row included so EOBn
+# run-length symbols (progressive) and ZRL are codable.
 _DC_SYMS = list(range(12))
-_AC_SYMS = [0x00, 0xF0] + [
-    (r << 4) | s for r in range(16) for s in range(1, 11)
-]
+_AC_SYMS = [(r << 4) | s for r in range(16) for s in range(0, 11)]
 
 
 def _canonical(counts_by_len):
@@ -283,11 +282,11 @@ def test_restart_markers():
     assert np.array_equal(plain, with_rst)
 
 
-def test_progressive_returns_none():
+def test_arithmetic_coded_returns_none():
     img = _smooth_image(16, 16)
     payload = bytearray(_encode_jpeg(img))
     idx = payload.index(b"\xff\xc0")
-    payload[idx + 1] = 0xC2  # pretend progressive SOF2
+    payload[idx + 1] = 0xC9  # arithmetic-coded sequential SOF9
     assert decode_jpeg(bytes(payload)) is None
 
 
@@ -312,3 +311,274 @@ def test_multimodal_pipeline_decodes_jpeg(spark):
     assert (out[2].width, out[2].height) == (32, 24)
     for f_bmp, f_jpg in zip(out[1].features, out[2].features):
         assert abs(f_bmp - f_jpg) < 0.02
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) encoder: spectral selection + successive
+# approximation with EOB-run coding, following T.81 G.1.2 (the same
+# algorithm family as libjpeg's jcphuff). Independent of the decoder.
+
+
+def _quantized_grids(rgb, quality, gray, subsample):
+    """→ (per-comp grid[by][bx] of 64-int zigzag blocks padded to the
+    MCU grid, samps, qids, qt, mcux, mcuy, h, w)."""
+    rgb = np.asarray(rgb, dtype=np.float64)
+    h, w = rgb.shape[:2]
+    if gray:
+        planes = [0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]]
+        samps, qids = [(1, 1)], [0]
+    else:
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128
+        cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128
+        if subsample:
+            cbp, crp = _pad_to(cb, 2), _pad_to(cr, 2)
+            cb = (cbp[0::2, 0::2] + cbp[1::2, 0::2] + cbp[0::2, 1::2] + cbp[1::2, 1::2]) / 4
+            cr = (crp[0::2, 0::2] + crp[1::2, 0::2] + crp[0::2, 1::2] + crp[1::2, 1::2]) / 4
+            samps = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samps = [(1, 1)] * 3
+        planes, qids = [y, cb, cr], [0, 1, 1]
+    qt = [_scaled(_QL, quality), _scaled(_QC, quality)]
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    a = _dct_mat()
+    grids = []
+    for (sh, sv), p, qid in zip(samps, planes, qids):
+        ph, pw = mcuy * sv * 8, mcux * sh * 8
+        padded = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge")
+        grid = []
+        for by in range(mcuy * sv):
+            row = []
+            for bx in range(mcux * sh):
+                coef = a @ (padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0) @ a.T
+                flat = coef.reshape(64)
+                row.append(
+                    [int(round(flat[_ZIGZAG[k]] / qt[qid][k])) for k in range(64)]
+                )
+            grid.append(row)
+        grids.append(grid)
+    return grids, samps, qids, qt, mcux, mcuy, h, w
+
+
+class _ProgState:
+    def __init__(self):
+        self.eobrun = 0
+        self.pending = []  # correction bits riding with the EOB run
+
+
+def _flush_eobrun(writer, st):
+    if st.eobrun:
+        nb = st.eobrun.bit_length() - 1
+        c, ln = _AC_CODES[nb << 4]
+        writer.write(c, ln)
+        if nb:
+            writer.write(st.eobrun - (1 << nb), nb)
+        for b in st.pending:
+            writer.write(b, 1)
+        st.eobrun = 0
+        st.pending = []
+
+
+def _emit_ac_first_block(writer, st, zz, ss, se, al):
+    run = 0
+    for k in range(ss, se + 1):
+        v = zz[k]
+        t = abs(v) >> al
+        if t == 0:
+            run += 1
+            continue
+        _flush_eobrun(writer, st)
+        while run > 15:
+            c, ln = _AC_CODES[0xF0]
+            writer.write(c, ln)
+            run -= 16
+        nb, bits = _mag_bits(t if v > 0 else -t)
+        c, ln = _AC_CODES[(run << 4) | nb]
+        writer.write(c, ln)
+        writer.write(bits, nb)
+        run = 0
+    if run > 0:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            _flush_eobrun(writer, st)
+
+
+def _emit_ac_refine_block(writer, st, zz, ss, se, al):
+    absv = [abs(zz[k]) >> al for k in range(ss, se + 1)]
+    eob = ss - 1
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = ss + i
+    run = 0
+    br = []
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and k <= eob:
+            _flush_eobrun(writer, st)
+            c, ln = _AC_CODES[0xF0]
+            writer.write(c, ln)
+            for b in br:
+                writer.write(b, 1)
+            br = []
+            run -= 16
+        if t > 1:
+            br.append(t & 1)
+            continue
+        _flush_eobrun(writer, st)
+        c, ln = _AC_CODES[(run << 4) | 1]
+        writer.write(c, ln)
+        writer.write(1 if zz[k] > 0 else 0, 1)
+        for b in br:
+            writer.write(b, 1)
+        br = []
+        run = 0
+    if run > 0 or br:
+        st.eobrun += 1
+        st.pending.extend(br)
+        if st.eobrun == 0x7FFF:
+            _flush_eobrun(writer, st)
+
+
+def _encode_jpeg_progressive(rgb, quality=92, gray=False, subsample=False, script=None):
+    grids, samps, qids, qt, mcux, mcuy, h, w = _quantized_grids(
+        rgb, quality, gray, subsample
+    )
+    ncomp = len(grids)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    if script is None:
+        script = (
+            [([0], 0, 0, 0, 1), ([0], 1, 63, 0, 2),
+             ([0], 1, 63, 2, 1), ([0], 0, 0, 1, 0), ([0], 1, 63, 1, 0)]
+            if ncomp == 1
+            else [([0, 1, 2], 0, 0, 0, 1), ([0], 1, 5, 0, 2), ([1], 1, 63, 0, 1),
+                  ([2], 1, 63, 0, 1), ([0], 6, 63, 0, 2), ([0], 1, 63, 2, 1),
+                  ([0, 1, 2], 0, 0, 1, 0), ([1], 1, 63, 1, 0), ([2], 1, 63, 1, 0),
+                  ([0], 1, 63, 1, 0)]
+        )
+
+    out = bytearray(b"\xff\xd8")
+    for tid, tab in enumerate(qt[: 1 if gray else 2]):
+        seg = bytes([tid]) + bytes(tab)
+        out += b"\xff\xdb" + (len(seg) + 2).to_bytes(2, "big") + seg
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci, (sh, sv) in enumerate(samps):
+        sof += bytes([ci + 1, (sh << 4) | sv, qids[ci]])
+    out += b"\xff\xc2" + (len(sof) + 2).to_bytes(2, "big") + sof
+    for seg in (_dht_segment(0, 0, {4: _DC_SYMS}), _dht_segment(1, 0, {8: _AC_SYMS})):
+        out += b"\xff\xc4" + (len(seg) + 2).to_bytes(2, "big") + seg
+
+    for comps, ss, se, ah, al in script:
+        sos = bytes([len(comps)])
+        for ci in comps:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+        writer = _BitWriter()
+        st = _ProgState()
+        if ss == 0:  # DC scan
+            preds = {ci: 0 for ci in comps}
+            if len(comps) > 1:  # interleaved over MCUs
+                for m in range(mcux * mcuy):
+                    my, mx = divmod(m, mcux)
+                    for ci in comps:
+                        sh, sv = samps[ci]
+                        for by in range(sv):
+                            for bx in range(sh):
+                                dc = grids[ci][my * sv + by][mx * sh + bx][0]
+                                if ah == 0:
+                                    v = dc >> al
+                                    nb, bits = _mag_bits(v - preds[ci])
+                                    preds[ci] = v
+                                    c, ln = _DC_CODES[nb]
+                                    writer.write(c, ln)
+                                    writer.write(bits, nb)
+                                else:
+                                    writer.write((dc >> al) & 1, 1)
+            else:
+                ci = comps[0]
+                sh, sv = samps[ci]
+                nbx = ((w * sh + hmax - 1) // hmax + 7) // 8
+                nby = ((h * sv + vmax - 1) // vmax + 7) // 8
+                for m in range(nbx * nby):
+                    by, bx = divmod(m, nbx)
+                    dc = grids[ci][by][bx][0]
+                    if ah == 0:
+                        v = dc >> al
+                        nb, bits = _mag_bits(v - preds[ci])
+                        preds[ci] = v
+                        c, ln = _DC_CODES[nb]
+                        writer.write(c, ln)
+                        writer.write(bits, nb)
+                    else:
+                        writer.write((dc >> al) & 1, 1)
+        else:  # AC scan: single component, non-interleaved
+            ci = comps[0]
+            sh, sv = samps[ci]
+            nbx = ((w * sh + hmax - 1) // hmax + 7) // 8
+            nby = ((h * sv + vmax - 1) // vmax + 7) // 8
+            for m in range(nbx * nby):
+                by, bx = divmod(m, nbx)
+                zz = grids[ci][by][bx]
+                if ah == 0:
+                    _emit_ac_first_block(writer, st, zz, ss, se, al)
+                else:
+                    _emit_ac_refine_block(writer, st, zz, ss, se, al)
+            _flush_eobrun(writer, st)
+        writer.flush()
+        out += writer.buf
+    return bytes(out) + b"\xff\xd9"
+
+
+def test_progressive_matches_baseline_444():
+    img = _smooth_image(40, 56, seed=4)
+    base = decode_jpeg(_encode_jpeg(img, quality=92))
+    prog = decode_jpeg(_encode_jpeg_progressive(img, quality=92))
+    assert prog is not None
+    assert np.array_equal(base, prog), (
+        f"max diff {np.abs(base.astype(int) - prog.astype(int)).max()}"
+    )
+
+
+def test_progressive_matches_baseline_420_odd_dims():
+    img = _smooth_image(33, 41, seed=8)
+    base = decode_jpeg(_encode_jpeg(img, quality=92, subsample=True))
+    prog = decode_jpeg(_encode_jpeg_progressive(img, quality=92, subsample=True))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_matches_baseline_grayscale():
+    img = _smooth_image(24, 24, seed=6)
+    base = decode_jpeg(_encode_jpeg(img, quality=92, gray=True))
+    prog = decode_jpeg(_encode_jpeg_progressive(img, quality=92, gray=True))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_spectral_only_script():
+    """Spectral selection without successive approximation (Al=0
+    everywhere) — a different legal scan script."""
+    img = _smooth_image(32, 48, seed=12)
+    script = [
+        ([0, 1, 2], 0, 0, 0, 0),
+        ([0], 1, 20, 0, 0), ([0], 21, 63, 0, 0),
+        ([1], 1, 63, 0, 0), ([2], 1, 63, 0, 0),
+    ]
+    base = decode_jpeg(_encode_jpeg(img, quality=92))
+    prog = decode_jpeg(_encode_jpeg_progressive(img, quality=92, script=script))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_noisy_image_exercises_eob_runs():
+    """High-frequency noise → many EOB runs, ZRLs, and refinement
+    corrections; still exact vs baseline."""
+    rng = np.random.RandomState(19)
+    img = rng.randint(0, 256, size=(48, 48, 3)).astype(np.uint8)
+    base = decode_jpeg(_encode_jpeg(img, quality=85))
+    prog = decode_jpeg(_encode_jpeg_progressive(img, quality=85))
+    assert np.array_equal(base, prog)
