@@ -692,19 +692,37 @@ def semantic_dedup(
     # materialization the broadcast-join + argmin subtree runs twice
     # (caches alone don't dedupe plan branches inside one action — see
     # functions/dedup._finish_eager). Cache + count forces one pass.
-    assigned = assign_nearest(df, centroids, id_col, vec_col).cache()
+    # The L2 norm is computed once per vector here rather than twice
+    # per pair below — the same sqrt(fold) in the same order, so
+    # cos_sim is bit-identical to the naive cosine() formula (and to
+    # the SQL oracle), at ~1/3 the per-pair arithmetic.
+    assigned = (
+        assign_nearest(df, centroids, id_col, vec_col)
+        .withColumn("_norm", norm(F.col("_vec")))
+        .cache()
+    )
     assigned.count()
     left = assigned.select(
-        "cluster_id", F.col("_id").alias("id_a"), F.col("_vec").alias("_va")
+        "cluster_id",
+        F.col("_id").alias("id_a"),
+        F.col("_vec").alias("_va"),
+        F.col("_norm").alias("_na"),
     )
     right = assigned.select(
-        "cluster_id", F.col("_id").alias("id_b"), F.col("_vec").alias("_vb")
+        "cluster_id",
+        F.col("_id").alias("id_b"),
+        F.col("_vec").alias("_vb"),
+        F.col("_norm").alias("_nb"),
     )
     pairs = (
         left.join(right, "cluster_id")
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn(
-            "cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), round_digits)
+            "cos_sim",
+            F.round(
+                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+                round_digits,
+            ),
         )
         .where(F.col("cos_sim") >= threshold)
     )
