@@ -160,3 +160,14 @@ def test_deactivation_closes_effective_range(spark, tmp_path):
     row = reg.datasets().where(F.col("datasetid") == did).first()
     assert not row.isactive
     assert row.effthrudate < dt.datetime(9999, 1, 1)
+
+
+def test_bench_headline_queries_are_registered():
+    """bench.py drives the driver's per-round BENCH artifact; a
+    renamed or dropped query must fail tests, not the driver run."""
+    from bench import HEADLINE
+    from etl_database_spark.queries import load_all
+
+    registry = load_all()
+    missing = [n for n in HEADLINE if n not in registry]
+    assert not missing, f"headline queries missing from registry: {missing}"
