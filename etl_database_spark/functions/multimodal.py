@@ -13,7 +13,8 @@ Design (the 100 TB pattern):
   a typed column frame;
 - codec policy: formats the Python standard library + numpy can
   decode are decoded FOR REAL — BMP (BI_RGB 24-bit + 8-bit paletted),
-  binary PPM (P6), 8-bit PNG (gray/RGB/palette/alpha, sequential or
+  binary PPM (P6), PNG at every spec-valid depth/color combination
+  (1/2/4/8/16-bit gray+palette, 8/16-bit RGB/alpha, sequential or
   Adam7, zlib inflate + per-row unfiltering), GIF87a/89a (LZW, first
   frame), baseline + progressive JPEG (functions/jpeg.py: Huffman +
   IDCT + chroma upsampling, spectral selection and successive
@@ -21,8 +22,8 @@ Design (the 100 TB pattern):
   JPEG), and PCM / G.711 μ-law / A-law WAV audio — with real
   pixel/sample math for features and resizing; the remaining
   compressed formats (arithmetic-coded JPEG, MP3/AAC, non-MJPEG
-  video, 16-bit or sub-byte PNG) raise NotImplementedError at the
-  marked slot until an imaging/audio library is present. ``fake=True``
+  video) raise NotImplementedError at the marked slot until an
+  imaging/audio library is present. ``fake=True``
   selects the deterministic digest-based decoder for pipeline tests
   that don't care about payload contents.
 """
@@ -86,13 +87,18 @@ def _unfilter_png_row(ftype: int, row: bytearray, prev: bytes, bpp: int) -> byte
     raise ValueError(f"bad PNG filter type {ftype}")
 
 
-def _unfilter_png_image(raw, offset, width, height, ch):
+def _unfilter_png_image(raw, offset, width, height, ch, depth):
     """Unfilter one (sub-)image of ``height`` scanlines starting at
-    ``offset`` in the inflated stream → (HxWxch uint8 array, bytes
-    consumed). Shared by the sequential and Adam7 paths."""
+    ``offset`` in the inflated stream → (HxWxch uint8 sample array,
+    bytes consumed). Shared by the sequential and Adam7 paths.
+    Filters operate on bytes with bpp = ceil(bits-per-pixel / 8)
+    (PNG spec §9); sample extraction then depends on the depth:
+    16-bit keeps the high byte, sub-byte depths unpack MSB-first."""
     import numpy as np
 
-    stride = width * ch
+    bits_px = ch * depth
+    stride = (width * bits_px + 7) // 8
+    bpp = max(1, bits_px // 8)
     if len(raw) - offset < (stride + 1) * height:
         raise ValueError("truncated PNG pixel data")
     out = np.empty((height, stride), dtype=np.uint8)
@@ -100,11 +106,22 @@ def _unfilter_png_image(raw, offset, width, height, ch):
     for r in range(height):
         off = offset + r * (stride + 1)
         recon = _unfilter_png_row(
-            raw[off], bytearray(raw[off + 1 : off + 1 + stride]), prev, ch
+            raw[off], bytearray(raw[off + 1 : off + 1 + stride]), prev, bpp
         )
         out[r] = np.frombuffer(bytes(recon), dtype=np.uint8)
         prev = bytes(recon)
-    return out.reshape(height, width, ch), (stride + 1) * height
+    consumed = (stride + 1) * height
+    if depth == 8:
+        return out[:, : width * ch].reshape(height, width, ch), consumed
+    if depth == 16:
+        pairs = out[:, : width * ch * 2].reshape(height, width, ch, 2)
+        return pairs[..., 0].copy(), consumed  # high byte == value >> 8
+    # 1/2/4-bit: single-channel only (gray or palette indices)
+    bits = np.unpackbits(out, axis=1)[:, : width * depth]
+    grouped = bits.reshape(height, width, depth).astype(np.uint8)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (grouped * weights).sum(axis=2).astype(np.uint8)
+    return vals[:, :, None], consumed
 
 
 # Adam7 pass grid: (x0, y0, dx, dy) per PNG spec §8.2
@@ -115,14 +132,16 @@ _ADAM7 = [
 
 
 def _decode_png(payload: bytes):
-    """8-bit PNG → HxWx3 uint8 array via stdlib zlib: chunk walk,
-    IDAT inflate, per-row unfilter. Supported: color types 0
-    (grayscale), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) at
-    bit depth 8, sequential or Adam7-interlaced; alpha is dropped.
-    Returns None outside that envelope (16-bit and sub-byte depths →
-    the real-codec slot). Per-byte unfiltering is Python-speed — fine
-    for the metadata-first pipeline shape where only selected rows
-    are decoded; swap in an imaging library for bulk pixel work."""
+    """PNG → HxWx3 uint8 array via stdlib zlib: chunk walk, IDAT
+    inflate, per-row unfilter. Supported: every spec-valid
+    depth/color combination — color types 0 (grayscale), 2 (RGB), 3
+    (palette), 4 (gray+alpha), 6 (RGBA); depths 8/16 everywhere plus
+    1/2/4 for gray and palette — sequential or Adam7-interlaced.
+    16-bit keeps the high byte, sub-byte gray scales to 8-bit, alpha
+    is dropped. Returns None only for spec-invalid combinations.
+    Per-byte unfiltering is Python-speed — fine for the
+    metadata-first pipeline shape where only selected rows are
+    decoded; swap in an imaging library for bulk pixel work."""
     import zlib
 
     import numpy as np
@@ -149,13 +168,22 @@ def _decode_png(payload: bytes):
             break
         pos += 12 + ln  # length + type + payload-less CRC skip
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
-    if width is None or bit_depth != 8 or channels is None or interlace not in (0, 1):
+    depth_ok = bit_depth in (8, 16) or (
+        bit_depth in (1, 2, 4) and color_type in (0, 3)
+    )
+    if (
+        width is None
+        or channels is None
+        or not depth_ok
+        or (color_type == 3 and bit_depth == 16)  # invalid per spec
+        or interlace not in (0, 1)
+    ):
         return None
     if color_type == 3 and palette is None:
         raise ValueError("paletted PNG without PLTE chunk")
     raw = zlib.decompress(bytes(idat))
     if interlace == 0:
-        px, _ = _unfilter_png_image(raw, 0, width, height, channels)
+        px, _ = _unfilter_png_image(raw, 0, width, height, channels, bit_depth)
     else:
         px = np.empty((height, width, channels), dtype=np.uint8)
         offset = 0
@@ -164,13 +192,15 @@ def _decode_png(payload: bytes):
             ph = (height - y0 + dy - 1) // dy
             if pw == 0 or ph == 0:
                 continue
-            sub, used = _unfilter_png_image(raw, offset, pw, ph, channels)
+            sub, used = _unfilter_png_image(raw, offset, pw, ph, channels, bit_depth)
             px[y0::dy, x0::dx] = sub
             offset += used
     if color_type == 3:
         if int(px.max(initial=0)) >= len(palette):
             raise ValueError("PNG palette index out of range")
         return palette[px[:, :, 0]].copy()
+    if bit_depth in (1, 2, 4):  # sub-byte grayscale → scale to 8-bit
+        px = (px.astype(np.uint16) * 255 // ((1 << bit_depth) - 1)).astype(np.uint8)
     if channels == 1:
         return np.repeat(px, 3, axis=2)
     if channels == 2:

@@ -232,8 +232,10 @@ def test_real_png_decode_matches_bmp(spark):
     assert out[1].features == out[2].features == out[3].features
 
 
-def test_png_beyond_envelope_is_explicit_slot(spark):
-    """16-bit PNGs stay at the real-codec slot."""
+def test_png_invalid_combo_routes_to_explicit_slot(spark):
+    """Spec-invalid depth/color combinations (16-bit paletted) return
+    None from the PNG decoder and land at the explicit slot instead of
+    guessing."""
     import struct
     import zlib
 
@@ -243,11 +245,11 @@ def test_png_beyond_envelope_is_explicit_slot(spark):
             + struct.pack(">I", zlib.crc32(ctype + data))
         )
 
-    # bit depth 16 is outside the stdlib envelope
-    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 3, 0, 0, 0)
     payload = (
         b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(b"\x00" * 7)) + chunk(b"IEND", b"")
+        + chunk(b"PLTE", b"\x00\x00\x00")
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 3)) + chunk(b"IEND", b"")
     )
     df = spark.createDataFrame([(1, payload)], "id long, media binary")
     with pytest.raises(Exception, match="NotImplementedError|imaging library"):
@@ -747,3 +749,97 @@ def test_mjpeg_avi_rec_grouped_frames(spark):
     got = list(_iter_avi_mjpeg_frames(payload))
     assert [idx for idx, _ in got] == [0, 1, 2]
     assert [f for _, f in got] == frames
+
+
+def _png_bytes_depth(pixels, color_type, depth, palette=None, interlace=False):
+    """PNG encoder for non-8-bit depths: 16-bit writes v*257 (so the
+    decoder's high byte returns v exactly); 1/2/4-bit packs MSB-first.
+    Filter 0 everywhere."""
+    import struct
+    import zlib
+
+    h, w = len(pixels), len(pixels[0])
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+
+    passes = (
+        [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+         (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+        if interlace
+        else [(0, 0, 1, 1)]
+    )
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        for r in range(y0, h, dy):
+            row = [pixels[r][c] for c in range(x0, w, dx)]
+            if not row:
+                continue
+            raw.append(0)  # filter type None
+            if depth == 16:
+                for p in row:
+                    samples = tuple(p) if isinstance(p, (tuple, list)) else (p,)
+                    if color_type == 4:
+                        samples = (samples[0], 255)  # opaque alpha
+                    elif color_type == 6:
+                        samples = samples + (255,)  # opaque alpha
+                    for v in samples:
+                        raw += struct.pack(">H", v * 257)
+            else:  # 1/2/4-bit single channel
+                acc = nbits = 0
+                for p in row:
+                    acc = (acc << depth) | (p & ((1 << depth) - 1))
+                    nbits += depth
+                    if nbits == 8:
+                        raw.append(acc)
+                        acc = nbits = 0
+                if nbits:
+                    raw.append(acc << (8 - nbits))
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 1 if interlace else 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        out += chunk(b"PLTE", b"".join(bytes(c) for c in palette))
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+def test_png_16bit_and_subbyte_depths(spark):
+    """16-bit (gray/RGB/RGBA/gray+alpha) and 1/2/4-bit (gray,
+    palette) PNGs decode to the same pixels as their 8-bit twins."""
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (17, 34, 51)]
+    idx = [[(r * 3 + c) % 4 for c in range(7)] for r in range(5)]
+    rgb = [[palette[i] for i in row] for row in idx]
+    g1 = [[(r + c) % 2 for c in range(7)] for r in range(5)]
+    g1_rgb = [[(v * 255, v * 255, v * 255) for v in row] for row in g1]
+    g2 = [[(r + c) % 4 for c in range(7)] for r in range(5)]
+    g2_rgb = [[(v * 255 // 3,) * 3 for v in row] for row in g2]
+    gray = [[(r * 31 + c * 17) % 256 for c in range(7)] for r in range(5)]
+    gray_rgb = [[(v, v, v) for v in row] for row in gray]
+
+    rows = [
+        (1, _bmp_bytes(rgb)),
+        (2, _png_bytes_depth(rgb, 2, 16)),
+        (3, _png_bytes_depth(idx, 3, 4, palette=palette)),
+        (4, _png_bytes_depth(idx, 3, 2, palette=palette)),
+        (5, _png_bytes_depth(rgb, 6, 16, interlace=True)),
+        (6, _bmp_bytes(g1_rgb)),
+        (7, _png_bytes_depth(g1, 0, 1)),
+        (8, _bmp_bytes(g2_rgb)),
+        (9, _png_bytes_depth(g2, 0, 2, interlace=True)),
+        (10, _bmp_bytes(gray_rgb)),
+        (11, _png_bytes_depth(gray, 0, 16)),
+        (12, _png_bytes_depth(gray, 4, 16)),
+    ]
+    df = spark.createDataFrame(rows, "id long, media binary")
+    out = {r.id: r for r in M.image_features(df, fake=False).collect()}
+    for r in out.values():
+        assert (r.width, r.height) == (7, 5)
+    assert out[1].features == out[2].features == out[3].features
+    assert out[1].features == out[4].features == out[5].features
+    assert out[6].features == out[7].features
+    assert out[8].features == out[9].features
+    assert out[10].features == out[11].features == out[12].features
