@@ -315,9 +315,10 @@ def kmeans_fit(
     vec_col: str = "embedding",
 ) -> list[list[float]]:
     """Fixed-iteration Lloyd's k-means on an embedding column, pure
-    DataFrame ops: assignment = argmin squared-L2 against broadcast
-    centroid literals; update = groupBy mean per dimension via
-    element-wise array aggregation (posexplode + avg).
+    DataFrame ops: assignment = broadcast-join argmin squared-L2
+    (``_argmin_assign`` — constant plan size in k); update = groupBy
+    mean per dimension via element-wise array aggregation
+    (posexplode + avg).
 
     Deterministic: seeds are the k lowest-id vectors (no RNG), and
     ties in assignment break toward the lower centroid id. Each
@@ -333,9 +334,7 @@ def kmeans_fit(
     centroids = [list(r.c) for r in seeds]
     vecs = df.select(F.col(id_col).alias("_id"), _to_double(F.col(vec_col)).alias("v"))
     for _ in range(max_iter):
-        assigned = vecs.withColumn(
-            "centroid", _nearest_centroid_expr(centroids)
-        )
+        assigned = _argmin_assign(vecs, centroids)
         new_rows = (
             assigned.select("centroid", F.posexplode("v").alias("pos", "val"))
             .groupBy("centroid", "pos")
@@ -355,23 +354,31 @@ def kmeans_fit(
     return centroids
 
 
-def _nearest_centroid_expr(centroids: list[list[float]]) -> Column:
-    """argmin_c ||v - c||² as a when-ladder over centroid literals —
-    squared-L2 per centroid is a codegen'd fold; ties → lower id."""
-    dists = []
-    for c in centroids:
-        lit = F.array(*[F.lit(float(x)) for x in c])
-        d = F.aggregate(
-            F.zip_with(F.col("v"), lit, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        dists.append(d)
-    best = F.least(*dists) if len(dists) > 1 else dists[0]
-    expr = None
-    for i, d in enumerate(dists):
-        expr = F.when(d == best, F.lit(i)) if expr is None else expr.when(d == best, F.lit(i))
-    return expr
+def _argmin_assign(vecs: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """(_id, v) × centroid list → (_id, v, centroid) by squared-L2
+    argmin, ties → lower centroid id. Broadcast join + min(struct)
+    so partial aggregation collapses the k candidates per vector
+    map-side (one exchange of n rows, not k·n) — and the plan size
+    stays constant in k, unlike a per-centroid when-ladder whose
+    generated code blows up by k ~ 64 (the distance arithmetic is the
+    same left-to-right double fold either way, so assignments are
+    bit-identical)."""
+    spark = vecs.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "centroid int, cvec array<double>",
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = vecs.join(F.broadcast(cdf)).withColumn("_dist", dist)
+    return (
+        scored.groupBy("_id")
+        .agg(F.min(F.struct("_dist", "centroid", "v")).alias("_m"))
+        .select("_id", F.col("_m.v").alias("v"), F.col("_m.centroid").alias("centroid"))
+    )
 
 
 def ivf_assign(
@@ -384,7 +391,7 @@ def ivf_assign(
     At scale this frame is written partitioned by ``centroid`` so a
     probe only scans the probed partitions."""
     vecs = df.select(F.col(id_col).alias("_id"), _to_double(F.col(vec_col)).alias("v"))
-    return vecs.withColumn("centroid", _nearest_centroid_expr(centroids))
+    return _argmin_assign(vecs, centroids)
 
 
 def ivf_topk(
@@ -635,10 +642,11 @@ def assign_nearest(
     candidate expansion happens map-side; the argmin runs as
     ``min(struct(dist, cluster_id, vec))`` so partial aggregation
     collapses the k candidates per vector BEFORE the shuffle — one
-    exchange of n rows, not k·n. Unlike the literal when-ladder in
-    ``_nearest_centroid_expr`` this scales to large k (SemDeDup uses
-    k ~ 10⁵) without codegen blowup: distances fold left-to-right in
-    double, deterministic across engines.
+    exchange of n rows, not k·n — and the plan stays constant-size in
+    k (SemDeDup uses k ~ 10⁵): distances fold left-to-right in
+    double, deterministic across engines. Same shape as
+    ``_argmin_assign``, differing only in the centroid frame's column
+    names.
     """
     v = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
     c = centroids.select("cluster_id", "cvec")
