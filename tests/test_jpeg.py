@@ -582,3 +582,32 @@ def test_progressive_noisy_image_exercises_eob_runs():
     base = decode_jpeg(_encode_jpeg(img, quality=85))
     prog = decode_jpeg(_encode_jpeg_progressive(img, quality=85))
     assert np.array_equal(base, prog)
+
+
+def test_progressive_random_scan_scripts_property():
+    """Hypothesis-style fuzz: random legal scan scripts (random band
+    splits, random successive-approximation ladders) must all decode
+    to exactly the baseline reconstruction."""
+    import random
+
+    rng = random.Random(23)
+    img = _smooth_image(24, 40, seed=3)
+    base = decode_jpeg(_encode_jpeg(img, quality=90))
+    for trial in range(6):
+        al_dc = rng.randint(0, 2)
+        script = []
+        # DC ladder: first at al_dc, then refinements down to 0
+        script.append(([0, 1, 2], 0, 0, 0, al_dc))
+        for a in range(al_dc, 0, -1):
+            script.append(([0, 1, 2], 0, 0, a, a - 1))
+        # AC: per component, random band split and random SA depth
+        for ci in range(3):
+            split = rng.randint(1, 62)
+            al_ac = rng.randint(0, 2)
+            script.append(([ci], 1, split, 0, al_ac))
+            script.append(([ci], split + 1, 63, 0, al_ac))
+            for a in range(al_ac, 0, -1):
+                script.append(([ci], 1, split, a, a - 1))
+                script.append(([ci], split + 1, 63, a, a - 1))
+        prog = decode_jpeg(_encode_jpeg_progressive(img, quality=90, script=script))
+        assert np.array_equal(base, prog), f"trial {trial} script {script}"

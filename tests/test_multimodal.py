@@ -843,3 +843,33 @@ def test_png_16bit_and_subbyte_depths(spark):
     assert out[6].features == out[7].features
     assert out[8].features == out[9].features
     assert out[10].features == out[11].features == out[12].features
+
+
+def test_gif_random_roundtrip_property():
+    """Fuzz the GIF LZW path: random palette sizes, dimensions, and
+    pixel data must roundtrip exactly (hypothesis-style loop kept
+    dependency-free)."""
+    import random
+
+    import numpy as np
+
+    from etl_database_spark.functions.multimodal import _decode_gif
+
+    rng = random.Random(97)
+    for trial in range(8):
+        ncolors = rng.choice([2, 3, 4, 7, 13, 16, 64, 200])
+        w = rng.randint(1, 40)
+        h = rng.randint(1, 30)
+        palette = [
+            (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for _ in range(ncolors)
+        ]
+        # dedupe palette entries (encoder maps by color value)
+        palette = list(dict.fromkeys(palette))
+        px = [[palette[rng.randrange(len(palette))] for _ in range(w)] for _ in range(h)]
+        for interlaced in (False, True):
+            decoded = _decode_gif(_gif_bytes(px, interlaced=interlaced))
+            assert decoded.shape == (h, w, 3), f"trial {trial} {w}x{h}"
+            assert np.array_equal(decoded, np.array(px, dtype=np.uint8)), (
+                f"trial {trial} {w}x{h} interlaced={interlaced}"
+            )
