@@ -672,6 +672,74 @@ def assign_nearest(
     return best
 
 
+def semantic_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment plus the per-vector L2 norm →
+    (_id, _vec, cluster_id, _norm): the shared input of the batch and
+    streaming semantic-dedup pair stages. The norm is computed once
+    per vector rather than twice per pair — the same sqrt(fold) in
+    the same order, so downstream cos_sim stays bit-identical to the
+    naive cosine() formula (and to the SQL oracle) at ~1/3 the
+    per-pair arithmetic."""
+    return assign_nearest(df, centroids, id_col, vec_col).withColumn(
+        "_norm", norm(F.col("_vec"))
+    )
+
+
+def semantic_pairs(
+    left_assigned: DataFrame,
+    right_assigned: DataFrame,
+    threshold: float,
+    round_digits: int = 4,
+    self_join: bool = True,
+) -> DataFrame:
+    """Qualifying intra-cluster cosine pairs between two
+    ``semantic_assign`` frames → (cluster_id, id_a, id_b, cos_sim)
+    with id_a < id_b.
+
+    ``self_join=True`` is the batch shape (left IS right; the
+    ``id_a < id_b`` filter dedups and drops self-pairs).
+    ``self_join=False`` is the streaming cross-batch shape: every
+    (stored, new) pair with distinct ids qualifies, and the output is
+    oriented by id afterward — cosine is symmetric, so orientation
+    after scoring changes nothing."""
+    left = left_assigned.select(
+        "cluster_id",
+        F.col("_id").alias("id_a"),
+        F.col("_vec").alias("_va"),
+        F.col("_norm").alias("_na"),
+    )
+    right = right_assigned.select(
+        "cluster_id",
+        F.col("_id").alias("id_b"),
+        F.col("_vec").alias("_vb"),
+        F.col("_norm").alias("_nb"),
+    )
+    joined = left.join(right, "cluster_id")
+    joined = joined.where(
+        F.col("id_a") < F.col("id_b") if self_join else F.col("id_a") != F.col("id_b")
+    )
+    scored = joined.withColumn(
+        "cos_sim",
+        F.round(
+            dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+            round_digits,
+        ),
+    ).where(F.col("cos_sim") >= threshold)
+    if not self_join:
+        scored = scored.select(
+            "cluster_id",
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "cos_sim",
+        )
+    return scored.select("cluster_id", "id_a", "id_b", "cos_sim")
+
+
 def semantic_dedup(
     df: DataFrame,
     centroids: DataFrame,
@@ -700,40 +768,9 @@ def semantic_dedup(
     # materialization the broadcast-join + argmin subtree runs twice
     # (caches alone don't dedupe plan branches inside one action — see
     # functions/dedup._finish_eager). Cache + count forces one pass.
-    # The L2 norm is computed once per vector here rather than twice
-    # per pair below — the same sqrt(fold) in the same order, so
-    # cos_sim is bit-identical to the naive cosine() formula (and to
-    # the SQL oracle), at ~1/3 the per-pair arithmetic.
-    assigned = (
-        assign_nearest(df, centroids, id_col, vec_col)
-        .withColumn("_norm", norm(F.col("_vec")))
-        .cache()
-    )
+    assigned = semantic_assign(df, centroids, id_col, vec_col).cache()
     assigned.count()
-    left = assigned.select(
-        "cluster_id",
-        F.col("_id").alias("id_a"),
-        F.col("_vec").alias("_va"),
-        F.col("_norm").alias("_na"),
-    )
-    right = assigned.select(
-        "cluster_id",
-        F.col("_id").alias("id_b"),
-        F.col("_vec").alias("_vb"),
-        F.col("_norm").alias("_nb"),
-    )
-    pairs = (
-        left.join(right, "cluster_id")
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos_sim",
-            F.round(
-                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
-                round_digits,
-            ),
-        )
-        .where(F.col("cos_sim") >= threshold)
-    )
+    pairs = semantic_pairs(assigned, assigned, threshold, round_digits)
     w = W.partitionBy("cluster_id", "id_b").orderBy(F.asc("id_a"))
     pruned = (
         pairs.withColumn("_rn", F.row_number().over(w))

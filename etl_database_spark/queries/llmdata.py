@@ -1598,3 +1598,80 @@ def semdedup_kmeans_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.semantic_dedup_kmeans(
         emb, dim=64, k=_SEMDEDUP_K, max_iter=4, threshold=_SEMDEDUP_THRESHOLD
     )
+
+
+@register("streaming_semdedup")
+def streaming_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming semantic dedup end-to-end: the embeddings table is
+    delivered in two micro-batches (vec_id parity split), drained
+    through the embedding store + cross-batch cluster join
+    (streaming/semdedup.py) with fixed seed-Voronoi centroids, and the
+    accumulated pair stream must equal the batch pair stage exactly —
+    the ``in_batch`` column is uniformly true both ways (the
+    comparison is set equality: a full outer join, so a pair found by
+    only one tier shows up as a false row). Rows-only: stateful
+    streaming with a persisted store is not SQL-expressible; the
+    equivalence column is the correctness signal (plus the pytest
+    batch-equivalence suite in tests/test_semdedup.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    from etl_database_spark.streaming.semdedup import run_semdedup_once
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seeds = emb.orderBy("vec_id").limit(_SEMDEDUP_K).select("embedding").collect()
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in r.embedding]) for i, r in enumerate(seeds)],
+        "cluster_id long, cvec array<double>",
+    )
+    work = tempfile.mkdtemp(prefix="spark_graft_stream_sd_")
+    src = os.path.join(work, "src")
+    try:
+        emb.where(F.col("vec_id") % 2 == 0).write.parquet(src)
+        args = (
+            os.path.join(work, "store"),
+            os.path.join(work, "matches"),
+            os.path.join(work, "ckpt"),
+        )
+        run_semdedup_once(
+            spark,
+            spark.readStream.schema(emb.schema).parquet(src),
+            *args,
+            cents,
+            threshold=_SEMDEDUP_THRESHOLD,
+        )
+        emb.where(F.col("vec_id") % 2 == 1).write.mode("append").parquet(src)
+        run_semdedup_once(
+            spark,
+            spark.readStream.schema(emb.schema).parquet(src),
+            *args,
+            cents,
+            threshold=_SEMDEDUP_THRESHOLD,
+        )
+        streamed = [
+            (int(r.cluster_id), int(r.id_a), int(r.id_b), float(r.cos_sim))
+            for r in spark.read.parquet(os.path.join(work, "matches")).collect()
+        ]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    stream_df = spark.createDataFrame(
+        streamed, "cluster_id long, id_a long, id_b long, cos_sim double"
+    ).distinct()
+    assigned = S.semantic_assign(emb, cents).cache()
+    assigned.count()
+    batch = (
+        S.semantic_pairs(assigned, assigned, _SEMDEDUP_THRESHOLD)
+        .withColumn("in_batch", F.lit(True))
+    )
+    out = (
+        stream_df.join(batch, ["cluster_id", "id_a", "id_b", "cos_sim"], "full")
+        .select(
+            "cluster_id", "id_a", "id_b", "cos_sim",
+            F.coalesce("in_batch", F.lit(False)).alias("in_batch"),
+        )
+        .orderBy("cluster_id", "id_a", "id_b")
+    )
+    out = out.localCheckpoint(eager=True)
+    assigned.unpersist()
+    return out

@@ -146,3 +146,60 @@ def test_semantic_dedup_kmeans_query_runs(spark):
     df = q.fn(spark, "/root/testdata/sf0.001")
     assert df.columns == ["cluster_id", "pruned_id", "kept_id", "cos_sim"]
     df.collect()
+
+
+def test_streaming_semdedup_matches_batch_pairs(spark, tmp_path):
+    """The streamed pair set (two micro-batches, cross-batch pairs via
+    the embedding store) must equal the batch operator's pair stage
+    exactly — same ids, same rounded cosines."""
+    from pyspark.sql import functions as F
+
+    from etl_database_spark.streaming.semdedup import run_semdedup_once
+
+    rows = _mk_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, (_, v) in enumerate(rows[:4])],
+        "cluster_id long, cvec array<double>",
+    )
+    src = str(tmp_path / "src")
+    # interleave ids across batches so cross-batch pairs occur in both
+    # orientations (stored id < new id and stored id > new id)
+    df.where(F.col("vec_id") % 3 == 1).write.parquet(src)
+    run1 = lambda: run_semdedup_once(  # noqa: E731
+        spark,
+        spark.readStream.schema(df.schema).parquet(src),
+        str(tmp_path / "store"),
+        str(tmp_path / "matches"),
+        str(tmp_path / "ckpt"),
+        cents,
+        threshold=THRESHOLD,
+    )
+    run1()
+    df.where(F.col("vec_id") % 3 != 1).write.mode("append").parquet(src)
+    run1()
+
+    streamed = {
+        (r.cluster_id, r.id_a, r.id_b, r.cos_sim)
+        for r in spark.read.parquet(str(tmp_path / "matches")).collect()
+    }
+    assigned = S.semantic_assign(df, cents).cache()
+    assigned.count()
+    expected = {
+        (r.cluster_id, r.id_a, r.id_b, r.cos_sim)
+        for r in S.semantic_pairs(assigned, assigned, THRESHOLD).collect()
+    }
+    assigned.unpersist()
+    assert streamed == expected
+    assert expected, "fixture must produce qualifying pairs"
+    # and the keep-rule over the accumulated pairs equals semantic_dedup
+    pruned_from_stream = {}
+    for cluster, a, b, cos in streamed:
+        cur = pruned_from_stream.get(b)
+        if cur is None or a < cur[1]:
+            pruned_from_stream[b] = (cluster, a, cos)
+    batch_pruned = {
+        r.pruned_id: (r.cluster_id, r.kept_id, r.cos_sim)
+        for r in S.semantic_dedup(df, cents, THRESHOLD).collect()
+    }
+    assert pruned_from_stream == batch_pruned
