@@ -29,6 +29,20 @@ from etl_database_spark.sources.inbox import InboxConfig
 
 
 @dataclass
+class CurationRule:
+    """Per-source curation thresholds for the LLM-data layer — the
+    importconfig pattern (config rows parameterize a generic pipeline)
+    applied to corpus curation. Consumed by
+    queries.llmdata.curation_counts."""
+
+    source: str
+    min_quality_units: int = 6000  # integer basis points, engine-exact
+    langs: str = "en"  # CSV of allowed detected languages
+    min_tokens: int = 10
+    is_active: bool = True
+
+
+@dataclass
 class SchedulerEntry:
     """One row of dba.tscheduler (create_tscheduler.sql:1-12)."""
 
@@ -44,6 +58,7 @@ _KINDS: dict[str, type] = {
     "report": ReportConfig,
     "inbox": InboxConfig,
     "scheduler": SchedulerEntry,
+    "curation": CurationRule,
 }
 
 
@@ -91,6 +106,7 @@ class ConfigStore:
             "report": lambda o: o.report_id,
             "inbox": lambda o: o.config_name,
             "scheduler": lambda o: o.taskname,
+            "curation": lambda o: o.source,
         }[kind](obj)
 
     def upsert(self, kind: str, obj: Any) -> None:

@@ -147,14 +147,16 @@ def with_language(df, text_col: str, out_col: str = "detected_lang"):
     return scored.withColumn(out_col, expr).drop(*score_cols.values())
 
 
-def quality_score(col) -> Column:
-    """Composite [0,1] quality heuristic: penalize very short docs,
-    high punctuation, and stopword-free (non-natural) text.
+def quality_units(col) -> Column:
+    """Composite quality heuristic in integer basis points (0..10000):
+    penalize very short docs, high punctuation, and stopword-free
+    (non-natural) text.
 
-    Computed entirely in integer micro-units (1e-6) — float-weighted
-    sums differ in the last ulp across engines (FMA/associativity),
-    which flips rounding on boundary values; integer arithmetic is
-    bit-identical everywhere, so the oracle can mirror it exactly.
+    Computed entirely in integer micro-units — float-weighted sums
+    differ in the last ulp across engines (FMA/associativity), which
+    flips rounding on boundary values; integer arithmetic is
+    bit-identical everywhere, so the oracle can mirror it exactly and
+    threshold compares should happen on THIS column, not the double.
     """
     c = F.col(col) if isinstance(col, str) else col
     ntok = token_count(c)
@@ -171,8 +173,13 @@ def quality_score(col) -> Column:
         _idiv(punct_chars * 40_000, F.greatest(total_chars, F.lit(1).cast("long"))), m
     )
     stop_u = F.least(_idiv(stop * 50_000, F.greatest(ntok, F.lit(1).cast("long"))), m)
-    quality_u = _idiv(len_u * 4 + punct_u * 3 + stop_u * 3, F.lit(10).cast("long"))
-    return (quality_u.cast("double") / F.lit(10_000.0)).cast("double")
+    return _idiv(len_u * 4 + punct_u * 3 + stop_u * 3, F.lit(10).cast("long"))
+
+
+def quality_score(col) -> Column:
+    """``quality_units`` scaled to [0,1] (see that function's
+    determinism note — compare thresholds on the units)."""
+    return (quality_units(col).cast("double") / F.lit(10_000.0)).cast("double")
 
 
 def exact_idiv(a: Column, b: Column) -> Column:

@@ -1675,3 +1675,128 @@ def streaming_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     assigned.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Config-driven per-source curation — the reference's core concept
+# (behavior lives in config-table rows that parameterize one generic
+# pipeline: dba.timportconfig, create_importconfig_table.sql:20-51;
+# README.md:23-32) applied to the LLM-data layer: each source resolves
+# quality / language / token thresholds from a rules table, unlisted
+# sources fall back to the default rule, and one generic gated
+# aggregation serves every source. Thresholds compare on integer
+# quality units so Spark and the generated DuckDB oracle agree
+# bit-for-bit. The rules round-trip through config.ConfigStore in
+# tests/test_sources_config.py-style fashion (tests/test_semdedup.py
+# neighbors) — config IS the program surface, as in the reference.
+_CURATION_DEFAULT_RULE = (6000, "en", 10)  # (min quality units, langs CSV, min tokens)
+_CURATION_RULE_OVERRIDES = {
+    "src1": (7000, "en", 12),
+    "src2": (5000, "en,de,fr,es,zh", 5),
+    "src3": (6500, "en,es", 8),
+    "src7": (5500, "en,fr", 6),
+}
+
+_RULE_VALUES = ", ".join(
+    f"('{s}', {q}, {t}, '{langs}')"
+    for s, (q, langs, t) in sorted(_CURATION_RULE_OVERRIDES.items())
+)
+
+_CONFIG_CURATION_ORACLE = f"""
+    {_PIPELINE_QUALITY_CTES}
+    , rules(source, r_min_q, r_min_tok, r_langs) AS (VALUES {_RULE_VALUES}),
+    scored AS (
+      SELECT d.doc_id, d.source, d.n_chars,
+             {_PIPELINE_Q_UNITS} AS q_u, u.ntok,
+             ({_LADDER}) AS dlang
+      FROM documents d JOIN u ON u.doc_id = d.doc_id),
+    j AS (
+      SELECT s.*,
+             COALESCE(r.r_min_q, {_CURATION_DEFAULT_RULE[0]}) AS min_q,
+             COALESCE(r.r_min_tok, {_CURATION_DEFAULT_RULE[2]}) AS min_tok,
+             COALESCE(r.r_langs, '{_CURATION_DEFAULT_RULE[1]}') AS langs
+      FROM scored s LEFT JOIN rules r ON r.source = s.source),
+    k AS (
+      SELECT j.*,
+             (q_u >= min_q AND ntok >= min_tok
+              AND list_contains(string_split(langs, ','), dlang)) AS keep
+      FROM j)
+    SELECT source,
+           COUNT(*) AS n_input,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+    FROM k GROUP BY source ORDER BY source
+    """
+
+
+def curation_counts(
+    d: DataFrame,
+    overrides: dict[str, tuple[int, str, int]],
+    default: tuple[str, str, int] = _CURATION_DEFAULT_RULE,
+) -> DataFrame:
+    """The generic config-driven pipeline: per-source quality /
+    language / token gates from a rules mapping {source: (min quality
+    units, langs CSV, min tokens)} with a default for unlisted
+    sources. Production callers build ``overrides`` from
+    config.ConfigStore CurationRule rows (see curation_overrides)."""
+    spark = d.sparkSession
+    rules = spark.createDataFrame(
+        [(s, q, t, langs) for s, (q, langs, t) in sorted(overrides.items())],
+        "source string, r_min_q long, r_min_tok long, r_langs string",
+    )
+    dq, dlangs, dt = default
+    scored = (
+        T.with_language(d, "text", "dlang")
+        .withColumn("q_u", T.quality_units(F.col("text")))
+        .withColumn("ntok", T.token_count(F.col("text")))
+    )
+    j = scored.join(F.broadcast(rules), "source", "left").select(
+        "source",
+        "n_chars",
+        "q_u",
+        "ntok",
+        "dlang",
+        F.coalesce("r_min_q", F.lit(dq).cast("long")).alias("min_q"),
+        F.coalesce("r_min_tok", F.lit(dt).cast("long")).alias("min_tok"),
+        F.coalesce("r_langs", F.lit(dlangs)).alias("langs"),
+    )
+    keep = (
+        (F.col("q_u") >= F.col("min_q"))
+        & (F.col("ntok") >= F.col("min_tok"))
+        & F.array_contains(F.split("langs", ","), F.col("dlang"))
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").alias("n_input"),
+            F.sum(keep.cast("long")).cast("long").alias("n_kept"),
+            F.sum(F.when(keep, F.col("n_chars")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def curation_overrides(store) -> dict[str, tuple[int, str, int]]:
+    """Build the curation_counts overrides mapping from active
+    CurationRule rows in a config.ConfigStore — the production wiring
+    of the reference's config-table pattern."""
+    return {
+        r.source: (r.min_quality_units, r.langs, r.min_tokens)
+        for r in store.list("curation", active_only=True)
+    }
+
+
+@register("config_curation_counts", oracle=_CONFIG_CURATION_ORACLE)
+def config_curation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation driven by a config rules table: quality /
+    language / token-count gates resolved per source (default rule for
+    unlisted sources), one generic pipeline for all rows. The rules
+    frame is bounded config → broadcast; the gates are codegen column
+    expressions; output is one aggregate over the corpus. The
+    registered variant pins the rule literals so the generated DuckDB
+    oracle stays in lockstep; production callers pass ConfigStore
+    rules through ``curation_overrides``."""
+    d = table(spark, sf_dir, "documents")
+    return curation_counts(d, _CURATION_RULE_OVERRIDES)

@@ -134,3 +134,28 @@ def test_cron_generation(tmp_path):
     ]
     lines = generate_cron_lines(entries)
     assert lines == ["0 5,17 * * 1-5 spark-submit jobs/run_import.py --config 1"]
+
+
+def test_curation_rules_round_trip_and_drive_the_pipeline(spark, tmp_path):
+    """CurationRule rows round-trip through the ConfigStore and drive
+    curation_counts identically to the registered literal query —
+    config IS the program surface, as in the reference."""
+    from etl_database_spark.config import CurationRule
+    from etl_database_spark.queries import llmdata as L
+    from etl_database_spark.queries import table
+
+    store = ConfigStore(str(tmp_path))
+    for s, (q, langs, t) in L._CURATION_RULE_OVERRIDES.items():
+        store.upsert("curation", CurationRule(s, q, langs, t))
+    store.upsert("curation", CurationRule("srcX", 9999, "zz", 999, is_active=False))
+
+    got = store.get("curation", "src1")
+    assert (got.min_quality_units, got.langs, got.min_tokens) == (7000, "en", 12)
+    overrides = L.curation_overrides(store)
+    assert overrides == L._CURATION_RULE_OVERRIDES  # inactive row excluded
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    from_store = L.curation_counts(d, overrides).collect()
+    literal = L.config_curation_counts(spark, "/root/testdata/sf0.001").collect()
+    assert from_store == literal
+    assert sum(r.n_kept for r in from_store) > 0
