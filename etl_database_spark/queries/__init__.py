@@ -87,6 +87,9 @@ def load_all() -> dict[str, RegisteredQuery]:
         llmdata,
         relational,
     )
+    from etl_database_spark.queries import analytics  # noqa: F401  (last: keeps
+    # its oracle-backed entries after llmdata's in tier-2 order, so the
+    # driver's 50-query window is unchanged by their addition)
 
     registration_order = list(REGISTRY)
 

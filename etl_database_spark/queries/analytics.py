@@ -1,0 +1,287 @@
+"""Event-sequence analytics: funnel, cohort retention, RFM segments.
+
+The reference system's event reporting stops at flat aggregates
+(value_counts / grouped min-max over `tblsequenceorder`-style event
+streams — xnlou/etl-database `storedprocs.sql` report procs); a user
+replacing it with this engine also expects the standard behavioral
+analytics a warehouse bolts on top of an event table. These queries
+add the three canonical ones over the synthetic `events` table, each
+with a DuckDB oracle:
+
+- **Ordered funnel** (signup → click → purchase, strictly increasing
+  event time per user): three chained per-user MIN aggregates — stage
+  N's candidate events join stage N-1's per-user timestamp, so each
+  stage is one shuffle on `user_id` over an already-filtered slice.
+  At 100 TB the state per user is one timestamp per stage (bounded),
+  never the user's full event list.
+- **Cohort retention**: day-grain first-touch cohort × activity-day
+  offset (D-N retention). Two aggregates on `user_id` / (user, day)
+  then one join back on `user_id`; offsets are DATE subtraction so
+  both engines bucket identically.
+- **RFM segmentation**: per-user recency/frequency/monetary quartiles
+  via ntile(4). Monetary sums go through the DECIMAL(18,6) pattern
+  (see queries/relational.py module doc) so quartile boundaries are
+  bit-identical across engines; every ntile ORDER BY carries user_id
+  as the unique tie-break.
+
+Scale notes: all keys here shuffle on `user_id` (high-cardinality,
+well-distributed in real event data — the skew levers in
+operators/skew.py apply if one user dominates). The ntile windows are
+global single-partition by construction (ntile needs a total order);
+at 100 TB the *input* to ntile is the per-user aggregate (one row per
+user), not raw events, and a quantile-bucket rewrite over
+approx_percentile boundaries is the documented escape hatch if even
+that is too large for one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from etl_database_spark.queries import register, table
+
+# Deterministic double-sum pattern — see queries/relational.py module doc.
+DEC = "decimal(18,6)"
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel: users who signed up, then clicked AFTER signing up,
+# then purchased AFTER that first qualifying click. Each stage is a
+# per-user MIN over a filtered event slice joined to the previous
+# stage's timestamp — the classic "chained conditional min" funnel.
+@register(
+    "event_funnel_counts",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS s_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS c_ts
+      FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.s_ts
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.c_ts
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT stage, users FROM (
+      SELECT '1_signup' AS stage, CAST(COUNT(*) AS BIGINT) AS users FROM s
+      UNION ALL
+      SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM c
+      UNION ALL
+      SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p
+    ) ORDER BY stage
+    """,
+)
+def event_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-stage funnel: per-stage user counts with strict
+    event-time ordering between stages."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .where(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+
+    def stage(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("stage"), F.count("*").cast("long").alias("users")
+        )
+
+    return (
+        stage(s, "1_signup")
+        .unionByName(stage(c, "2_click"))
+        .unionByName(stage(p, "3_purchase"))
+        .orderBy("stage")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: first-touch day cohort x integer day offset (the
+# classic "D-N retention" triangle; the fixture's events span ~1 month
+# so day grain is the one that produces a non-degenerate triangle).
+# Offsets are DATE subtraction — integral in both engines.
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS act_day FROM events
+    )
+    SELECT f.cohort_day,
+           CAST(a.act_day - f.cohort_day AS INT) AS day_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS users
+    FROM first f JOIN act a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    ORDER BY cohort_day, day_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-cohort retention triangle: distinct active users per
+    (first-touch day, day offset)."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("act_day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("act_day").alias("cohort_day"))
+    act = ev.distinct()
+    return (
+        first.join(act, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("act_day", "cohort_day").cast("int").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: quartile-code users on Recency (days from last
+# purchase to corpus max day), Frequency (purchase count) and Monetary
+# (decimal-exact purchase value sum), then count users per RFM cell.
+# Every ntile ORDER BY ends in user_id so quartile assignment is a
+# total order in both engines.
+@register(
+    "rfm_segment_counts",
+    oracle="""
+    WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS max_d FROM events),
+    per_user AS (
+      SELECT user_id,
+             CAST(mx.max_d - MAX(CAST(ts AS DATE)) AS INT) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+      FROM events, mx
+      WHERE event_type = 'purchase'
+      GROUP BY user_id, mx.max_d
+    ),
+    scored AS (
+      SELECT user_id,
+             NTILE(4) OVER (ORDER BY recency_days, user_id) AS r,
+             NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS f,
+             NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS m
+      FROM per_user
+    )
+    SELECT CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+           CAST(COUNT(*) AS BIGINT) AS users
+    FROM scored GROUP BY r, f, m
+    ORDER BY r, f, m
+    """,
+)
+def rfm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile RFM cells over purchase events with user counts."""
+    ev = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    max_d = ev.agg(F.max(F.to_date("ts")).alias("max_d"))
+    per_user = (
+        ev.crossJoin(F.broadcast(max_d))  # 1-row scalar frame: safe hint
+        .groupBy("user_id", "max_d")
+        .agg(
+            F.max(F.to_date("ts")).alias("last_d"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("monetary"),
+        )
+        .select(
+            "user_id",
+            F.datediff("max_d", "last_d").cast("int").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    # ntile needs a total order: input is one row per user (already
+    # aggregated), not raw events — see module doc for the 100 TB note.
+    scored = per_user.select(
+        "user_id",
+        F.ntile(4).over(W.orderBy("recency_days", "user_id")).cast("int").alias("r"),
+        F.ntile(4)
+        .over(W.orderBy(F.desc("frequency"), "user_id"))
+        .cast("int")
+        .alias("f"),
+        F.ntile(4)
+        .over(W.orderBy(F.desc("monetary"), "user_id"))
+        .cast("int")
+        .alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(F.count("*").cast("long").alias("users"))
+        .orderBy("r", "f", "m")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup serving (operators/rollup.RollupStore): the
+# registered query builds the store from the events table in two
+# batches (split mid-month, the realistic daily-ingest shape),
+# compacts the first, then serves — and the oracle recomputes the same
+# aggregate DIRECTLY from raw events. Green here proves
+# incremental-partial-merge == full recompute, cross-engine.
+_ROLLUP_CACHE: dict = {}
+
+
+def _rollup_store(spark: SparkSession, sf_dir: str):
+    import os
+
+    src = os.path.join(sf_dir, "events.parquet")
+    key = (sf_dir, os.path.getmtime(src) if os.path.exists(src) else None)
+    if key not in _ROLLUP_CACHE:
+        import shutil
+        import tempfile
+
+        from etl_database_spark.operators.rollup import RollupStore
+
+        for old_key in [k for k in _ROLLUP_CACHE if k[0] == sf_dir and k != key]:
+            old = _ROLLUP_CACHE.pop(old_key)
+            shutil.rmtree(old.path, ignore_errors=True)
+        ev = table(spark, sf_dir, "events")
+        store = RollupStore(spark, tempfile.mkdtemp(prefix="spark_graft_rollup_"))
+        early = ev.where(F.dayofmonth("ts") <= 15)
+        late = ev.where(F.dayofmonth("ts") > 15)
+        store.ingest(early, batch="first_half")
+        store.compact()
+        store.ingest(late, batch="second_half")
+        # replay of a compacted batch must stay a no-op (exercised in
+        # the serving path on purpose: correctness depends on it)
+        assert store.ingest(early, batch="first_half") is False
+        _ROLLUP_CACHE[key] = store
+    return _ROLLUP_CACHE[key]
+
+
+@register(
+    "rollup_daily_event_stats",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY day, event_type
+    ORDER BY day, event_type
+    """,
+)
+def rollup_daily_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve the incrementally-maintained day/type rollup; must equal a
+    full recompute over raw events (the oracle)."""
+    return _rollup_store(spark, sf_dir).serve()
