@@ -425,16 +425,36 @@ def ivf_topk(
 
 class IvfIndex:
     """Persisted IVF index: inverted lists written partitioned by
-    ``centroid``, centroids stored alongside as JSON.
+    ``(batch, centroid)``, centroids stored alongside as JSON.
 
     ``ivf_topk`` refits/reassigns per call — fine for one-shot queries,
     wrong for a served index at 100 TB. Build once; every probe then
     reads ONLY the ``n_probe`` probed partition directories (static
     partition pruning: the probed centroid ids are collected driver-side
     — ≤ k ints — and pushed as a partition filter, so the scan never
-    touches the other inverted lists)."""
+    touches the other inverted lists).
+
+    Maintenance (the served-index lifecycle at scale):
+
+    - :meth:`append` ingests a new vector batch against the FIXED
+      centroids. The batch id is the first-level partition key and the
+      write is dynamic-partition-overwrite, so replaying a batch
+      (retry, restarted pipeline) replaces its own partitions instead
+      of duplicating rows — the same idempotence contract as the
+      streaming signature/embedding stores.
+    - :meth:`merge_from` folds another index in by re-reading its
+      lists as vectors and appending (reassignment to THIS index's
+      centroids happens in the append path, so differing quantizers
+      merge correctly).
+    - :meth:`compact` rewrites accumulated small per-batch files into
+      one consolidated layout (the LSM-style maintenance op); absorbed
+      batch ids are remembered so a late replay of a compacted batch
+      stays a no-op instead of re-introducing duplicates.
+    """
 
     CENTROIDS_FILE = "_centroids.json"
+    COMPACTED_FILE = "_compacted.json"
+    BASE_BATCH = "base"
 
     def __init__(self, spark, path: str, centroids: list[list[float]]):
         self.spark = spark
@@ -452,13 +472,16 @@ class IvfIndex:
         vec_col: str = "embedding",
     ) -> "IvfIndex":
         """Assign every vector to its nearest centroid and write the
-        inverted lists partitioned by centroid (one directory per
-        list — the probe unit)."""
+        inverted lists partitioned by (batch, centroid) — the centroid
+        directory is the probe unit, the batch directory the
+        idempotent-ingest unit."""
         import json
         import os
 
-        lists = ivf_assign(df, centroids, id_col, vec_col)
-        lists.write.mode("overwrite").partitionBy("centroid").parquet(path)
+        lists = ivf_assign(df, centroids, id_col, vec_col).withColumn(
+            "batch", F.lit(cls.BASE_BATCH)
+        )
+        lists.write.mode("overwrite").partitionBy("batch", "centroid").parquet(path)
         with open(os.path.join(path, cls.CENTROIDS_FILE), "w") as fh:
             json.dump(centroids, fh)
         return cls(spark, path, centroids)
@@ -477,6 +500,114 @@ class IvfIndex:
         if probed is not None:
             df = df.where(F.col("centroid").isin([int(c) for c in probed]))
         return df
+
+    # -- maintenance ------------------------------------------------------
+
+    def batches(self) -> list[str]:
+        """Live batch ids (from the first-level partition directories)
+        plus batches absorbed by a compaction."""
+        import os
+
+        live = sorted(
+            d.split("=", 1)[1]
+            for d in os.listdir(self.path)
+            if d.startswith("batch=") and os.path.isdir(os.path.join(self.path, d))
+        )
+        return sorted(set(live) | set(self._compacted()))
+
+    def _compacted(self) -> list[str]:
+        import json
+        import os
+
+        p = os.path.join(self.path, self.COMPACTED_FILE)
+        if not os.path.exists(p):
+            return []
+        with open(p) as fh:
+            return json.load(fh)
+
+    def append(
+        self,
+        df: DataFrame,
+        batch: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> bool:
+        """Idempotently ingest one vector batch against the fixed
+        centroids. Returns False (no write) if the batch id was already
+        ingested — live or absorbed by a compaction — so pipeline
+        replays are safe. The write is dynamic-partition-overwrite
+        scoped to ``batch=<id>/centroid=*``: a crash mid-write leaves a
+        partial batch that the retry fully replaces."""
+        if batch == self.BASE_BATCH or batch in self.batches():
+            return False
+        lists = ivf_assign(df, self.centroids, id_col, vec_col).withColumn(
+            "batch", F.lit(batch)
+        )
+        (
+            lists.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch", "centroid")
+            .parquet(self.path)
+        )
+        return True
+
+    def merge_from(self, other: "IvfIndex", batch: str) -> bool:
+        """Fold another index's vectors into this one as one batch.
+        The other index's centroids are irrelevant: its lists are read
+        back as plain (id, vector) rows and reassigned to THIS index's
+        quantizer by the append path."""
+        vectors = other.lists().select(
+            F.col("_id").alias("vec_id"), F.col("v").alias("embedding")
+        )
+        return self.append(vectors, batch)
+
+    def compact(self, files_per_list: int = 1) -> None:
+        """Rewrite all accumulated per-batch files into a consolidated
+        ``batch=base`` layout with ``files_per_list`` files per
+        inverted list, and record the absorbed batch ids so their
+        replays stay no-ops. Writes to a sibling temp dir and swaps —
+        the index directory is never half-rewritten in place."""
+        import json
+        import os
+        import shutil
+        import uuid
+
+        absorbed = sorted(set(self.batches()) | set(self._compacted()))
+        tmp = f"{self.path}__compact_{uuid.uuid4().hex[:8]}"
+        consolidated = (
+            self.lists()
+            .select("_id", "v", "centroid")
+            .withColumn("batch", F.lit(self.BASE_BATCH))
+            # one shuffle keyed by list; files_per_list output files per
+            # centroid directory (repartition before partitionBy write)
+            .repartition(files_per_list, "centroid")
+        )
+        consolidated.write.mode("overwrite").partitionBy("batch", "centroid").parquet(tmp)
+        with open(os.path.join(tmp, self.CENTROIDS_FILE), "w") as fh:
+            json.dump(self.centroids, fh)
+        with open(os.path.join(tmp, self.COMPACTED_FILE), "w") as fh:
+            json.dump([b for b in absorbed if b != self.BASE_BATCH], fh)
+        old = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def stats(self) -> DataFrame:
+        """Per-list health: row count and file count per centroid —
+        the imbalance signal that decides when to refresh centroids or
+        compact (many small files after frequent appends)."""
+        return (
+            self.lists()
+            # non-deterministic exprs can't appear inside agg functions;
+            # project the file name first, then aggregate the column
+            .withColumn("_file", F.input_file_name())
+            .groupBy("centroid")
+            .agg(
+                F.count("*").cast("long").alias("n_vectors"),
+                F.count_distinct("_file").cast("long").alias("n_files"),
+            )
+            .orderBy("centroid")
+        )
 
     def topk(
         self,

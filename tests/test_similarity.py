@@ -268,3 +268,103 @@ def test_feature_hash_feeds_cosine_topk(spark):
     # shared-vocabulary docs must outrank the unrelated one
     assert all(r.neighbor_id != 99 for r in top)
     assert all(-1.0001 <= r.cos_sim <= 1.0001 for r in top)
+
+
+# ---------------------------------------------------------------------------
+# IVF index maintenance: append / merge / compact lifecycle.
+
+
+def test_ivf_append_equals_fresh_build(spark, tmp_path):
+    """Appending a delta batch against fixed centroids must serve
+    exactly what a fresh build over the union serves (same quantizer),
+    and replaying the same batch id must be a no-op."""
+    from etl_database_spark.functions.similarity import IvfIndex, kmeans_fit
+
+    rows = _mk_vectors()
+    base_rows, delta_rows = rows[:150], rows[150:]
+    schema = "vec_id long, embedding array<float>"
+    base = spark.createDataFrame(base_rows, schema)
+    delta = spark.createDataFrame(delta_rows, schema)
+    union = spark.createDataFrame(rows, schema)
+
+    cents = kmeans_fit(base, DIM, k=6, max_iter=5)
+    idx = IvfIndex.build(spark, base, cents, str(tmp_path / "ivf"))
+    assert idx.append(delta, batch="d1") is True
+
+    fresh = IvfIndex.build(spark, union, cents, str(tmp_path / "ivf_fresh"))
+    queries = union.where(F.col("vec_id").isin([0, 1, 2, 151]))
+    got = sorted(map(tuple, idx.topk(queries, k=5, n_probe=3).collect()))
+    want = sorted(map(tuple, fresh.topk(queries, k=5, n_probe=3).collect()))
+    assert got == want
+
+    # replay: same batch id must not duplicate rows
+    n_before = idx.lists().count()
+    assert idx.append(delta, batch="d1") is False
+    assert idx.lists().count() == n_before
+    assert idx.batches() == ["base", "d1"]
+
+
+def test_ivf_merge_from_reassigns_to_target_quantizer(spark, tmp_path):
+    """merge_from folds a second index (with DIFFERENT centroids) in;
+    the merged index answers like one built over the union with the
+    target's centroids."""
+    from etl_database_spark.functions.similarity import IvfIndex, kmeans_fit
+
+    rows = _mk_vectors()
+    a_rows, b_rows = rows[:120], rows[120:]
+    schema = "vec_id long, embedding array<float>"
+    a = spark.createDataFrame(a_rows, schema)
+    b = spark.createDataFrame(b_rows, schema)
+    union = spark.createDataFrame(rows, schema)
+
+    cents_a = kmeans_fit(a, DIM, k=6, max_iter=5)
+    cents_b = kmeans_fit(b, DIM, k=4, max_iter=5)
+    idx_a = IvfIndex.build(spark, a, cents_a, str(tmp_path / "a"))
+    idx_b = IvfIndex.build(spark, b, cents_b, str(tmp_path / "b"))
+    assert idx_a.merge_from(idx_b, batch="from_b") is True
+
+    fresh = IvfIndex.build(spark, union, cents_a, str(tmp_path / "fresh"))
+    queries = union.where(F.col("vec_id").isin([3, 125]))
+    got = sorted(map(tuple, idx_a.topk(queries, k=5, n_probe=3).collect()))
+    want = sorted(map(tuple, fresh.topk(queries, k=5, n_probe=3).collect()))
+    assert got == want
+
+
+def test_ivf_compact_preserves_answers_and_blocks_replay(spark, tmp_path):
+    """compact() consolidates per-batch files (fewer files per list,
+    identical answers) and absorbed batch ids stay no-ops afterward."""
+    from etl_database_spark.functions.similarity import IvfIndex, kmeans_fit
+
+    rows = _mk_vectors()
+    schema = "vec_id long, embedding array<float>"
+    base = spark.createDataFrame(rows[:100], schema)
+    d1 = spark.createDataFrame(rows[100:150], schema)
+    d2 = spark.createDataFrame(rows[150:], schema)
+    union = spark.createDataFrame(rows, schema)
+
+    cents = kmeans_fit(base, DIM, k=6, max_iter=5)
+    idx = IvfIndex.build(spark, base, cents, str(tmp_path / "ivf"))
+    idx.append(d1, batch="d1")
+    idx.append(d2, batch="d2")
+
+    queries = union.where(F.col("vec_id").isin([0, 101, 151]))
+    before = sorted(map(tuple, idx.topk(queries, k=5, n_probe=3).collect()))
+    files_before = idx.stats().agg(F.sum("n_files")).collect()[0][0]
+
+    idx.compact(files_per_list=1)
+
+    after = sorted(map(tuple, idx.topk(queries, k=5, n_probe=3).collect()))
+    assert after == before
+    stats = {r.centroid: (r.n_vectors, r.n_files) for r in idx.stats().collect()}
+    assert sum(n for n, _ in stats.values()) == len(rows)
+    assert all(nf == 1 for _, nf in stats.values())
+    assert sum(nf for _, nf in stats.values()) < files_before
+
+    # a late replay of an absorbed batch must remain a no-op
+    n_before = idx.lists().count()
+    assert idx.append(d1, batch="d1") is False
+    assert idx.lists().count() == n_before
+    # and a reloaded index preserves both centroids and the replay guard
+    reloaded = IvfIndex.load(spark, str(tmp_path / "ivf"))
+    assert reloaded.centroids == cents
+    assert reloaded.append(d2, batch="d2") is False
