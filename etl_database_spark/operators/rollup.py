@@ -1,0 +1,172 @@
+"""Incrementally maintained aggregate rollups (hypertable-style).
+
+The reference recomputes its report aggregates from the full base
+table every run (xnlou/etl-database `storedprocs.sql` report procs
+re-scan `tblhistorical*` each call). That is exactly what cannot work
+at 100 TB: a day of new events must cost a day's aggregation, not a
+full-corpus re-scan. ``RollupStore`` maintains a day-grain aggregate
+as *mergeable partials* with the same LSM-ish lifecycle as the other
+persisted stores in this engine (IvfIndex, the minhash signature
+store, the streaming embedding store):
+
+- :meth:`ingest` aggregates ONE batch of new events down to
+  (day, event_type) partials — count / decimal-exact sum / min / max,
+  all algebraic, so partials merge associatively — and writes them
+  partitioned by ``(batch, day)`` with dynamic-partition-overwrite.
+  Replaying a batch id (pipeline retry, restarted job) replaces its
+  own partitions: idempotent by construction, no manifest needed for
+  crash-safety.
+- :meth:`serve` merges partials on read: a groupBy over the rollup
+  store, whose cardinality is days x event types x batches — millions
+  of times smaller than the raw events it summarizes.
+- :meth:`compact` folds accumulated per-batch partials into one
+  ``batch=base`` layout (bounding the merge-on-read fan-in) and
+  remembers absorbed batch ids so late replays stay no-ops.
+
+Aggregates chosen are the mergeable set: COUNT and SUM merge by SUM,
+MIN/MAX by MIN/MAX. AVG is served as exact-sum / count. Non-algebraic
+aggregates (exact percentiles, COUNT DISTINCT) are out of scope by
+design — at scale those go through sketches, not rollups.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Partial sums are stored at a FIXED wide decimal so every batch file
+# carries the identical parquet type (Spark widens sum() output
+# precision; without the pin, base and delta files would disagree and
+# the unified read would need mergeSchema or fail).
+STORE_DEC = "decimal(38,6)"
+
+
+class RollupStore:
+    """Persisted (batch, day)-partitioned partial aggregates over an
+    event stream, keyed by (day, event_type)."""
+
+    COMPACTED_FILE = "_compacted.json"
+    BASE_BATCH = "base"
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # -- write path -------------------------------------------------------
+
+    @staticmethod
+    def _partials(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+        """One batch of raw events → mergeable per-(day, type) partials.
+        This is the map-side-combine shape: the shuffle carries one row
+        per (day, type), never raw events."""
+        return (
+            events.withColumn("day", F.to_date(ts_col))
+            .groupBy("day", "event_type")
+            .agg(
+                F.count("*").cast("long").alias("n_events"),
+                # decimal accumulate: partial sums merge exactly (see
+                # queries/relational.py module doc on the pattern)
+                F.sum(F.col("value").cast("decimal(18,6)")).cast(STORE_DEC).alias("sum_value"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+        )
+
+    def ingest(self, events: DataFrame, batch: str, ts_col: str = "ts") -> bool:
+        """Aggregate one event batch into the store. Returns False if
+        this batch id was already ingested (live partition directory or
+        absorbed by a compaction) — replays are no-ops. The write is
+        dynamic-partition-overwrite scoped to ``batch=<id>``, so a
+        crash mid-write is fully healed by the retry."""
+        if batch == self.BASE_BATCH or batch in self.batches():
+            return False
+        partials = self._partials(events, ts_col).withColumn("batch", F.lit(batch))
+        (
+            partials.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch", "day")
+            .parquet(self.path)
+        )
+        return True
+
+    # -- read path --------------------------------------------------------
+
+    def partials(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def serve(self, days: list | None = None) -> DataFrame:
+        """Merge partials into the final (day, event_type) aggregate.
+        ``days`` prunes the scan to those day partitions (the common
+        dashboard access path)."""
+        df = self.partials()
+        if days is not None:
+            df = df.where(F.col("day").isin(days))
+        return (
+            df.groupBy("day", "event_type")
+            .agg(
+                F.sum("n_events").cast("long").alias("n_events"),
+                F.sum("sum_value").alias("sum_dec"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+            )
+            .select(
+                "day",
+                "event_type",
+                "n_events",
+                F.col("sum_dec").cast("double").alias("sum_value"),
+                # exact-decimal sum → double, THEN an IEEE double divide:
+                # bit-identical across engines (repo-wide avg convention)
+                (F.col("sum_dec").cast("double") / F.col("n_events")).alias("avg_value"),
+                "min_value",
+                "max_value",
+            )
+            .orderBy("day", "event_type")
+        )
+
+    # -- maintenance ------------------------------------------------------
+
+    def batches(self) -> list[str]:
+        live = sorted(
+            d.split("=", 1)[1]
+            for d in (os.listdir(self.path) if os.path.isdir(self.path) else [])
+            if d.startswith("batch=") and os.path.isdir(os.path.join(self.path, d))
+        )
+        return sorted(set(live) | set(self._compacted()))
+
+    def _compacted(self) -> list[str]:
+        p = os.path.join(self.path, self.COMPACTED_FILE)
+        if not os.path.exists(p):
+            return []
+        with open(p) as fh:
+            return json.load(fh)
+
+    def compact(self) -> None:
+        """Fold all per-batch partials into one ``batch=base`` row per
+        (day, event_type), bounding merge-on-read fan-in. Absorbed
+        batch ids are recorded so their replays stay no-ops. Writes to
+        a sibling temp dir and swaps — never half-rewritten in place."""
+        absorbed = sorted(set(self.batches()) | set(self._compacted()))
+        tmp = f"{self.path}__compact_{uuid.uuid4().hex[:8]}"
+        folded = (
+            self.partials()
+            .groupBy("day", "event_type")
+            .agg(
+                F.sum("n_events").cast("long").alias("n_events"),
+                F.sum("sum_value").cast(STORE_DEC).alias("sum_value"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+            )
+            .withColumn("batch", F.lit(self.BASE_BATCH))
+        )
+        folded.write.mode("overwrite").partitionBy("batch", "day").parquet(tmp)
+        with open(os.path.join(tmp, self.COMPACTED_FILE), "w") as fh:
+            json.dump([b for b in absorbed if b != self.BASE_BATCH], fh)
+        old = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)

@@ -1,0 +1,125 @@
+"""Incremental rollup store: partial-merge correctness, replay
+idempotence, compaction, and partition-pruned serving."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_database_spark.operators.rollup import RollupStore
+
+
+@pytest.fixture()
+def events(spark):
+    rows = []
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    for i in range(300):
+        rows.append(
+            (
+                i,
+                base + dt.timedelta(days=i % 10, minutes=i),
+                i % 7,
+                ["click", "purchase", "error"][i % 3],
+                round(0.5 + (i % 50) * 1.25, 2),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def _full_recompute(events):
+    return (
+        events.withColumn("day", F.to_date("ts"))
+        .groupBy("day", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_dec"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            "day",
+            "event_type",
+            "n_events",
+            F.col("sum_dec").cast("double").alias("sum_value"),
+            (F.col("sum_dec").cast("double") / F.col("n_events")).alias("avg_value"),
+            "min_value",
+            "max_value",
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+def test_incremental_equals_full_recompute(spark, events, tmp_path):
+    """Three overlapping-day batches merged via partials must equal a
+    single full aggregate over everything."""
+    store = RollupStore(spark, str(tmp_path / "rollup"))
+    b1 = events.where(F.col("event_id") < 100)
+    b2 = events.where((F.col("event_id") >= 100) & (F.col("event_id") < 200))
+    b3 = events.where(F.col("event_id") >= 200)
+    assert store.ingest(b1, "b1") is True
+    assert store.ingest(b2, "b2") is True
+    assert store.ingest(b3, "b3") is True
+
+    got = [tuple(r) for r in store.serve().collect()]
+    want = [tuple(r) for r in _full_recompute(events).collect()]
+    assert got == want
+
+
+def test_replay_is_noop_and_compaction_preserves(spark, events, tmp_path):
+    store = RollupStore(spark, str(tmp_path / "rollup"))
+    b1 = events.where(F.col("event_id") < 150)
+    b2 = events.where(F.col("event_id") >= 150)
+    store.ingest(b1, "b1")
+    store.ingest(b2, "b2")
+
+    # replay before compaction: no-op, serving unchanged
+    before = [tuple(r) for r in store.serve().collect()]
+    assert store.ingest(b1, "b1") is False
+    assert [tuple(r) for r in store.serve().collect()] == before
+
+    # compaction folds to one partial row per (day, type), same answers
+    store.compact()
+    after = [tuple(r) for r in store.serve().collect()]
+    assert after == before
+    per_key = (
+        store.partials().groupBy("day", "event_type").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert per_key == 1
+    assert store.batches() == ["b1", "b2", "base"]
+
+    # replay of an absorbed batch after compaction: still a no-op
+    assert store.ingest(b1, "b1") is False
+    assert [tuple(r) for r in store.serve().collect()] == before
+
+
+def test_serve_day_filter_prunes_partitions(spark, events, tmp_path):
+    """serve(days=...) must push a `day` partition filter into the
+    store scan (the dashboard access path reads only those days)."""
+    store = RollupStore(spark, str(tmp_path / "rollup"))
+    store.ingest(events, "all")
+
+    days = [dt.date(2024, 3, 1), dt.date(2024, 3, 2)]
+    served = store.serve(days=days)
+    rows = served.collect()
+    assert {r.day for r in rows} == set(days)
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_partial_sum_type_is_stable_across_batches(spark, events, tmp_path):
+    """Every batch file must carry the same pinned decimal type —
+    otherwise the unified read breaks after compaction mixes files."""
+    store = RollupStore(spark, str(tmp_path / "rollup"))
+    store.ingest(events.where(F.col("event_id") < 50), "a")
+    store.compact()
+    store.ingest(events.where(F.col("event_id") >= 50), "b")
+    # read must succeed with a single schema and serve correctly
+    assert dict(store.partials().dtypes)["sum_value"] == "decimal(38,6)"
+    got = [tuple(r) for r in store.serve().collect()]
+    want = [tuple(r) for r in _full_recompute(events).collect()]
+    assert got == want
