@@ -79,39 +79,45 @@ DEC = "decimal(18,6)"
 )
 def event_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered 3-stage funnel: per-stage user counts with strict
-    event-time ordering between stages."""
+    event-time ordering between stages.
+
+    Single-pass shape: the three per-user stage timestamps are chained
+    window MINs over ONE partitioning (user_id), so the whole funnel
+    costs one events scan + one shuffle — a naive chained-aggregate
+    union would re-scan events and recompute the signup aggregate in
+    every union branch (it audited at 22 exchanges; this is 3)."""
     ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    s = (
-        ev.where(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("s_ts"))
-    )
-    c = (
-        ev.where(F.col("event_type") == "click")
-        .join(s, "user_id")
-        .where(F.col("ts") > F.col("s_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("c_ts"))
-    )
-    p = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .where(F.col("ts") > F.col("c_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("p_ts"))
-    )
-
-    def stage(df: DataFrame, label: str) -> DataFrame:
-        return df.agg(
-            F.lit(label).alias("stage"), F.count("*").cast("long").alias("users")
+    w = W.partitionBy("user_id")
+    is_type = lambda t: F.col("event_type") == t  # noqa: E731
+    staged = (
+        ev.withColumn("s_ts", F.min(F.when(is_type("signup"), F.col("ts"))).over(w))
+        .withColumn(
+            "c_ts",
+            F.min(
+                F.when(is_type("click") & (F.col("ts") > F.col("s_ts")), F.col("ts"))
+            ).over(w),
         )
-
-    return (
-        stage(s, "1_signup")
-        .unionByName(stage(c, "2_click"))
-        .unionByName(stage(p, "3_purchase"))
-        .orderBy("stage")
+        .withColumn(
+            "p_ts",
+            F.min(
+                F.when(is_type("purchase") & (F.col("ts") > F.col("c_ts")), F.col("ts"))
+            ).over(w),
+        )
     )
+    counts = staged.agg(
+        *[
+            F.count_distinct(F.when(F.col(c).isNotNull(), F.col("user_id")))
+            .cast("long")
+            .alias(a)
+            for c, a in (("s_ts", "n1"), ("c_ts", "n2"), ("p_ts", "n3"))
+        ]
+    )
+    return counts.select(
+        F.expr(
+            "stack(3, '1_signup', n1, '2_click', n2, '3_purchase', n3)"
+            " AS (stage, users)"
+        )
+    ).orderBy("stage")
 
 
 # ---------------------------------------------------------------------------
@@ -139,15 +145,19 @@ def event_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-cohort retention triangle: distinct active users per
-    (first-touch day, day offset)."""
+    (first-touch day, day offset).
+
+    One scan: distinct (user, day) pairs, then the cohort day as a
+    window MIN per user — no self-join of two aggregated branches
+    (which would re-scan events per branch)."""
     ev = table(spark, sf_dir, "events").select(
         "user_id", F.to_date("ts").alias("act_day")
     )
-    first = ev.groupBy("user_id").agg(F.min("act_day").alias("cohort_day"))
-    act = ev.distinct()
+    act = ev.distinct().withColumn(
+        "cohort_day", F.min("act_day").over(W.partitionBy("user_id"))
+    )
     return (
-        first.join(act, "user_id")
-        .groupBy(
+        act.groupBy(
             "cohort_day",
             F.datediff("act_day", "cohort_day").cast("int").alias("day_offset"),
         )
