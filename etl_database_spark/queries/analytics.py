@@ -1,19 +1,18 @@
-"""Event-sequence analytics: funnel, cohort retention, RFM segments.
+"""Event-sequence analytics: funnel, cohort retention, RFM segments,
+SCD2 historization, and incremental-rollup serving.
 
 The reference system's event reporting stops at flat aggregates
 (value_counts / grouped min-max over `tblsequenceorder`-style event
 streams — xnlou/etl-database `storedprocs.sql` report procs); a user
 replacing it with this engine also expects the standard behavioral
 analytics a warehouse bolts on top of an event table. These queries
-add the three canonical ones over the synthetic `events` table, each
-with a DuckDB oracle:
+add them over the synthetic `events` table, each with a DuckDB oracle:
 
 - **Ordered funnel** (signup → click → purchase, strictly increasing
-  event time per user): three chained per-user MIN aggregates — stage
-  N's candidate events join stage N-1's per-user timestamp, so each
-  stage is one shuffle on `user_id` over an already-filtered slice.
-  At 100 TB the state per user is one timestamp per stage (bounded),
-  never the user's full event list.
+  event time per user): three chained window MINs over ONE user_id
+  partitioning — one events scan, one shuffle. At 100 TB the state
+  per user is one timestamp per stage (bounded), never the user's
+  full event list.
 - **Cohort retention**: day-grain first-touch cohort × activity-day
   offset (D-N retention). Two aggregates on `user_id` / (user, day)
   then one join back on `user_id`; offsets are DATE subtraction so
@@ -23,6 +22,10 @@ with a DuckDB oracle:
   (see queries/relational.py module doc) so quartile boundaries are
   bit-identical across engines; every ntile ORDER BY carries user_id
   as the unique tie-break.
+- **SCD2 intervals**: historize a status stream into validity
+  intervals (LAG collapse + LEAD close over the same partitioning).
+- **Rollup serving**: the incremental RollupStore
+  (operators/rollup.py) served against a full-recompute oracle.
 
 Scale notes: all keys here shuffle on `user_id` (high-cardinality,
 well-distributed in real event data — the skew levers in
@@ -295,3 +298,69 @@ def rollup_daily_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serve the incrementally-maintained day/type rollup; must equal a
     full recompute over raw events (the oracle)."""
     return _rollup_store(spark, sf_dir).serve()
+
+
+# ---------------------------------------------------------------------------
+# SCD2 interval building: turn a per-user status-change event stream
+# into validity-interval rows (valid_from / valid_to / is_current) —
+# the type-2 slowly-changing-dimension shape. The reference's
+# single-active snapshot trigger (registry.py, SURVEY W2) is the SCD1
+# "latest wins" form; this is its historizing counterpart. One shuffle
+# on user_id serves both window passes (consecutive-duplicate collapse
+# via LAG, interval end via LEAD). valid_to is null-free by contract
+# (engines render null dates differently): open intervals close at the
+# corpus max timestamp, carried on a broadcast 1-row frame.
+@register(
+    "event_scd2_intervals",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS max_ts FROM events),
+    changes AS (
+      SELECT user_id, event_type AS status, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_status
+      FROM events
+    ),
+    transitions AS (
+      SELECT user_id, status, ts, event_id
+      FROM changes
+      WHERE prev_status IS NULL OR status <> prev_status
+    )
+    SELECT t.user_id, t.status,
+           t.ts AS valid_from,
+           COALESCE(LEAD(t.ts) OVER (PARTITION BY t.user_id
+                                     ORDER BY t.ts, t.event_id),
+                    mx.max_ts) AS valid_to,
+           CAST(CASE WHEN LEAD(t.ts) OVER (PARTITION BY t.user_id
+                                           ORDER BY t.ts, t.event_id)
+                     IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+    FROM transitions t, mx
+    ORDER BY user_id, valid_from, status
+    """,
+)
+def event_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historize a status stream into SCD2 validity intervals:
+    collapse consecutive repeats (LAG), close each interval at the
+    next transition (LEAD), open intervals end at the corpus max."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.col("event_type").alias("status"), "ts", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    transitions = (
+        ev.withColumn("prev_status", F.lag("status").over(w))
+        .where(F.col("prev_status").isNull() | (F.col("status") != F.col("prev_status")))
+        .drop("prev_status")
+    )
+    mx = ev.agg(F.max("ts").alias("max_ts"))
+    nxt = F.lead("ts").over(w)
+    return (
+        transitions.withColumn("next_ts", nxt)
+        .crossJoin(F.broadcast(mx))  # 1-row scalar frame: safe hint
+        .select(
+            "user_id",
+            "status",
+            F.col("ts").alias("valid_from"),
+            F.coalesce("next_ts", "max_ts").alias("valid_to"),
+            F.col("next_ts").isNull().cast("int").alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from", "status")
+    )
