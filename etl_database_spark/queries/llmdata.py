@@ -1800,3 +1800,23 @@ def config_curation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules through ``curation_overrides``."""
     d = table(spark, sf_dir, "documents")
     return curation_counts(d, _CURATION_RULE_OVERRIDES)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (functions/bpe.py): learn the merge table
+# from the documents corpus. Iterative (one weighted pair-count
+# shuffle per merge round over the DISTINCT-word table) — not
+# SQL-expressible, so rows-only here; bit-exact equivalence against a
+# pure-Python reference implementation is enforced in tests/test_bpe.py.
+@register("bpe_train_merges")
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 10 learned BPE merges over documents.text (rank, pair,
+    merged symbol, weighted pair count)."""
+    from etl_database_spark.functions.bpe import train_bpe
+
+    d = table(spark, sf_dir, "documents")
+    merges = train_bpe(d, "text", n_merges=10, min_freq=2)
+    return spark.createDataFrame(
+        [(m["rank"], m["left"], m["right"], m["merged"], m["pair_count"]) for m in merges],
+        "rank int, left string, right string, merged string, pair_count long",
+    ).orderBy("rank")
