@@ -109,3 +109,25 @@ def split_boundaries(weights: dict[str, float], buckets: int = DEFAULT_BUCKETS) 
         out.append((name, lo, hi))
         lo = hi
     return out
+
+
+def temperature_keep_threshold(
+    count_col, min_count_col, alpha: float, buckets: int = DEFAULT_BUCKETS
+) -> Column:
+    """Per-group hash-bucket keep threshold realizing temperature
+    sampling (the multilingual corpus-balancing scheme: sampling
+    probability q_i ∝ p_i^alpha, XLM-R / mC4 style). A group kept at
+    fraction f_i yields kept_i = f_i·n_i ∝ n_i^alpha when
+    f_i = (n_i / n_min)^(alpha-1) — the smallest group keeps
+    everything, larger groups are downsampled toward balance as
+    alpha → 0 (alpha = 1 keeps natural proportions).
+
+    The fraction is rounded to 6 decimals BEFORE the floor so the
+    one-ulp liberty both engines' ``pow`` implementations have cannot
+    flip the integer threshold (same guard as the cosine operators'
+    round-to-4)."""
+    frac = F.round(
+        F.pow(count_col.cast("double") / min_count_col.cast("double"), F.lit(alpha - 1.0)),
+        6,
+    )
+    return F.floor(frac * F.lit(buckets)).cast("long")

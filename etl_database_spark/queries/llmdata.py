@@ -1820,3 +1820,69 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["rank"], m["left"], m["right"], m["merged"], m["pair_count"]) for m in merges],
         "rank int, left string, right string, merged string, pair_count long",
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based language rebalancing (functions/sampling.
+# temperature_keep_threshold): the multilingual corpus-balancing
+# sampler — keep fraction (n_lang/n_min)^(alpha-1) per language so the
+# kept counts follow n^alpha. One aggregate for the per-language
+# counts (bounded by the language inventory), thresholds joined back
+# to the scan, membership by the engine-portable md5 bucket, so the
+# whole operator is deterministic and oracle-checked end to end.
+_TEMP_SQL_BUCKET = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000"
+)
+
+_TEMPERATURE_ORACLE = f"""
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs_total
+      FROM documents GROUP BY lang
+    ),
+    mn AS (SELECT MIN(n_docs_total) AS n_min FROM counts),
+    thr AS (
+      SELECT lang, n_docs_total,
+             CAST(FLOOR(ROUND(POW(CAST(n_docs_total AS DOUBLE) / n_min, -0.5), 6)
+                        * 1000) AS BIGINT) AS keep_thr
+      FROM counts, mn
+    )
+    SELECT d.lang, t.n_docs_total,
+           CAST(SUM(CASE WHEN {_TEMP_SQL_BUCKET} < t.keep_thr
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents d JOIN thr t ON d.lang = t.lang
+    GROUP BY d.lang, t.n_docs_total
+    ORDER BY d.lang
+    """
+
+
+@register("temperature_lang_mixture", oracle=_TEMPERATURE_ORACLE)
+def temperature_lang_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alpha=0.5 temperature rebalance over the language column:
+    per-language total vs deterministically kept counts."""
+    from pyspark.sql import Window as W
+
+    from etl_database_spark.functions import sampling as SMP
+
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs_total"))
+    # global window over the bounded language-count frame (a handful of
+    # rows — the single-partition window is on the aggregate, not data)
+    thr = counts.withColumn(
+        "keep_thr",
+        SMP.temperature_keep_threshold(
+            F.col("n_docs_total"),
+            F.min("n_docs_total").over(W.partitionBy()),
+            alpha=0.5,
+            buckets=1000,
+        ),
+    )
+    return (
+        d.join(thr, "lang")
+        .groupBy("lang", "n_docs_total")
+        .agg(
+            F.sum(
+                (SMP.hash_bucket("doc_id", 1000) < F.col("keep_thr")).cast("long")
+            ).alias("n_kept")
+        )
+        .orderBy("lang")
+    )
