@@ -166,6 +166,16 @@ class RollupStore:
         folded.write.mode("overwrite").partitionBy("batch", "day").parquet(tmp)
         with open(os.path.join(tmp, self.COMPACTED_FILE), "w") as fh:
             json.dump([b for b in absorbed if b != self.BASE_BATCH], fh)
+        # carry sidecar markers (e.g. the streaming checkpoint binding)
+        # across the swap — a compaction must not unbind the store
+        for name in os.listdir(self.path):
+            src = os.path.join(self.path, name)
+            if (
+                name.startswith("_")
+                and name != self.COMPACTED_FILE
+                and os.path.isfile(src)
+            ):
+                shutil.copy2(src, os.path.join(tmp, name))
         old = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
         os.rename(self.path, old)
         os.rename(tmp, self.path)

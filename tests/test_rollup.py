@@ -123,3 +123,44 @@ def test_partial_sum_type_is_stable_across_batches(spark, events, tmp_path):
     got = [tuple(r) for r in store.serve().collect()]
     want = [tuple(r) for r in _full_recompute(events).collect()]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Streaming maintenance (streaming/rollup.py)
+
+
+def test_streaming_rollup_equals_batch(spark, events, tmp_path):
+    """Draining the event stream through foreachBatch must serve
+    exactly the batch full-recompute; a re-run over the same
+    checkpoint must change nothing; and a fresh checkpoint must be
+    refused rather than collide with stored batch ids."""
+    import pytest
+
+    from etl_database_spark.streaming.rollup import run_rollup_once
+
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+    store_path = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    store = run_rollup_once(spark, stream, store_path, ckpt)
+
+    want = [tuple(r) for r in _full_recompute(events).collect()]
+    assert [tuple(r) for r in store.serve().collect()] == want
+
+    # drained checkpoint: nothing new to process, serving unchanged
+    stream2 = spark.readStream.schema(events.schema).parquet(src)
+    run_rollup_once(spark, stream2, store_path, ckpt)
+    assert [tuple(r) for r in store.serve().collect()] == want
+
+    # compaction keeps serving identical AND keeps the stream binding
+    store.compact()
+    assert [tuple(r) for r in store.serve().collect()] == want
+
+    # a fresh checkpoint (new stream id, batch ids restart at 0) is
+    # refused instead of overwriting stored partitions
+    stream3 = spark.readStream.schema(events.schema).parquet(src)
+    with pytest.raises(Exception, match="rollup store"):
+        run_rollup_once(spark, stream3, store_path, str(tmp_path / "ckpt2"))
+    assert [tuple(r) for r in store.serve().collect()] == want
