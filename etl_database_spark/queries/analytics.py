@@ -364,3 +364,21 @@ def event_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from", "status")
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct users per day from mergeable HLL sketch rows
+# (functions/hll.py). Rows-only: the sketch hash (xxhash64) has no
+# DuckDB twin; accuracy vs exact COUNT(DISTINCT) is property-tested in
+# tests/test_hll.py. The sketch form is the point: registers merge by
+# MAX, so this exact query can be served incrementally from a
+# batch-partitioned partial store (the rollup pattern) at 100 TB.
+@register("daily_unique_users_hll")
+def daily_unique_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day approximate distinct user counts (HLL p=12, σ≈1.6%)."""
+    from etl_database_spark.functions.hll import hll_estimate, hll_partials
+
+    ev = table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    return hll_estimate(hll_partials(ev, "user_id", ["day"]), ["day"])
