@@ -103,3 +103,32 @@ def hll_estimate(
 def hll_std_error(p: int = DEFAULT_P) -> float:
     """Theoretical relative standard error 1.04/sqrt(m)."""
     return 1.04 / math.sqrt(1 << p)
+
+
+def hll_intersection_estimate(
+    a: DataFrame, b: DataFrame, p: int = DEFAULT_P
+) -> DataFrame:
+    """|A ∩ B| via inclusion-exclusion over three sketch estimates
+    (|A| + |B| - |A ∪ B|; the union sketch is the exact max-merge).
+    Error compounds across the three estimates — for small true
+    intersections of large sets, prefer an exact semi-join; this is
+    the screening-grade estimator (did these two corpora overlap
+    materially?) whose cost is sketch-sized, not data-sized."""
+    ea = hll_estimate(a, p=p).withColumnRenamed("approx_distinct", "n_a")
+    eb = hll_estimate(b, p=p).withColumnRenamed("approx_distinct", "n_b")
+    eu = hll_estimate(hll_merge(a, b), p=p).withColumnRenamed(
+        "approx_distinct", "n_union"
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .select(
+            "n_a",
+            "n_b",
+            "n_union",
+            F.greatest(
+                F.lit(0).cast("long"),
+                (F.col("n_a") + F.col("n_b") - F.col("n_union")).cast("long"),
+            ).alias("approx_intersection"),
+        )
+    )

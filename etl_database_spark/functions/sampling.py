@@ -131,3 +131,23 @@ def temperature_keep_threshold(
         6,
     )
     return F.floor(frac * F.lit(buckets)).cast("long")
+
+
+def hash_top_k_per_group(
+    df: DataFrame, group_col: str, key_col: str, k: int
+) -> DataFrame:
+    """Deterministic k-row sample per group: rank by the md5 of the
+    key (a uniform, engine-portable shuffle order) and keep the first
+    k. The reproducible replacement for per-group reservoir sampling —
+    same rows every run, every engine, and adding data only displaces
+    rows whose hash sorts later (nested like the bucket samplers
+    above). One window shuffle on the group key."""
+    from pyspark.sql import Window as W
+
+    h = F.md5(F.col(key_col).cast("string").cast("binary"))
+    w = W.partitionBy(group_col).orderBy(h, key_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -1886,3 +1886,36 @@ def temperature_lang_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-group sampling (functions/sampling.
+# hash_top_k_per_group): the reproducible replacement for reservoir
+# sampling — rank every doc inside its source by md5(doc_id) and keep
+# the first 3. Fully oracle-checked (md5 is the engine-portable
+# shuffle order used across the sampling family).
+@register(
+    "sample_k_per_source",
+    oracle="""
+    SELECT source, doc_id
+    FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 3
+    ORDER BY source, doc_id
+    """,
+)
+def sample_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 deterministic sample docs per source (md5 rank order)."""
+    from etl_database_spark.functions import sampling as SMP
+
+    d = table(spark, sf_dir, "documents")
+    return (
+        SMP.hash_top_k_per_group(d, "source", "doc_id", 3)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    )

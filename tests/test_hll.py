@@ -97,3 +97,17 @@ def test_registered_daily_query_tracks_exact(spark):
     assert set(got) == set(exact)
     for day, n in exact.items():
         assert abs(got[day] - n) <= max(5 * hll_std_error() * n, 10), (day, got[day], n)
+
+
+def test_intersection_estimate(spark):
+    """Inclusion-exclusion over sketches: a 50% overlap of two 4k-key
+    sets estimates within the compounded tolerance."""
+    a = spark.range(0, 4_000).select(F.concat(F.lit("u"), "id").alias("k"))
+    b = spark.range(2_000, 6_000).select(F.concat(F.lit("u"), "id").alias("k"))
+    from etl_database_spark.functions.hll import hll_intersection_estimate
+
+    row = hll_intersection_estimate(hll_partials(a, "k"), hll_partials(b, "k")).collect()[0]
+    # three estimates compound: allow 3x the single-sketch 5-sigma band
+    tol = 3 * 5 * hll_std_error() * 4_000
+    assert abs(row.approx_intersection - 2_000) <= tol, row
+    assert abs(row.n_union - 6_000) <= tol, row
