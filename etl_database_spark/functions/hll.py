@@ -84,7 +84,11 @@ def hll_estimate(
     m = 1 << p
     alpha = _alpha(m)
     agg = partials.groupBy(*group_cols).agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("z_hit"),
+        # coalesce: a global agg over an EMPTY sketch yields sum=null;
+        # 0.0 makes the math fall through to linear counting → 0
+        F.coalesce(F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))), F.lit(0.0)).alias(
+            "z_hit"
+        ),
         F.count("*").alias("n_hit"),
     )
     zeros = F.lit(m) - F.col("n_hit")

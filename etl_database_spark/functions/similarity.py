@@ -454,6 +454,7 @@ class IvfIndex:
 
     CENTROIDS_FILE = "_centroids.json"
     COMPACTED_FILE = "_compacted.json"
+    COMMITTED_FILE = "_committed.json"
     BASE_BATCH = "base"
 
     def __init__(self, spark, path: str, centroids: list[list[float]]):
@@ -484,6 +485,8 @@ class IvfIndex:
         lists.write.mode("overwrite").partitionBy("batch", "centroid").parquet(path)
         with open(os.path.join(path, cls.CENTROIDS_FILE), "w") as fh:
             json.dump(centroids, fh)
+        with open(os.path.join(path, cls.COMMITTED_FILE), "w") as fh:
+            json.dump([cls.BASE_BATCH], fh)
         return cls(spark, path, centroids)
 
     @classmethod
@@ -504,26 +507,44 @@ class IvfIndex:
     # -- maintenance ------------------------------------------------------
 
     def batches(self) -> list[str]:
-        """Live batch ids (from the first-level partition directories)
-        plus batches absorbed by a compaction."""
+        """COMMITTED batch ids (manifest written only after a complete
+        write — a crash mid-append leaves a directory but no manifest
+        entry, so the retry rewrites instead of being skipped) plus
+        batches absorbed by a compaction. Directory listing is only the
+        fallback for stores written before the manifest existed."""
         import os
 
-        live = sorted(
-            d.split("=", 1)[1]
-            for d in os.listdir(self.path)
-            if d.startswith("batch=") and os.path.isdir(os.path.join(self.path, d))
-        )
-        return sorted(set(live) | set(self._compacted()))
+        committed = self._read_json(self.COMMITTED_FILE)
+        if committed is None:
+            committed = [
+                d.split("=", 1)[1]
+                for d in os.listdir(self.path)
+                if d.startswith("batch=") and os.path.isdir(os.path.join(self.path, d))
+            ]
+        return sorted(set(committed) | set(self._compacted()))
 
-    def _compacted(self) -> list[str]:
+    def _read_json(self, name: str) -> list | None:
         import json
         import os
 
-        p = os.path.join(self.path, self.COMPACTED_FILE)
+        p = os.path.join(self.path, name)
         if not os.path.exists(p):
-            return []
+            return None
         with open(p) as fh:
             return json.load(fh)
+
+    def _commit(self, batch: str) -> None:
+        import json
+        import os
+
+        committed = self._read_json(self.COMMITTED_FILE) or []
+        tmp = os.path.join(self.path, f".{self.COMMITTED_FILE}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(sorted(set(committed) | {batch}), fh)
+        os.replace(tmp, os.path.join(self.path, self.COMMITTED_FILE))
+
+    def _compacted(self) -> list[str]:
+        return self._read_json(self.COMPACTED_FILE) or []
 
     def append(
         self,
@@ -549,6 +570,7 @@ class IvfIndex:
             .partitionBy("batch", "centroid")
             .parquet(self.path)
         )
+        self._commit(batch)
         return True
 
     def merge_from(self, other: "IvfIndex", batch: str) -> bool:
@@ -587,6 +609,8 @@ class IvfIndex:
             json.dump(self.centroids, fh)
         with open(os.path.join(tmp, self.COMPACTED_FILE), "w") as fh:
             json.dump([b for b in absorbed if b != self.BASE_BATCH], fh)
+        with open(os.path.join(tmp, self.COMMITTED_FILE), "w") as fh:
+            json.dump([self.BASE_BATCH], fh)
         old = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
         os.rename(self.path, old)
         os.rename(tmp, self.path)

@@ -51,6 +51,7 @@ class RollupStore:
     event stream, keyed by (day, event_type)."""
 
     COMPACTED_FILE = "_compacted.json"
+    COMMITTED_FILE = "_committed.json"
     BASE_BATCH = "base"
 
     def __init__(self, spark: SparkSession, path: str):
@@ -79,12 +80,21 @@ class RollupStore:
 
     def ingest(self, events: DataFrame, batch: str, ts_col: str = "ts") -> bool:
         """Aggregate one event batch into the store. Returns False if
-        this batch id was already ingested (live partition directory or
-        absorbed by a compaction) — replays are no-ops. The write is
-        dynamic-partition-overwrite scoped to ``batch=<id>``, so a
-        crash mid-write is fully healed by the retry."""
+        this batch id was already COMMITTED (manifest entry, written
+        only after a complete write, or absorbed by a compaction) —
+        replays are no-ops. A crash mid-write leaves the batch
+        directory but no manifest entry, so the retry re-runs the
+        dynamic-partition-overwrite and fully replaces the partial —
+        the directory alone must never count as ingested."""
         if batch == self.BASE_BATCH or batch in self.batches():
             return False
+        # materialize the (possibly empty) manifest BEFORE the data
+        # write: from then on "in the manifest" is the only ingested
+        # signal, so a crash between write and commit retries cleanly
+        # even for the store's very first batch
+        os.makedirs(self.path, exist_ok=True)
+        if self._read_json(self.COMMITTED_FILE) is None:
+            self._write_json(self.COMMITTED_FILE, self.batches())
         partials = self._partials(events, ts_col).withColumn("batch", F.lit(batch))
         (
             partials.write.mode("overwrite")
@@ -92,6 +102,7 @@ class RollupStore:
             .partitionBy("batch", "day")
             .parquet(self.path)
         )
+        self._commit(batch)
         return True
 
     # -- read path --------------------------------------------------------
@@ -131,19 +142,39 @@ class RollupStore:
     # -- maintenance ------------------------------------------------------
 
     def batches(self) -> list[str]:
-        live = sorted(
-            d.split("=", 1)[1]
-            for d in (os.listdir(self.path) if os.path.isdir(self.path) else [])
-            if d.startswith("batch=") and os.path.isdir(os.path.join(self.path, d))
-        )
-        return sorted(set(live) | set(self._compacted()))
+        """Ingested batch ids: the committed manifest plus batches
+        absorbed by a compaction. Falls back to directory listing for
+        stores written before the manifest existed — for those, a
+        partial directory counts as ingested (the pre-manifest
+        behavior), which is why new writes always commit."""
+        committed = self._read_json(self.COMMITTED_FILE)
+        if committed is None:
+            committed = [
+                d.split("=", 1)[1]
+                for d in (os.listdir(self.path) if os.path.isdir(self.path) else [])
+                if d.startswith("batch=") and os.path.isdir(os.path.join(self.path, d))
+            ]
+        return sorted(set(committed) | set(self._compacted()))
 
-    def _compacted(self) -> list[str]:
-        p = os.path.join(self.path, self.COMPACTED_FILE)
+    def _read_json(self, name: str) -> list[str] | None:
+        p = os.path.join(self.path, name)
         if not os.path.exists(p):
-            return []
+            return None
         with open(p) as fh:
             return json.load(fh)
+
+    def _write_json(self, name: str, values: list[str]) -> None:
+        tmp = os.path.join(self.path, f".{name}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(sorted(values), fh)
+        os.replace(tmp, os.path.join(self.path, name))
+
+    def _commit(self, batch: str) -> None:
+        committed = self._read_json(self.COMMITTED_FILE) or []
+        self._write_json(self.COMMITTED_FILE, sorted(set(committed) | {batch}))
+
+    def _compacted(self) -> list[str]:
+        return self._read_json(self.COMPACTED_FILE) or []
 
     def compact(self) -> None:
         """Fold all per-batch partials into one ``batch=base`` row per
@@ -166,13 +197,15 @@ class RollupStore:
         folded.write.mode("overwrite").partitionBy("batch", "day").parquet(tmp)
         with open(os.path.join(tmp, self.COMPACTED_FILE), "w") as fh:
             json.dump([b for b in absorbed if b != self.BASE_BATCH], fh)
+        with open(os.path.join(tmp, self.COMMITTED_FILE), "w") as fh:
+            json.dump([self.BASE_BATCH], fh)
         # carry sidecar markers (e.g. the streaming checkpoint binding)
         # across the swap — a compaction must not unbind the store
         for name in os.listdir(self.path):
             src = os.path.join(self.path, name)
             if (
                 name.startswith("_")
-                and name != self.COMPACTED_FILE
+                and name not in (self.COMPACTED_FILE, self.COMMITTED_FILE)
                 and os.path.isfile(src)
             ):
                 shutil.copy2(src, os.path.join(tmp, name))

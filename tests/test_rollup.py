@@ -164,3 +164,39 @@ def test_streaming_rollup_equals_batch(spark, events, tmp_path):
     with pytest.raises(Exception, match="rollup store"):
         run_rollup_once(spark, stream3, store_path, str(tmp_path / "ckpt2"))
     assert [tuple(r) for r in store.serve().collect()] == want
+
+
+def test_crashed_partial_write_is_retried_not_skipped(spark, events, tmp_path):
+    """A batch DIRECTORY without a manifest commit (crash mid-write)
+    must not count as ingested: the retry rewrites and heals the
+    partial instead of making it permanent."""
+    import json
+    import os
+
+    store = RollupStore(spark, str(tmp_path / "rollup"))
+    b1 = events.where(F.col("event_id") < 150)
+    b2 = events.where(F.col("event_id") >= 150)
+    store.ingest(b1, "b1")
+
+    # simulate a crashed b2 attempt: data (partially) written, commit
+    # never recorded — here we fake it by writing b2 then erasing the
+    # manifest entry AND deleting one day partition (the "partial")
+    store.ingest(b2, "b2")
+    manifest = os.path.join(store.path, RollupStore.COMMITTED_FILE)
+    with open(manifest) as fh:
+        committed = json.load(fh)
+    committed.remove("b2")
+    with open(manifest, "w") as fh:
+        json.dump(committed, fh)
+    b2_days = [
+        d for d in os.listdir(os.path.join(store.path, "batch=b2")) if d.startswith("day=")
+    ]
+    import shutil
+
+    shutil.rmtree(os.path.join(store.path, "batch=b2", b2_days[0]))
+
+    # the retry must NOT be skipped, and must fully restore b2
+    assert store.ingest(b2, "b2") is True
+    got = [tuple(r) for r in store.serve().collect()]
+    want = [tuple(r) for r in _full_recompute(events).collect()]
+    assert got == want
