@@ -382,3 +382,59 @@ def daily_unique_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").alias("day"), "user_id"
     )
     return hll_estimate(hll_partials(ev, "user_id", ["day"]), ["day"])
+
+
+# ---------------------------------------------------------------------------
+# Streaming rollup, end to end: the events table is delivered in two
+# micro-batches (event_id parity split), drained through the
+# checkpoint-bound store (streaming/rollup.py), and SERVED — and
+# because serving is deterministic, this registry entry carries the
+# same full-recompute oracle as the batch rollup: DuckDB hash-verifies
+# the STREAMED result, not just a batch twin. The streaming machinery
+# itself (foreachBatch, checkpoint binding, replay no-ops) is covered
+# in tests/test_rollup.py.
+@register(
+    "streaming_rollup_daily_stats",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY day, event_type
+    ORDER BY day, event_type
+    """,
+)
+def streaming_rollup_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve the rollup maintained by a two-micro-batch stream; must
+    equal the raw-events full recompute (the oracle)."""
+    import os
+    import shutil
+    import tempfile
+
+    from etl_database_spark.streaming.rollup import run_rollup_once
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    work = tempfile.mkdtemp(prefix="spark_graft_stream_ru_")
+    src = os.path.join(work, "src")
+    store_path = os.path.join(work, "store")
+    ckpt = os.path.join(work, "ckpt")
+    try:
+        ev.where(F.col("event_id") % 2 == 0).write.parquet(src)
+        run_rollup_once(
+            spark, spark.readStream.schema(ev.schema).parquet(src), store_path, ckpt
+        )
+        ev.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+        store = run_rollup_once(
+            spark, spark.readStream.schema(ev.schema).parquet(src), store_path, ckpt
+        )
+        # materialize before the temp store directory disappears
+        out = store.serve().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
