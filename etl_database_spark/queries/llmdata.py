@@ -1919,3 +1919,31 @@ def sample_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id")
         .orderBy("source", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min frequency service over the token stream (functions/cms.py):
+# sketch every token occurrence, then answer point queries for the
+# top-20 vocabulary terms from the COUNTERS, never re-scanning text.
+# Rows-only (xxhash64 has no DuckDB twin); the sketch's one-sided
+# error, merge-exactness, and weighted/grouped forms are property-
+# tested in tests/test_cms.py.
+@register("vocab_freq_cms")
+def vocab_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-estimated frequencies for the top-20 corpus tokens
+    (always >= the true count; within e/w of corpus token volume)."""
+    from etl_database_spark.functions.cms import cms_partials, cms_point_estimate
+
+    d = table(spark, sf_dir, "documents")
+    tokens = d.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    sketch = cms_partials(tokens, "token")
+    top = (
+        tokens.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+        .select("token")
+    )
+    return cms_point_estimate(sketch, top, "token").orderBy("token")
