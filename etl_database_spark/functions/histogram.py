@@ -1,0 +1,100 @@
+"""Fixed-bound equi-width histograms as mergeable DataFrame rows —
+the quantile member of the sketch family (hll.py = distinct counts,
+cms.py = frequencies).
+
+Exact percentiles are holistic: they cannot be maintained
+incrementally, which is why the rollup store (operators/rollup.py)
+excludes them. A fixed-bound histogram is the additive summary that
+CAN: counts per (group, bucket) merge by SUM, so per-batch partials
+drop into the same batch-partitioned store pattern, and any quantile
+is answered from the counters with error bounded by one bucket width.
+The [lo, hi) domain is fixed at sketch-creation time (store metadata
+in practice) — the standard operating constraint for mergeable
+histograms; values outside clamp into the edge buckets, preserving
+counts at the cost of edge-quantile resolution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+DEFAULT_BUCKETS = 256
+
+
+def histogram_partials(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    group_cols: list[str] | None = None,
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """(group..., bucket, cnt) with bucket = clamp(floor((v-lo)/width)).
+    One partial-aggregated shuffle into ≤ buckets groups per group."""
+    group_cols = group_cols or []
+    width = (hi - lo) / buckets
+    raw = F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width))
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(buckets - 1)).cast("int")
+    return (
+        df.select(*group_cols, b.alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def histogram_merge(*partials: DataFrame) -> DataFrame:
+    """Sum counts per (group, bucket) — the exact merge."""
+    out = partials[0]
+    for p in partials[1:]:
+        out = out.unionByName(p)
+    keys = [c for c in out.columns if c != "cnt"]
+    return out.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_quantiles(
+    partials: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    group_cols: list[str] | None = None,
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """(group..., q, est) per requested quantile: cumulative counts in
+    bucket order, first bucket reaching q·n, linear interpolation
+    inside it. Error ≤ one bucket width. The cumulative window runs
+    over ≤ ``buckets`` rows per group — counter-sized, never
+    data-sized."""
+    group_cols = group_cols or []
+    width = (hi - lo) / buckets
+    w_cum = W.partitionBy(*group_cols).orderBy("bucket") if group_cols else W.orderBy(
+        "bucket"
+    )
+    w_all = W.partitionBy(*group_cols) if group_cols else W.partitionBy()
+    cum = partials.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_all)
+    )
+    outs = []
+    for q in qs:
+        target = F.col("n") * F.lit(q)
+        hit = cum.where(F.col("cum") >= target)
+        w_first = (
+            W.partitionBy(*group_cols).orderBy("bucket")
+            if group_cols
+            else W.orderBy("bucket")
+        )
+        first = hit.withColumn("rn", F.row_number().over(w_first)).where(
+            F.col("rn") == 1
+        )
+        frac = (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+        est = F.lit(lo) + (F.col("bucket") + frac) * F.lit(width)
+        outs.append(
+            first.select(
+                *group_cols, F.lit(q).alias("q"), est.cast("double").alias("est")
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy(*group_cols, "q")

@@ -438,3 +438,52 @@ def streaming_rollup_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantiles (functions/histogram.py): estimate
+# event-value quantiles from fixed-bound [0, 500) equi-width counters
+# instead of a holistic sort. Every step — bucket floor, cumulative
+# window, linear interpolation — is deterministic double/int
+# arithmetic, so unlike the engine-native percentile sketches this
+# approximate operator IS oracle-checked bit-for-bit: DuckDB runs the
+# same counter math.
+@register(
+    "event_value_quantile_histogram",
+    oracle="""
+    WITH hist AS (
+      SELECT CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 1.953125), 0), 255) AS INT)
+               AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ),
+    cum AS (
+      SELECT bucket, cnt,
+             SUM(cnt) OVER (ORDER BY bucket) AS cum,
+             SUM(cnt) OVER () AS n
+      FROM hist
+    ),
+    qs AS (SELECT UNNEST([0.5, 0.9, 0.99]) AS q),
+    hit AS (
+      SELECT q, bucket, cnt, cum, n,
+             ROW_NUMBER() OVER (PARTITION BY q ORDER BY bucket) AS rn
+      FROM qs JOIN cum ON cum >= q * n
+    )
+    SELECT q,
+           CAST(0.0 + (bucket + (q * n - (cum - cnt)) / cnt) * 1.953125 AS DOUBLE)
+             AS est
+    FROM hit WHERE rn = 1
+    ORDER BY q
+    """,
+)
+def event_value_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of events.value from 256 mergeable counters over
+    [0, 500) — bucket width 500/256 = 1.953125."""
+    from etl_database_spark.functions.histogram import (
+        histogram_partials,
+        histogram_quantiles,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    sketch = histogram_partials(ev, "value", 0.0, 500.0, buckets=256)
+    return histogram_quantiles(sketch, [0.5, 0.9, 0.99], 0.0, 500.0, buckets=256)
