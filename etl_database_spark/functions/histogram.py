@@ -34,6 +34,8 @@ def histogram_partials(
     """(group..., bucket, cnt) with bucket = clamp(floor((v-lo)/width)).
     One partial-aggregated shuffle into ≤ buckets groups per group."""
     group_cols = group_cols or []
+    if not hi > lo:
+        raise ValueError(f"histogram bounds must satisfy lo < hi, got [{lo}, {hi})")
     width = (hi - lo) / buckets
     raw = F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width))
     b = F.least(F.greatest(raw, F.lit(0)), F.lit(buckets - 1)).cast("int")
@@ -75,26 +77,21 @@ def histogram_quantiles(
     cum = partials.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
         "n", F.sum("cnt").over(w_all)
     )
-    outs = []
-    for q in qs:
-        target = F.col("n") * F.lit(q)
-        hit = cum.where(F.col("cum") >= target)
-        w_first = (
-            W.partitionBy(*group_cols).orderBy("bucket")
-            if group_cols
-            else W.orderBy("bucket")
-        )
-        first = hit.withColumn("rn", F.row_number().over(w_first)).where(
-            F.col("rn") == 1
-        )
-        frac = (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
-        est = F.lit(lo) + (F.col("bucket") + frac) * F.lit(width)
-        outs.append(
-            first.select(
-                *group_cols, F.lit(q).alias("q"), est.cast("double").alias("est")
-            )
-        )
-    res = outs[0]
-    for o in outs[1:]:
-        res = res.unionByName(o)
-    return res.orderBy(*group_cols, "q")
+    # ALL quantiles in one pass: join the (tiny, literal) q frame and
+    # rank once per (group, q) — a per-q union would recompute the
+    # cumulative window for every quantile (it audited at 12 exchanges;
+    # this shape is one window + one broadcast join).
+    qdf = partials.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    target = F.col("n") * F.col("q")
+    hit = cum.join(F.broadcast(qdf)).where(F.col("cum") >= target)
+    w_first = (
+        W.partitionBy(*group_cols, "q").orderBy("bucket")
+        if group_cols
+        else W.partitionBy("q").orderBy("bucket")
+    )
+    first = hit.withColumn("rn", F.row_number().over(w_first)).where(F.col("rn") == 1)
+    frac = (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+    est = F.lit(lo) + (F.col("bucket") + frac) * F.lit(width)
+    return first.select(
+        *group_cols, "q", est.cast("double").alias("est")
+    ).orderBy(*group_cols, "q")
