@@ -53,10 +53,21 @@ class RollupStore:
     COMPACTED_FILE = "_compacted.json"
     COMMITTED_FILE = "_committed.json"
     BASE_BATCH = "base"
+    # HLL sketch partials live under an underscore-prefixed subdir:
+    # Spark's file index treats _-prefixed paths as hidden, so the main
+    # partials read never sees them, while reading the subdir directly
+    # works as its own parquet root.
+    HLL_SUBDIR = "_hll"
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, distinct_col: str | None = None):
+        """``distinct_col``: optionally maintain an HLL sketch of this
+        column per (day, event_type) alongside the additive measures,
+        so the same store also serves approximate distinct counts
+        (e.g. daily unique users) — the one aggregate COUNT/SUM
+        partials cannot express."""
         self.spark = spark
         self.path = path
+        self.distinct_col = distinct_col
 
     # -- write path -------------------------------------------------------
 
@@ -102,6 +113,22 @@ class RollupStore:
             .partitionBy("batch", "day")
             .parquet(self.path)
         )
+        if self.distinct_col is not None:
+            from etl_database_spark.functions.hll import hll_partials
+
+            sketch = hll_partials(
+                events.withColumn("day", F.to_date(ts_col)),
+                self.distinct_col,
+                ["day", "event_type"],
+            ).withColumn("batch", F.lit(batch))
+            (
+                sketch.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch", "day")
+                .parquet(os.path.join(self.path, self.HLL_SUBDIR))
+            )
+        # commit LAST: a crash anywhere above leaves no manifest entry,
+        # so the retry rewrites both the measures and the sketch
         self._commit(batch)
         return True
 
@@ -138,6 +165,27 @@ class RollupStore:
             )
             .orderBy("day", "event_type")
         )
+
+    def serve_distinct(self, days: list | None = None) -> DataFrame:
+        """Approximate distinct ``distinct_col`` values per
+        (day, event_type) from the stored HLL sketch rows: max-merge
+        registers across batches, then estimate. Sketch-sized work —
+        never re-scans events."""
+        from etl_database_spark.functions.hll import hll_estimate
+
+        hll_path = os.path.join(self.path, self.HLL_SUBDIR)
+        if not os.path.isdir(hll_path):
+            raise ValueError(
+                f"rollup store {self.path} has no HLL sketch — construct "
+                "RollupStore(..., distinct_col=...) before ingesting"
+            )
+        df = self.spark.read.parquet(hll_path)
+        if days is not None:
+            df = df.where(F.col("day").isin(days))
+        merged = df.groupBy("day", "event_type", "ridx").agg(
+            F.max("max_rho").alias("max_rho")
+        )
+        return hll_estimate(merged, ["day", "event_type"])
 
     # -- maintenance ------------------------------------------------------
 
@@ -195,6 +243,18 @@ class RollupStore:
             .withColumn("batch", F.lit(self.BASE_BATCH))
         )
         folded.write.mode("overwrite").partitionBy("batch", "day").parquet(tmp)
+        hll_path = os.path.join(self.path, self.HLL_SUBDIR)
+        if os.path.isdir(hll_path):
+            # fold the sketch too: registers max-merge per key
+            folded_hll = (
+                self.spark.read.parquet(hll_path)
+                .groupBy("day", "event_type", "ridx")
+                .agg(F.max("max_rho").alias("max_rho"))
+                .withColumn("batch", F.lit(self.BASE_BATCH))
+            )
+            folded_hll.write.mode("overwrite").partitionBy("batch", "day").parquet(
+                os.path.join(tmp, self.HLL_SUBDIR)
+            )
         with open(os.path.join(tmp, self.COMPACTED_FILE), "w") as fh:
             json.dump([b for b in absorbed if b != self.BASE_BATCH], fh)
         with open(os.path.join(tmp, self.COMMITTED_FILE), "w") as fh:

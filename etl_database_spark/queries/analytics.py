@@ -266,7 +266,11 @@ def _rollup_store(spark: SparkSession, sf_dir: str):
             old = _ROLLUP_CACHE.pop(old_key)
             shutil.rmtree(old.path, ignore_errors=True)
         ev = table(spark, sf_dir, "events")
-        store = RollupStore(spark, tempfile.mkdtemp(prefix="spark_graft_rollup_"))
+        store = RollupStore(
+            spark,
+            tempfile.mkdtemp(prefix="spark_graft_rollup_"),
+            distinct_col="user_id",
+        )
         early = ev.where(F.dayofmonth("ts") <= 15)
         late = ev.where(F.dayofmonth("ts") > 15)
         store.ingest(early, batch="first_half")
@@ -487,3 +491,17 @@ def event_value_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFram
     ev = table(spark, sf_dir, "events")
     sketch = histogram_partials(ev, "value", 0.0, 500.0, buckets=256)
     return histogram_quantiles(sketch, [0.5, 0.9, 0.99], 0.0, 500.0, buckets=256)
+
+
+# ---------------------------------------------------------------------------
+# Distinct users served FROM the incremental store's HLL sketch (the
+# composition the sketch family exists for: one batch-partitioned
+# store answers counts, sums, AND distincts). Rows-only — xxhash64
+# has no DuckDB twin; register-level merge exactness and estimate
+# accuracy are pinned in tests/test_rollup.py.
+@register("rollup_daily_unique_users")
+def rollup_daily_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate unique users per (day, event_type) from the rollup
+    store's max-merged HLL registers — sketch-sized serving, no event
+    re-scan."""
+    return _rollup_store(spark, sf_dir).serve_distinct()

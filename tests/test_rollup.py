@@ -200,3 +200,50 @@ def test_crashed_partial_write_is_retried_not_skipped(spark, events, tmp_path):
     got = [tuple(r) for r in store.serve().collect()]
     want = [tuple(r) for r in _full_recompute(events).collect()]
     assert got == want
+
+
+def test_distinct_sketch_serves_alongside_measures(spark, events, tmp_path):
+    """A store configured with distinct_col serves approximate unique
+    users per (day, type) from the same ingest batches; merged-across-
+    batches registers must equal a whole-corpus sketch, estimates must
+    track exact distincts, and compaction must fold the sketch too."""
+    from etl_database_spark.functions.hll import hll_std_error
+
+    store = RollupStore(spark, str(tmp_path / "rollup"), distinct_col="user_id")
+    store.ingest(events.where(F.col("event_id") < 150), "b1")
+    store.ingest(events.where(F.col("event_id") >= 150), "b2")
+
+    exact = {
+        (r.day, r.event_type): r.n
+        for r in events.withColumn("day", F.to_date("ts"))
+        .groupBy("day", "event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    got = {
+        (r.day, r.event_type): r.approx_distinct
+        for r in store.serve_distinct().collect()
+    }
+    assert set(got) == set(exact)
+    for k, n in exact.items():
+        assert abs(got[k] - n) <= max(5 * hll_std_error() * n, 10), (k, got[k], n)
+
+    # the additive measures still serve correctly from the same store
+    assert [tuple(r) for r in store.serve().collect()] == [
+        tuple(r) for r in _full_recompute(events).collect()
+    ]
+
+    # compaction folds the sketch and preserves estimates exactly
+    store.compact()
+    assert {
+        (r.day, r.event_type): r.approx_distinct
+        for r in store.serve_distinct().collect()
+    } == got
+
+    # a store without the sketch refuses serve_distinct loudly
+    import pytest
+
+    plain = RollupStore(spark, str(tmp_path / "plain"))
+    plain.ingest(events, "all")
+    with pytest.raises(ValueError, match="no HLL sketch"):
+        plain.serve_distinct()
