@@ -52,6 +52,7 @@ class RollupStore:
 
     COMPACTED_FILE = "_compacted.json"
     COMMITTED_FILE = "_committed.json"
+    RETRACTED_FILE = "_retracted.json"
     BASE_BATCH = "base"
     # HLL sketch partials live under an underscore-prefixed subdir:
     # Spark's file index treats _-prefixed paths as hidden, so the main
@@ -132,39 +133,113 @@ class RollupStore:
         self._commit(batch)
         return True
 
+    def retract(self, events: DataFrame, batch: str, ts_col: str = "ts") -> bool:
+        """Remove a previously delivered batch's contribution from the
+        ADDITIVE measures by ingesting negated partials (late
+        corrections: a duplicated delivery, a bad upstream day). Same
+        idempotence contract as ingest — ``batch`` must be a NEW id
+        (e.g. "b7_retraction"), replays are no-ops.
+
+        What retraction can and cannot fix, by algebra:
+
+        - counts and sums are groups (every element has an inverse):
+          exactly retractable;
+        - MIN/MAX are not — a retracted row's extremum cannot be
+          un-taken without the raw data. Once any retraction exists,
+          ``serve`` excludes the extrema columns (or raises if they
+          are explicitly requested) rather than serving stale values;
+        - the HLL distinct sketch is insert-only: retraction does not
+          write sketch rows, so distinct estimates keep counting
+          retracted keys (harmless for duplicate-delivery retractions
+          — duplicates never inflated the sketch — but wrong-data
+          retractions leave ghosts until a rebuild).
+        """
+        if batch == self.BASE_BATCH or batch in self.batches():
+            return False
+        os.makedirs(self.path, exist_ok=True)
+        if self._read_json(self.COMMITTED_FILE) is None:
+            self._write_json(self.COMMITTED_FILE, self.batches())
+        neg = (
+            self._partials(events, ts_col)
+            .select(
+                "day",
+                "event_type",
+                (-F.col("n_events")).cast("long").alias("n_events"),
+                (-F.col("sum_value")).cast(STORE_DEC).alias("sum_value"),
+                F.lit(None).cast("double").alias("min_value"),
+                F.lit(None).cast("double").alias("max_value"),
+            )
+            .withColumn("batch", F.lit(batch))
+        )
+        (
+            neg.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch", "day")
+            .parquet(self.path)
+        )
+        # record the retraction BEFORE the commit: a crash in between
+        # re-runs both (the batch is not committed yet), and recording
+        # is a set union — idempotent
+        self._write_json(
+            self.RETRACTED_FILE, sorted(set(self.retractions()) | {batch})
+        )
+        self._commit(batch)
+        return True
+
+    def retractions(self) -> list[str]:
+        """Retraction batch ids ever applied (persists across
+        compaction — extrema stay unreliable until a rebuild)."""
+        return self._read_json(self.RETRACTED_FILE) or []
+
     # -- read path --------------------------------------------------------
 
     def partials(self) -> DataFrame:
         return self.spark.read.parquet(self.path)
 
-    def serve(self, days: list | None = None) -> DataFrame:
+    def serve(
+        self, days: list | None = None, include_extrema: bool | None = None
+    ) -> DataFrame:
         """Merge partials into the final (day, event_type) aggregate.
         ``days`` prunes the scan to those day partitions (the common
-        dashboard access path)."""
+        dashboard access path).
+
+        ``include_extrema``: MIN/MAX are not retractable, so once any
+        retraction batch exists their stored values may be stale. The
+        default (None) includes them only while the store has no
+        retractions; passing True with retractions present raises
+        instead of serving possibly-wrong extrema."""
+        has_retractions = bool(self.retractions())
+        if include_extrema is True and has_retractions:
+            raise ValueError(
+                f"rollup store {self.path} has retractions "
+                f"{self.retractions()}: MIN/MAX cannot be retracted and "
+                "may be stale — serve additive measures only, or "
+                "rebuild the store from raw data"
+            )
+        extrema = (
+            include_extrema if include_extrema is not None else not has_retractions
+        )
         df = self.partials()
         if days is not None:
             df = df.where(F.col("day").isin(days))
-        return (
-            df.groupBy("day", "event_type")
-            .agg(
-                F.sum("n_events").cast("long").alias("n_events"),
-                F.sum("sum_value").alias("sum_dec"),
-                F.min("min_value").alias("min_value"),
-                F.max("max_value").alias("max_value"),
-            )
-            .select(
-                "day",
-                "event_type",
-                "n_events",
-                F.col("sum_dec").cast("double").alias("sum_value"),
-                # exact-decimal sum → double, THEN an IEEE double divide:
-                # bit-identical across engines (repo-wide avg convention)
-                (F.col("sum_dec").cast("double") / F.col("n_events")).alias("avg_value"),
-                "min_value",
-                "max_value",
-            )
-            .orderBy("day", "event_type")
+        agg = df.groupBy("day", "event_type").agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("sum_value").alias("sum_dec"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
         )
+        cols = [
+            F.col("day"),
+            F.col("event_type"),
+            F.col("n_events"),
+            F.col("sum_dec").cast("double").alias("sum_value"),
+            # exact-decimal sum → double, THEN an IEEE double divide:
+            # bit-identical across engines (repo-wide avg convention)
+            (F.col("sum_dec").cast("double") / F.col("n_events")).alias("avg_value"),
+        ]
+        if extrema:
+            cols += [F.col("min_value"), F.col("max_value")]
+        return agg.select(*cols).orderBy("day", "event_type")
 
     def serve_distinct(self, days: list | None = None) -> DataFrame:
         """Approximate distinct ``distinct_col`` values per

@@ -247,3 +247,46 @@ def test_distinct_sketch_serves_alongside_measures(spark, events, tmp_path):
     plain.ingest(events, "all")
     with pytest.raises(ValueError, match="no HLL sketch"):
         plain.serve_distinct()
+
+
+def test_retraction_removes_duplicate_delivery(spark, events, tmp_path):
+    """A duplicated delivery retracted with negated partials must make
+    additive serving equal the correct-data recompute; extrema are
+    excluded (or refused) once any retraction exists; compaction and
+    replays preserve all of it."""
+    store = RollupStore(spark, str(tmp_path / "rollup"))
+    dup = events.where(F.col("event_id") < 60)  # delivered twice by mistake
+    store.ingest(events, "all")
+    store.ingest(dup, "dup_redelivery")
+
+    # extrema fine before any retraction
+    assert "min_value" in store.serve().columns
+
+    assert store.retract(dup, "dup_retraction") is True
+    assert store.retractions() == ["dup_retraction"]
+
+    served = store.serve()
+    assert "min_value" not in served.columns  # auto-excluded
+    got = [tuple(r) for r in served.collect()]
+    want = [
+        tuple(r)
+        for r in _full_recompute(events)
+        .select("day", "event_type", "n_events", "sum_value", "avg_value")
+        .collect()
+    ]
+    assert got == want
+
+    with pytest.raises(ValueError, match="retractions"):
+        store.serve(include_extrema=True)
+
+    # replaying the retraction is a no-op
+    n_before = store.partials().count()
+    assert store.retract(dup, "dup_retraction") is False
+    assert store.partials().count() == n_before
+
+    # compaction folds the negatives away and keeps the retraction
+    # record (extrema stay excluded)
+    store.compact()
+    assert store.retractions() == ["dup_retraction"]
+    assert [tuple(r) for r in store.serve().collect()] == want
+    assert "min_value" not in store.serve().columns
