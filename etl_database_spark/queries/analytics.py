@@ -505,3 +505,22 @@ def rollup_daily_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     store's max-merged HLL registers — sketch-sized serving, no event
     re-scan."""
     return _rollup_store(spark, sf_dir).serve_distinct()
+
+
+# ---------------------------------------------------------------------------
+# Relative-error quantiles over an unbounded domain (functions/
+# ddsketch.py): the log-bucket counterpart of the fixed-bound
+# histogram above. Rows-only — the bucket boundary is a float log
+# whose last-ulp liberty across engines could flip a boundary value's
+# bucket (fine for the alpha-bounded estimate, not for a value hash);
+# the alpha guarantee, exact merge, and zero/negative handling are
+# property-tested in tests/test_ddsketch.py.
+@register("event_value_quantile_dds")
+def event_value_quantile_dds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of events.value from DDSketch log buckets
+    (alpha = 1% relative error, no domain bounds needed)."""
+    from etl_database_spark.functions.ddsketch import dds_partials, dds_quantiles
+
+    ev = table(spark, sf_dir, "events")
+    sketch = dds_partials(ev, "value", alpha=0.01)
+    return dds_quantiles(sketch, [0.5, 0.9, 0.99], alpha=0.01)
