@@ -91,7 +91,11 @@ def histogram_quantiles(
     )
     first = hit.withColumn("rn", F.row_number().over(w_first)).where(F.col("rn") == 1)
     frac = (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
-    est = F.lit(lo) + (F.col("bucket") + frac) * F.lit(width)
+    # round to 6 decimals: the q*n product gives the two engines a
+    # one-ulp liberty that %.6g formatting can split across a rounding
+    # boundary (the cosine operators' round-to-4 precedent); 1e-6 is
+    # far below the sketch's own bucket-width error
+    est = F.round(F.lit(lo) + (F.col("bucket") + frac) * F.lit(width), 6)
     return first.select(
         *group_cols, "q", est.cast("double").alias("est")
     ).orderBy(*group_cols, "q")

@@ -54,21 +54,37 @@ class RollupStore:
     COMMITTED_FILE = "_committed.json"
     RETRACTED_FILE = "_retracted.json"
     BASE_BATCH = "base"
-    # HLL sketch partials live under an underscore-prefixed subdir:
-    # Spark's file index treats _-prefixed paths as hidden, so the main
-    # partials read never sees them, while reading the subdir directly
+    # Sketch partials live under underscore-prefixed subdirs: Spark's
+    # file index treats _-prefixed paths as hidden, so the main
+    # partials read never sees them, while reading a subdir directly
     # works as its own parquet root.
     HLL_SUBDIR = "_hll"
+    QHIST_SUBDIR = "_qhist"
 
-    def __init__(self, spark: SparkSession, path: str, distinct_col: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        distinct_col: str | None = None,
+        quantile_spec: tuple | None = None,
+    ):
         """``distinct_col``: optionally maintain an HLL sketch of this
         column per (day, event_type) alongside the additive measures,
         so the same store also serves approximate distinct counts
         (e.g. daily unique users) — the one aggregate COUNT/SUM
-        partials cannot express."""
+        partials cannot express.
+
+        ``quantile_spec``: optional ``(value_col, lo, hi, buckets)`` —
+        maintain fixed-bound histogram counters per (day, event_type)
+        so the store also serves quantiles (serve_quantiles). The
+        counters are additive, so unlike exact percentiles they
+        survive incremental ingest, retraction (negated counters), and
+        compaction; the bucket arithmetic is deterministic, so the
+        served quantiles stay DuckDB-oracle-checkable."""
         self.spark = spark
         self.path = path
         self.distinct_col = distinct_col
+        self.quantile_spec = quantile_spec
 
     # -- write path -------------------------------------------------------
 
@@ -128,10 +144,40 @@ class RollupStore:
                 .partitionBy("batch", "day")
                 .parquet(os.path.join(self.path, self.HLL_SUBDIR))
             )
+        self._write_qhist(events, batch, ts_col, sign=1)
         # commit LAST: a crash anywhere above leaves no manifest entry,
-        # so the retry rewrites both the measures and the sketch
+        # so the retry rewrites the measures and every sketch
         self._commit(batch)
         return True
+
+    def _write_qhist(
+        self, events: DataFrame, batch: str, ts_col: str, sign: int
+    ) -> None:
+        if self.quantile_spec is None:
+            return
+        from etl_database_spark.functions.histogram import histogram_partials
+
+        value_col, lo, hi, buckets = self.quantile_spec
+        hist = histogram_partials(
+            events.withColumn("day", F.to_date(ts_col)),
+            value_col,
+            lo,
+            hi,
+            group_cols=["day", "event_type"],
+            buckets=buckets,
+        )
+        hist = hist.select(
+            "day",
+            "event_type",
+            "bucket",
+            (F.lit(sign) * F.col("cnt")).cast("long").alias("cnt"),
+        ).withColumn("batch", F.lit(batch))
+        (
+            hist.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch", "day")
+            .parquet(os.path.join(self.path, self.QHIST_SUBDIR))
+        )
 
     def retract(self, events: DataFrame, batch: str, ts_col: str = "ts") -> bool:
         """Remove a previously delivered batch's contribution from the
@@ -177,6 +223,10 @@ class RollupStore:
             .partitionBy("batch", "day")
             .parquet(self.path)
         )
+        # histogram counters are additive → exactly retractable (unlike
+        # MIN/MAX): write the negated counters so served quantiles stay
+        # correct after the retraction
+        self._write_qhist(events, batch, ts_col, sign=-1)
         # record the retraction BEFORE the commit: a crash in between
         # re-runs both (the batch is not committed yet), and recording
         # is a set union — idempotent
@@ -262,6 +312,35 @@ class RollupStore:
         )
         return hll_estimate(merged, ["day", "event_type"])
 
+    def serve_quantiles(self, qs: list[float], days: list | None = None) -> DataFrame:
+        """Quantiles of the configured value column per
+        (day, event_type) from the stored histogram counters: SUM-merge
+        across batches (retraction negatives fold away), then the
+        standard cumulative interpolation. Counter-sized work, exactly
+        incremental, and — because the bucket arithmetic is
+        deterministic — still oracle-checkable."""
+        from etl_database_spark.functions.histogram import histogram_quantiles
+
+        if self.quantile_spec is None:
+            raise ValueError(
+                f"rollup store {self.path} has no histogram counters — "
+                "construct RollupStore(..., quantile_spec=(col, lo, hi, "
+                "buckets)) before ingesting"
+            )
+        _, lo, hi, buckets = self.quantile_spec
+        qh_path = os.path.join(self.path, self.QHIST_SUBDIR)
+        df = self.spark.read.parquet(qh_path)
+        if days is not None:
+            df = df.where(F.col("day").isin(days))
+        merged = (
+            df.groupBy("day", "event_type", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+            .where(F.col("cnt") > 0)
+        )
+        return histogram_quantiles(
+            merged, qs, lo, hi, group_cols=["day", "event_type"], buckets=buckets
+        )
+
     # -- maintenance ------------------------------------------------------
 
     def batches(self) -> list[str]:
@@ -329,6 +408,20 @@ class RollupStore:
             )
             folded_hll.write.mode("overwrite").partitionBy("batch", "day").parquet(
                 os.path.join(tmp, self.HLL_SUBDIR)
+            )
+        qh_path = os.path.join(self.path, self.QHIST_SUBDIR)
+        if os.path.isdir(qh_path):
+            # histogram counters fold by SUM; retraction negatives
+            # cancel out here, so the compacted base is all-positive
+            folded_qh = (
+                self.spark.read.parquet(qh_path)
+                .groupBy("day", "event_type", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+                .where(F.col("cnt") != 0)
+                .withColumn("batch", F.lit(self.BASE_BATCH))
+            )
+            folded_qh.write.mode("overwrite").partitionBy("batch", "day").parquet(
+                os.path.join(tmp, self.QHIST_SUBDIR)
             )
         with open(os.path.join(tmp, self.COMPACTED_FILE), "w") as fh:
             json.dump([b for b in absorbed if b != self.BASE_BATCH], fh)

@@ -270,6 +270,7 @@ def _rollup_store(spark: SparkSession, sf_dir: str):
             spark,
             tempfile.mkdtemp(prefix="spark_graft_rollup_"),
             distinct_col="user_id",
+            quantile_spec=("value", 0.0, 500.0, 256),
         )
         early = ev.where(F.dayofmonth("ts") <= 15)
         late = ev.where(F.dayofmonth("ts") > 15)
@@ -474,8 +475,8 @@ def streaming_rollup_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM qs JOIN cum ON cum >= q * n
     )
     SELECT q,
-           CAST(0.0 + (bucket + (q * n - (cum - cnt)) / cnt) * 1.953125 AS DOUBLE)
-             AS est
+           CAST(ROUND(0.0 + (bucket + (q * n - (cum - cnt)) / cnt) * 1.953125, 6)
+                AS DOUBLE) AS est
     FROM hit WHERE rn = 1
     ORDER BY q
     """,
@@ -524,3 +525,46 @@ def event_value_quantile_dds(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     sketch = dds_partials(ev, "value", alpha=0.01)
     return dds_quantiles(sketch, [0.5, 0.9, 0.99], alpha=0.01)
+
+
+# ---------------------------------------------------------------------------
+# Quantiles served FROM the incremental store's histogram counters —
+# approximate, incremental, retractable, AND oracle-checked: the
+# counter arithmetic is deterministic, so DuckDB recomputing the same
+# bucket math from raw events must hash-match the store-served result
+# (bucket width 500/256 = 1.953125, same constants as
+# event_value_quantile_histogram but per (day, event_type)).
+@register(
+    "rollup_daily_value_quantiles",
+    oracle="""
+    WITH hist AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 1.953125), 0), 255) AS INT)
+               AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2, 3
+    ),
+    cum AS (
+      SELECT day, event_type, bucket, cnt,
+             SUM(cnt) OVER (PARTITION BY day, event_type ORDER BY bucket) AS cum,
+             SUM(cnt) OVER (PARTITION BY day, event_type) AS n
+      FROM hist
+    ),
+    qs AS (SELECT UNNEST([0.5, 0.9]) AS q),
+    hit AS (
+      SELECT day, event_type, q, bucket, cnt, cum, n,
+             ROW_NUMBER() OVER (PARTITION BY day, event_type, q
+                                ORDER BY bucket) AS rn
+      FROM qs JOIN cum ON cum >= q * n
+    )
+    SELECT day, event_type, q,
+           CAST(ROUND(0.0 + (bucket + (q * n - (cum - cnt)) / cnt) * 1.953125, 6)
+                AS DOUBLE) AS est
+    FROM hit WHERE rn = 1
+    ORDER BY day, event_type, q
+    """,
+)
+def rollup_daily_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90 of events.value per (day, event_type), served from the
+    incremental store's histogram counters."""
+    return _rollup_store(spark, sf_dir).serve_quantiles([0.5, 0.9])

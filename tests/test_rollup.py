@@ -290,3 +290,54 @@ def test_retraction_removes_duplicate_delivery(spark, events, tmp_path):
     assert store.retractions() == ["dup_retraction"]
     assert [tuple(r) for r in store.serve().collect()] == want
     assert "min_value" not in store.serve().columns
+
+
+def test_quantile_counters_serve_and_survive_retraction(spark, events, tmp_path):
+    """Histogram counters in the store: incremental ingest serves the
+    same quantiles as a one-shot sketch over all events; a retraction
+    corrects them exactly (additive, unlike MIN/MAX); compaction folds
+    the negatives away."""
+    from etl_database_spark.functions.histogram import (
+        histogram_partials,
+        histogram_quantiles,
+    )
+
+    spec = ("value", 0.0, 80.0, 64)
+    store = RollupStore(spark, str(tmp_path / "rollup"), quantile_spec=spec)
+    dup = events.where(F.col("event_id") < 60)
+    store.ingest(events.where(F.col("event_id") < 150), "b1")
+    store.ingest(events.where(F.col("event_id") >= 150), "b2")
+    store.ingest(dup, "dup_redelivery")
+    store.retract(dup, "dup_retraction")
+
+    got = [tuple(r) for r in store.serve_quantiles([0.5, 0.9]).collect()]
+    direct = histogram_quantiles(
+        histogram_partials(
+            events.withColumn("day", F.to_date("ts")),
+            "value",
+            0.0,
+            80.0,
+            group_cols=["day", "event_type"],
+            buckets=64,
+        ),
+        [0.5, 0.9],
+        0.0,
+        80.0,
+        group_cols=["day", "event_type"],
+        buckets=64,
+    )
+    want = [tuple(r) for r in direct.collect()]
+    assert got == want
+
+    store.compact()
+    assert [tuple(r) for r in store.serve_quantiles([0.5, 0.9]).collect()] == want
+    # compacted counters are all-positive (negatives cancelled)
+    import os
+
+    qh = spark.read.parquet(os.path.join(store.path, RollupStore.QHIST_SUBDIR))
+    assert qh.where(F.col("cnt") <= 0).count() == 0
+
+    plain = RollupStore(spark, str(tmp_path / "plain"))
+    plain.ingest(events, "all")
+    with pytest.raises(ValueError, match="no histogram counters"):
+        plain.serve_quantiles([0.5])
