@@ -39,8 +39,13 @@ def histogram_partials(
     width = (hi - lo) / buckets
     raw = F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width))
     b = F.least(F.greatest(raw, F.lit(0)), F.lit(buckets - 1)).cast("int")
+    # NULL values are skipped, matching ddsketch.dds_partials and SQL
+    # aggregate semantics. Without this, greatest(NULL, 0)=0 clamps a
+    # NULL row into bucket 0 (F.greatest ignores NULLs), silently
+    # counting it and skewing every served quantile low.
     return (
-        df.select(*group_cols, b.alias("bucket"))
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, b.alias("bucket"))
         .groupBy(*group_cols, "bucket")
         .agg(F.count("*").alias("cnt"))
     )

@@ -561,6 +561,21 @@ class IvfIndex:
         partial batch that the retry fully replaces."""
         if batch == self.BASE_BATCH or batch in self.batches():
             return False
+        # Pre-manifest store (no _committed.json): seed the manifest
+        # from the directory listing BEFORE writing, mirroring
+        # RollupStore.ingest. Otherwise _commit would union against an
+        # empty list, dropping the base batch and legacy batch dirs
+        # from the committed set — and a later compact() would omit
+        # them from absorbed-ids, so a late replay re-ingests them on
+        # top of the compacted base (duplicate vectors).
+        if self._read_json(self.COMMITTED_FILE) is None:
+            import json
+            import os
+
+            tmp = os.path.join(self.path, f".{self.COMMITTED_FILE}.tmp")
+            with open(tmp, "w") as fh:
+                json.dump(self.batches(), fh)
+            os.replace(tmp, os.path.join(self.path, self.COMMITTED_FILE))
         lists = ivf_assign(df, self.centroids, id_col, vec_col).withColumn(
             "batch", F.lit(batch)
         )
@@ -600,9 +615,18 @@ class IvfIndex:
             self.lists()
             .select("_id", "v", "centroid")
             .withColumn("batch", F.lit(self.BASE_BATCH))
-            # one shuffle keyed by list; files_per_list output files per
-            # centroid directory (repartition before partitionBy write)
-            .repartition(files_per_list, "centroid")
+            # one shuffle keyed by (list, salt): hashing on centroid
+            # alone would land every inverted list in ONE partition —
+            # one file per list no matter what files_per_list says. The
+            # salt splits each list across up to files_per_list
+            # partitions, so each centroid directory gets up to that
+            # many files (the partitionBy write splits directories).
+            # explicit partition count: without it AQE coalesces the
+            # small shuffle back into one partition and the salt split
+            # silently collapses to one file per list again
+            .withColumn("_salt", F.pmod(F.xxhash64("_id"), F.lit(files_per_list)))
+            .repartition(len(self.centroids) * files_per_list, "centroid", "_salt")
+            .drop("_salt")
         )
         consolidated.write.mode("overwrite").partitionBy("batch", "centroid").parquet(tmp)
         with open(os.path.join(tmp, self.CENTROIDS_FILE), "w") as fh:

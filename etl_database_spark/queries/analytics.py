@@ -278,8 +278,16 @@ def _rollup_store(spark: SparkSession, sf_dir: str):
         store.compact()
         store.ingest(late, batch="second_half")
         # replay of a compacted batch must stay a no-op (exercised in
-        # the serving path on purpose: correctness depends on it)
-        assert store.ingest(early, batch="first_half") is False
+        # the serving path on purpose: correctness depends on it).
+        # Explicit raise, not assert — asserts vanish under python -O.
+        if store.ingest(early, batch="first_half") is not False:
+            raise RuntimeError(
+                "rollup store re-ingested an already-compacted batch; "
+                "served aggregates would double-count first_half"
+            )
+        import atexit
+
+        atexit.register(shutil.rmtree, store.path, ignore_errors=True)
         _ROLLUP_CACHE[key] = store
     return _ROLLUP_CACHE[key]
 
@@ -460,7 +468,7 @@ def streaming_rollup_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 1.953125), 0), 255) AS INT)
                AS bucket,
              CAST(COUNT(*) AS BIGINT) AS cnt
-      FROM events GROUP BY 1
+      FROM events WHERE value IS NOT NULL GROUP BY 1
     ),
     cum AS (
       SELECT bucket, cnt,
@@ -542,7 +550,7 @@ def event_value_quantile_dds(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 1.953125), 0), 255) AS INT)
                AS bucket,
              CAST(COUNT(*) AS BIGINT) AS cnt
-      FROM events GROUP BY 1, 2, 3
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3
     ),
     cum AS (
       SELECT day, event_type, bucket, cnt,

@@ -64,6 +64,26 @@ def test_out_of_range_clamps_into_edge_buckets(spark):
     assert sum(rows.values()) == 3  # nothing dropped
 
 
+def test_nulls_are_skipped_like_sql_aggregates(spark):
+    """A NULL value must not land in any bucket (the ddsketch /
+    SQL-aggregate contract): without the explicit filter,
+    greatest(NULL, 0)=0 silently counts NULLs into bucket 0 and skews
+    every served quantile low."""
+    vals = [float(i) for i in range(1, 101)]  # 1..100
+    rows = [(v,) for v in vals] + [(None,)] * 50
+    df = spark.createDataFrame(rows, "v double")
+    sketch = histogram_partials(df, "v", LO, HI, buckets=BUCKETS)
+    counted = sum(r.cnt for r in sketch.collect())
+    assert counted == len(vals)  # the 50 NULLs are excluded from n
+    assert all(r.bucket is not None for r in sketch.collect())
+    got = {
+        r.q: r.est
+        for r in histogram_quantiles(sketch, [0.5], LO, HI, buckets=BUCKETS).collect()
+    }
+    # median of 1..100, not of (50 zeros + 1..100)
+    assert abs(got[0.5] - _exact_quantile(vals, 0.5)) <= 2 * WIDTH
+
+
 def test_grouped_quantiles(spark):
     rows = [("a", float(i)) for i in range(1000)] + [
         ("b", float(i * 2)) for i in range(500)

@@ -87,3 +87,22 @@ def test_zorder_prunes_on_both_dimensions(spark, points, tmp_path):
         spark.read.parquet(plain).where(F.col("y").between(4000, 4600)).count()
     )
     assert n_match_z == n_match_plain
+
+
+def test_with_zorder_nulls_code_as_zero(spark):
+    """A NULL in a z-order column must not cluster with max-valued
+    rows: floor(NULL) is NULL and F.least ignores NULLs, so without
+    explicit handling a NULL row silently took the TOP bucket. NULLs
+    code as 0 (cluster with the minimum) and the code stays non-null."""
+    from etl_database_spark.operators.layout import with_zorder
+
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (100.0, 100.0), (None, 0.0), (0.0, None)],
+        "x double, y double",
+    )
+    z = {(r.x, r.y): r._z for r in with_zorder(df, ["x", "y"], bits=4).collect()}
+    assert z[(0.0, 0.0)] == 0
+    assert z[(None, 0.0)] == z[(0.0, 0.0)]  # NULL x → bucket 0, same as min
+    assert z[(0.0, None)] == z[(0.0, 0.0)]
+    assert z[(100.0, 100.0)] == max(z.values())  # max row alone at top
+    assert all(v is not None for v in z.values())

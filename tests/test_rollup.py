@@ -341,3 +341,38 @@ def test_quantile_counters_serve_and_survive_retraction(spark, events, tmp_path)
     plain.ingest(events, "all")
     with pytest.raises(ValueError, match="no histogram counters"):
         plain.serve_quantiles([0.5])
+
+
+def test_quantile_counters_ignore_null_values(spark, events, tmp_path):
+    """A null-valued event must not corrupt the served quantiles for
+    its (day, type): histogram_partials skips NULLs (the ddsketch /
+    SQL-aggregate contract), so a store fed a null-bearing batch serves
+    the same quantiles as one fed only the non-null rows."""
+    nulls = spark.createDataFrame(
+        [
+            (9001, dt.datetime(2024, 3, 1, 13, 0, 0), 1, "click", None),
+            (9002, dt.datetime(2024, 3, 2, 13, 0, 0), 2, "purchase", None),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    spec = ("value", 0.0, 80.0, 64)
+    store = RollupStore(spark, str(tmp_path / "with_nulls"), quantile_spec=spec)
+    store.ingest(events.unionByName(nulls), "all")
+    clean = RollupStore(spark, str(tmp_path / "clean"), quantile_spec=spec)
+    clean.ingest(events, "all")
+
+    got = [tuple(r) for r in store.serve_quantiles([0.1, 0.5, 0.9]).collect()]
+    want = [tuple(r) for r in clean.serve_quantiles([0.1, 0.5, 0.9]).collect()]
+    assert got == want
+    # and no quantile estimate is null (the pre-fix failure mode: a
+    # bucket=null counter row sorted first and could serve a null est)
+    assert all(row[-1] is not None for row in got)
+    # the additive measures keep SQL semantics: COUNT(*) includes the
+    # null-valued rows, SUM ignores them
+    n = {
+        (r.day, r.event_type): r.n_events for r in store.serve().collect()
+    }
+    n_clean = {
+        (r.day, r.event_type): r.n_events for r in clean.serve().collect()
+    }
+    assert n[(dt.date(2024, 3, 1), "click")] == n_clean[(dt.date(2024, 3, 1), "click")] + 1
