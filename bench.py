@@ -59,6 +59,13 @@ def main() -> None:
     from etl_database_spark.queries import load_all
     from etl_database_spark.session import get_spark
 
+    # Round-4 postmortem: Spark's console progress bars flooded the
+    # captured stdout and the driver's tail truncated the headline JSON
+    # out of the recorded artifact. The bar writes to stderr but the
+    # capture interleaves streams, so turn it off for the bench session
+    # — it must be set before the JVM starts (builder conf, not
+    # spark.conf.set).
+    os.environ.setdefault("SPARK_GRAFT_NO_PROGRESS", "1")
     spark = get_spark("bench")
     registry = load_all()
 
@@ -151,20 +158,30 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_p50": p50,
-                "queries_p95": p95,
-                "setup": setup,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_query_wall_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "queries_p50": p50,
+            "queries_p95": p95,
+            "setup": setup,
+            "sf": sf,
+        }
     )
+    # Belt and braces against output truncation (round 4 lost the
+    # headline value to interleaved progress bars): the JSON line also
+    # lands in a file next to this script.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+            "w",
+        ) as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass
+    print(line)
 
 
 if __name__ == "__main__":

@@ -950,15 +950,20 @@ def semantic_dedup(
     assigned = semantic_assign(df, centroids, id_col, vec_col).cache()
     assigned.count()
     pairs = semantic_pairs(assigned, assigned, threshold, round_digits)
-    w = W.partitionBy("cluster_id", "id_b").orderBy(F.asc("id_a"))
+    # "lowest-id partner" as a lexicographic struct-min AGGREGATE, not
+    # a row_number window: the hash agg partial-combines map-side (the
+    # shuffle carries one row per pruned id, not every qualifying
+    # pair) and needs no sort. id_a is unique within a (cluster, id_b)
+    # pair group, so min(struct(id_a, cos_sim)) is deterministic and
+    # identical to the ORDER BY id_a window the oracle expresses.
     pruned = (
-        pairs.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
+        pairs.groupBy("cluster_id", F.col("id_b").alias("pruned_id"))
+        .agg(F.min(F.struct("id_a", "cos_sim")).alias("_keep"))
         .select(
             "cluster_id",
-            F.col("id_b").alias("pruned_id"),
-            F.col("id_a").alias("kept_id"),
-            "cos_sim",
+            "pruned_id",
+            F.col("_keep.id_a").alias("kept_id"),
+            F.col("_keep.cos_sim").alias("cos_sim"),
         )
         .orderBy("cluster_id", "pruned_id")
     )

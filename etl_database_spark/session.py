@@ -49,6 +49,10 @@ def get_spark(app_name: str = "etl_database_spark", cpus: int | None = None) -> 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
+    if os.environ.get("SPARK_GRAFT_NO_PROGRESS"):
+        # bench.py sets this: progress bars flood captured output and
+        # can truncate the one JSON line the round is judged on
+        builder = builder.config("spark.ui.showConsoleProgress", "false")
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
         builder = builder.master(f"local[{cpus}]").config("spark.driver.memory", "48g")
     spark = builder.getOrCreate()
