@@ -96,7 +96,11 @@ def load_all() -> dict[str, RegisteredQuery]:
     def rank(item: tuple[str, RegisteredQuery]) -> tuple[int, int]:
         name, rq = item
         module = rq.fn.__module__
-        if module.endswith("event_changes"):
+        if name in WINDOW_PROMOTED:
+            tier = 1  # sketch-serving queries pulled into the window
+        elif name in WINDOW_DEMOTED:
+            tier = 3 if rq.oracle is None else 2
+        elif module.endswith("event_changes"):
             tier = 0
         elif module.endswith("relational"):
             tier = 1
@@ -107,3 +111,25 @@ def load_all() -> dict[str, RegisteredQuery]:
         return (tier, registration_order.index(name))
 
     return dict(sorted(REGISTRY.items(), key=rank))
+
+
+# The driver's correctness harness hard-caps at the first
+# DRIVER_WINDOW queries: every one of those slots should carry a
+# DuckDB oracle (hash-checkable), so the two engine-native sketch
+# queries (rows-only by nature — xxhash64 has no DuckDB twin) and one
+# redundant profile variant (orders_profile covers the same aggregate
+# surface) yield their slots to the incremental-analytics layer's
+# oracle-backed serving queries. Demoted queries stay fully registered
+# and verified by pytest (tests/test_properties.py,
+# tests/test_oracle_equivalence.py).
+DRIVER_WINDOW = 50
+WINDOW_PROMOTED = (
+    "rollup_daily_event_stats",  # incremental store == full recompute
+    "rollup_daily_value_quantiles",  # store-served histogram quantiles
+    "event_value_quantile_histogram",  # mergeable-sketch quantile math
+)
+WINDOW_DEMOTED = (
+    "approx_distinct_parts",
+    "approx_price_percentiles",
+    "price_quantity_stats",
+)

@@ -71,6 +71,40 @@ def test_uncapped_query_set_is_what_we_expect():
             assert probe in names
 
 
+def test_driver_window_holds_every_core_query_and_only_oracle_backed():
+    """Permanent guard on the 50-query driver window: every SURVEY §2
+    core query (event_changes + relational, minus the explicitly
+    demoted variants) must rank inside the window, and every window
+    slot must carry a DuckDB oracle — reordering a core query past the
+    cap, or letting a rows-only query drift into the window, turns
+    pytest red before the driver ever sees it."""
+    from etl_database_spark.queries import (
+        DRIVER_WINDOW,
+        WINDOW_DEMOTED,
+        WINDOW_PROMOTED,
+        load_all,
+    )
+
+    registry = load_all()
+    names = list(registry)
+    window = names[:DRIVER_WINDOW]
+    core = [
+        n
+        for n, rq in registry.items()
+        if rq.fn.__module__.endswith(("event_changes", "relational"))
+        and n not in WINDOW_DEMOTED
+    ]
+    out_of_window = [n for n in core if names.index(n) >= DRIVER_WINDOW]
+    assert not out_of_window, f"core queries past the driver cap: {out_of_window}"
+    rows_only = [n for n in window if registry[n].oracle is None]
+    assert not rows_only, f"window slots without an oracle: {rows_only}"
+    missing_promoted = [n for n in WINDOW_PROMOTED if n not in window]
+    assert not missing_promoted, f"promoted queries fell out: {missing_promoted}"
+    # demoted queries stay registered (covered by pytest, just not by
+    # the driver's capped gate)
+    assert all(n in registry for n in WINDOW_DEMOTED)
+
+
 @pytest.mark.parametrize("name,rq", _QUERIES, ids=[n for n, _ in _QUERIES])
 def test_oracle_equivalence(spark, duck, name, rq):
     sdf = rq.fn(spark, SF_DIR).toPandas()
