@@ -46,6 +46,7 @@ HEADLINE = [
     "semdedup_prune",
     "event_funnel_counts",
     "rollup_daily_event_stats",
+    "partitioned_day_slice_stats",
 ]
 
 
@@ -121,6 +122,17 @@ def main() -> None:
     except Exception as e:
         setup["rollup_store_error"] = str(e)[:200]
         print(f"# WARNING: rollup-store setup failed: {e}", file=sys.stderr)
+    try:
+        # Day-partitioned events layout: the ingest-time write whose
+        # partition-pruned scans the headline query serves from.
+        from etl_database_spark.queries.analytics import _partitioned_events
+
+        t0 = time.time()
+        _partitioned_events(spark, sf_dir)
+        setup["partitioned_events_layout"] = round(time.time() - t0, 3)
+    except Exception as e:
+        setup["partitioned_events_layout_error"] = str(e)[:200]
+        print(f"# WARNING: partitioned-layout setup failed: {e}", file=sys.stderr)
 
     def pctl(xs: list[float], q: float) -> float:
         xs = sorted(xs)
