@@ -25,7 +25,12 @@ Design (the 100 TB pattern):
   video) raise NotImplementedError at the marked slot until an
   imaging/audio library is present. ``fake=True``
   selects the deterministic digest-based decoder for pipeline tests
-  that don't care about payload contents.
+  that don't care about payload contents;
+- METADATA for MP4 and MP3 needs no codec at all:
+  functions/mediameta.py walks ISO-BMFF boxes / MPEG audio frame
+  headers with the stdlib, so duration/dimensions/codec/sample-rate
+  land as typed columns (``probe_media``) even for containers whose
+  sample decode stays a library slot.
 """
 
 from __future__ import annotations
