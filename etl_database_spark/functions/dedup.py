@@ -23,6 +23,7 @@ results are deterministic across runs and cluster sizes.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 # Mersenne prime 2^61-1: universal-hash modulus, exact in Long range.
@@ -336,18 +337,30 @@ def ngram_jaccard_pairs(
     n: int = 5,
     threshold: float = 0.5,
     max_df: int | None = None,
+    prefix_filter: bool = True,
 ) -> DataFrame:
-    """Exact all-candidate n-gram Jaccard: inverted-index join on
-    distinct shingles finds every pair sharing ≥1 shingle, then the
-    array-based exact verify scores them.
+    """Exact n-gram Jaccard pairs: prefix-filtered inverted-index join
+    for candidates, then the array-based exact verify.
 
-    Quadratic in posting-list sizes — use minhash_near_duplicates at
-    scale; this is the verification-grade operator. ``max_df`` drops
-    shingles occurring in more than that many documents from *candidate
-    generation only* (verification stays exact): ultra-common shingles
-    are non-discriminative and dominate the join cost; a pair sharing
-    only >max_df shingles cannot reach a high Jaccard against any
-    reasonably-sized shingle set anyway."""
+    Prefix filtering (Bayardo et al., WWW'07 "Scaling Up All Pairs
+    Similarity Search"; Chaudhuri et al., SSJoin): order the shingle
+    universe globally by (document frequency asc, shingle asc); a pair
+    with Jaccard ≥ t must have |A∩B| ≥ t·max(|A|,|B|), so by
+    pigeonhole the globally-smallest shared shingle sits inside BOTH
+    documents' prefixes of length |s| − ⌈t·|s|⌉ + 1. Joining only on
+    prefix shingles is therefore EXACT (zero recall loss) while the
+    candidate join touches only each document's rarest shingles —
+    the posting lists that are short by construction. A size filter
+    (t·|A| ≤ |B| ≤ |A|/t, also implied by the threshold) prunes the
+    remainder. Verification is unchanged.
+
+    Still the verification-grade operator — minhash_near_duplicates
+    is the sub-linear scale path — but with the prefix+size filters
+    the candidate stage no longer degenerates to all-pairs on
+    boilerplate-heavy corpora. ``max_df`` additionally drops shingles
+    above the given document frequency from candidate generation
+    (lossy for pairs sharing only ultra-common shingles; off by
+    default)."""
     sh = shingles(df, text_col, id_col, n).cache()
     inv = sh.distinct()
     if max_df is not None:
@@ -358,17 +371,33 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         inv = inv.join(rare, "shingle", "left_semi")
-    sa = inv.select(F.col("_id").alias("id_a"), "shingle")
-    sb = inv.select(F.col("_id").alias("id_b"), "shingle")
+    if prefix_filter:
+        dfreq = inv.groupBy("shingle").agg(F.count("*").alias("_df"))
+        sizes = inv.groupBy("_id").agg(F.count("*").alias("_sz"))
+        ranked = inv.join(dfreq, "shingle").join(sizes, "_id")
+        w = W.partitionBy("_id").orderBy("_df", "shingle")
+        # prefix length |s| - ceil(t*|s|) + 1 (window is doc-sized)
+        plen = F.col("_sz") - F.ceil(F.lit(float(threshold)) * F.col("_sz")) + 1
+        inv = (
+            ranked.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= plen)
+            .select("_id", "shingle", "_sz")
+        )
+        sa = inv.select(F.col("_id").alias("id_a"), "shingle", F.col("_sz").alias("_sza"))
+        sb = inv.select(F.col("_id").alias("id_b"), "shingle", F.col("_sz").alias("_szb"))
+        size_ok = (F.col("_szb") * F.lit(float(threshold)) <= F.col("_sza")) & (
+            F.col("_sza") * F.lit(float(threshold)) <= F.col("_szb")
+        )
+        joined = sa.join(sb, "shingle").where(
+            (F.col("id_a") < F.col("id_b")) & size_ok
+        )
+    else:
+        sa = inv.select(F.col("_id").alias("id_a"), "shingle")
+        sb = inv.select(F.col("_id").alias("id_b"), "shingle")
+        joined = sa.join(sb, "shingle").where(F.col("id_a") < F.col("id_b"))
     # Materialize candidates once: the verify fans them into several
     # plan branches, and the inverted-index join is the expensive part.
-    cand = (
-        sa.join(sb, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-        .cache()
-    )
+    cand = joined.select("id_a", "id_b").distinct().cache()
     n_cand = cand.count()
     return jaccard_verify(cand, sh, threshold, n_pairs=n_cand, release=[sh, cand])
 
