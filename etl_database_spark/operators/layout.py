@@ -65,21 +65,22 @@ def with_zorder(
     for c in cols:
         lo, hi = F.col(f"_min_{c}"), F.col(f"_max_{c}")
         span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
-        # NULLs code as 0 explicitly: floor(NULL) is NULL and F.least
-        # IGNORES NULLs, so without the coalesce a NULL row would
-        # silently take the TOP bucket and cluster with max-valued rows
-        # — giving the files that hold it pessimal min/max stats.
-        # Coding 0 clusters NULLs with the minimum instead (one edge
-        # file's stats widen; every other file stays prunable).
+        # NULLs code as 0 explicitly, and the coalesce must sit INSIDE
+        # the least: floor(NULL) is NULL and F.least IGNORES NULLs, so
+        # least(NULL, top) returns top — a NULL row would silently take
+        # the TOP bucket and cluster with max-valued rows, giving the
+        # files that hold it pessimal min/max stats. Coding 0 clusters
+        # NULLs with the minimum instead (one edge file's stats widen;
+        # every other file stays prunable).
         scaled.append(
-            F.coalesce(
-                F.least(
+            F.least(
+                F.coalesce(
                     F.floor(
                         (F.col(c).cast("double") - lo) / span * (top + 1)
                     ).cast("long"),
-                    F.lit(top).cast("long"),
+                    F.lit(0).cast("long"),
                 ),
-                F.lit(0).cast("long"),
+                F.lit(top).cast("long"),
             )
         )
     return with_bounds.withColumn(out_col, morton_interleave(scaled, bits)).drop(

@@ -117,18 +117,22 @@ def test_survey_core_queries_inside_driver_window():
     one oracle-backed extension query following."""
     from etl_database_spark.queries import load_all
 
+    from etl_database_spark.queries import DRIVER_WINDOW, WINDOW_DEMOTED
+
     reg = load_all()
     names = list(reg)
-    window = set(names[:50])
+    window = set(names[:DRIVER_WINDOW])
     core = [
         n
         for n, rq in reg.items()
         if rq.fn.__module__.endswith(("event_changes", "relational"))
+        and n not in WINDOW_DEMOTED
     ]
     missing = [n for n in core if n not in window]
     assert not missing, f"SURVEY-core queries outside the 50-query window: {missing}"
     # rows-only (no-oracle) queries must sort after every oracle-backed one
-    tiers = [0 if reg[n].oracle is not None or n in core else 1 for n in names]
+    # (the explicitly demoted engine-sketch queries included)
+    tiers = [0 if reg[n].oracle is not None else 1 for n in names]
     assert tiers == sorted(tiers), "rows-only queries must register last"
 
 
