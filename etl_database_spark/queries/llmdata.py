@@ -1947,3 +1947,124 @@ def vocab_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token")
     )
     return cms_point_estimate(sketch, top, "token").orderBy("token")
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-substring detection (functions/spans.py) — the
+# distributed form of Lee et al. 2021 suffix-array substring dedup:
+# rolling W-token window hashes, one count shuffle, gaps-and-islands
+# span merge. Both queries replay bit-for-bit in DuckDB (md5 window
+# hashes, portable window functions, portable list lambdas), so the
+# whole pipeline — including the token-level cut — is hash-verified
+# cross-engine.
+_SPAN_W = 15
+
+_SPAN_WINS_CTES = f"""
+    toks AS (
+      SELECT doc_id,
+             string_split({_NORM_SQL}, ' ') AS t
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(t[i+1:i+{_SPAN_W}], ' ')) AS h
+      FROM toks, unnest(range(0, greatest(len(t)-{_SPAN_W - 1}, 0))) AS u(i)
+    )
+    """
+
+_SPAN_ISLANDS = f"""
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(MAX(pos + {_SPAN_W}) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS ni
+      FROM dw
+    ),
+    isl2 AS (
+      SELECT doc_id, pos,
+             SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, island,
+             CAST(MIN(pos) AS BIGINT) AS s,
+             CAST(MAX(pos) + {_SPAN_W} AS BIGINT) AS e
+      FROM isl2 GROUP BY doc_id, island
+    )
+    """
+
+_SPAN_STATS_ORACLE = f"""
+    WITH {_SPAN_WINS_CTES},
+    duph AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) > 1),
+    dw AS (SELECT w.doc_id, w.pos FROM wins w JOIN duph USING (h)),
+    {_SPAN_ISLANDS},
+    per_doc AS (
+      SELECT doc_id,
+             CAST(SUM(e - s) AS BIGINT) AS dup_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_spans
+      FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           COALESCE(p.dup_tokens, 0) AS dup_tokens,
+           COALESCE(p.n_spans, 0) AS n_spans
+    FROM toks t LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY doc_id
+    """
+
+
+@register("duplicate_span_stats", oracle=_SPAN_STATS_ORACLE)
+def duplicate_span_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-substring profile at >= {w}-token
+    granularity (Lee et al. 2021 shape): exact BIGINT token coverage
+    of maximal duplicated runs, full-corpus scorecard."""
+    from etl_database_spark.functions import spans as SP
+
+    d = table(spark, sf_dir, "documents")
+    return SP.duplicate_span_stats(d, "text", "doc_id", _SPAN_W).orderBy("doc_id")
+
+
+_SPAN_CUT_ORACLE = f"""
+    WITH {_SPAN_WINS_CTES},
+    dw AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        FROM wins
+      ) WHERE rn > 1
+    ),
+    {_SPAN_ISLANDS},
+    sp_per_doc AS (
+      SELECT doc_id, list({{'s': s, 'e': e}}) AS sp
+      FROM spans GROUP BY doc_id
+    ),
+    cutdoc AS (
+      SELECT t.doc_id, t.t,
+             list_transform(
+               list_filter(range(0, len(t.t)),
+                 i -> len(list_filter(
+                        COALESCE(s.sp, CAST([] AS STRUCT(s BIGINT, e BIGINT)[])),
+                        x -> i >= x['s'] AND i < x['e'])) = 0),
+               i -> t.t[i+1]) AS kept
+      FROM toks t LEFT JOIN sp_per_doc s USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(t) - len(kept) AS BIGINT) AS cut_tokens,
+           array_to_string(kept, ' ') AS new_text
+    FROM cutdoc
+    ORDER BY doc_id
+    """
+
+
+@register("substring_dedup_cut", oracle=_SPAN_CUT_ORACLE)
+def substring_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee-et-al substring cut: every duplicated >= {w}-token run loses
+    all occurrences after its first; documents are rebuilt from the
+    surviving tokens. The DuckDB oracle replays the cut itself, so a
+    green hash proves the rebuilt corpus text matches cross-engine."""
+    from etl_database_spark.functions import spans as SP
+
+    d = table(spark, sf_dir, "documents")
+    return SP.cut_duplicate_spans(d, "text", "doc_id", _SPAN_W).orderBy("doc_id")
