@@ -2068,3 +2068,80 @@ def substring_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return SP.cut_duplicate_spans(d, "text", "doc_id", _SPAN_W).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter seen-set membership (functions/bloom.py): the filter is
+# rows, the merge is bit_or, and the DuckDB oracle replays the exact
+# md5-chunk position arithmetic — so the green hash proves the packed
+# bit-array itself matches cross-engine. The filter is deliberately
+# small (2^12 bits) so the query also demonstrates the contract
+# honestly: bloom_hit >= exact_member on every row (no false
+# negatives), with a visible, bounded false-positive rate.
+_BLOOM_M = 1 << 12
+_BLOOM_SRCS = ", ".join(f"'src{i}'" for i in range(10))
+
+
+def _bloom_chunks_sql(col: str) -> str:
+    return ", ".join(
+        f"(('0x' || substr(md5({col}), {1 + 8 * j}, 8))::BIGINT % {_BLOOM_M})"
+        for j in range(4)
+    )
+
+
+_BLOOM_ORACLE = f"""
+    WITH keys AS (
+      SELECT md5({_NORM_SQL}) AS fp FROM documents WHERE source IN ({_BLOOM_SRCS})
+    ),
+    pos AS (SELECT unnest([{_bloom_chunks_sql('fp')}]) AS p FROM keys),
+    words AS (
+      SELECT p // 32 AS word,
+             bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+      FROM pos GROUP BY 1
+    ),
+    probes AS (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents),
+    ppos AS (
+      SELECT doc_id, fp, unnest([{_bloom_chunks_sql('fp')}]) AS p FROM probes
+    ),
+    hits AS (
+      SELECT doc_id, fp,
+             MIN(CASE WHEN w.word IS NOT NULL
+                       AND ((w.bits >> CAST(p % 32 AS INT)) & 1) = 1
+                      THEN 1 ELSE 0 END) AS bloom_hit
+      FROM ppos LEFT JOIN words w ON w.word = p // 32
+      GROUP BY doc_id, fp
+    )
+    SELECT doc_id,
+           CAST(bloom_hit AS BIGINT) AS bloom_hit,
+           CAST(CASE WHEN fp IN (SELECT fp FROM keys) THEN 1 ELSE 0 END
+                AS BIGINT) AS exact_member
+    FROM hits
+    ORDER BY doc_id
+    """
+
+
+@register("bloom_seen_fingerprints", oracle=_BLOOM_ORACLE)
+def bloom_seen_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership of every document's fingerprint against a Bloom
+    filter built from the first ten sources' corpus — the mergeable
+    seen-set primitive for incremental cross-batch dedup."""
+    from etl_database_spark.functions import bloom as B
+
+    d = table(spark, sf_dir, "documents")
+    fp = T.fingerprint_md5(F.col("text"))
+    seen = d.where(F.col("source").isin([f"src{i}" for i in range(10)])).select(
+        fp.alias("fp")
+    )
+    filt = B.bloom_partials(seen, "fp", _BLOOM_M)
+    probes = d.select("doc_id", fp.alias("fp"))
+    hits = B.bloom_might_contain(filt, probes, "fp", ["doc_id", "fp"], _BLOOM_M)
+    exact = seen.distinct().withColumn("em", F.lit(1))
+    return (
+        hits.join(exact, "fp", "left")
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.coalesce(F.col("em"), F.lit(0)).cast("long").alias("exact_member"),
+        )
+        .orderBy("doc_id")
+    )
