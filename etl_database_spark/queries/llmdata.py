@@ -2145,3 +2145,98 @@ def bloom_seen_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# PIVOT: wide-form daily activity matrix — event types to columns in
+# one pass. The Spark side pins the pivot value list explicitly (no
+# discovery job, and the 100 TB plan is a single hash aggregate whose
+# width is schema-known); the oracle expresses the same with FILTERed
+# aggregates. Sums use the decimal pattern; absent cells coalesce to 0
+# so the output is null-free.
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_PIVOT_ORACLE = f"""
+    SELECT CAST(ts AS DATE) AS day,
+           {", ".join(
+               f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS {t}_n, "
+               f"CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = '{t}'), 0) AS DOUBLE) AS {t}_sum"
+               for t in _EVENT_TYPES
+           )}
+    FROM events
+    GROUP BY day
+    ORDER BY day
+    """
+
+
+@register("daily_event_type_pivot", oracle=_PIVOT_ORACLE)
+def daily_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day x event-type pivot (count + deterministic decimal sum per
+    type) with an explicit pivot value list — one scan, one shuffle."""
+    e = table(spark, sf_dir, "events")
+    piv = (
+        e.withColumn("day", F.col("ts").cast("date"))
+        .groupBy("day")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum"),
+        )
+    )
+    cols = [F.col("day")]
+    for t in _EVENT_TYPES:
+        cols.append(F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("long").alias(f"{t}_n"))
+        cols.append(
+            F.coalesce(F.col(f"{t}_sum"), F.lit(0.0)).cast("double").alias(f"{t}_sum")
+        )
+    return piv.select(*cols).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT (melt): the wide daily matrix back to long form via stack()
+# — the multi-measure unpivot idiom (Spark's unpivot() allows one
+# value column; stack carries the (count, sum) measure pair). The
+# oracle rebuilds the same long form with a days x types frame so
+# zero-activity cells survive with explicit zeros, proving
+# unpivot(pivot(x)) == the dense long-form aggregate.
+_UNPIVOT_ORACLE = f"""
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    agg AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS s
+      FROM events GROUP BY 1, 2
+    ),
+    types AS (SELECT unnest([{", ".join("'" + t + "'" for t in _EVENT_TYPES)}]) AS event_type)
+    SELECT d.day, t.event_type,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events,
+           CAST(COALESCE(a.s, 0) AS DOUBLE) AS sum_value
+    FROM days d CROSS JOIN types t
+    LEFT JOIN agg a ON a.day = d.day AND a.event_type = t.event_type
+    ORDER BY d.day, t.event_type
+    """
+
+
+@register("daily_event_type_unpivot", oracle=_UNPIVOT_ORACLE)
+def daily_event_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt the pivoted day x type matrix back to dense long form:
+    (day, event_type, n_events, sum_value) including explicit zeros."""
+    wide = daily_event_type_pivot(spark, sf_dir)
+    stack_args = ", ".join(
+        f"'{t}', {t}_n, {t}_sum" for t in _EVENT_TYPES
+    )
+    return (
+        wide.select(
+            "day",
+            F.expr(
+                f"stack({len(_EVENT_TYPES)}, {stack_args}) AS (event_type, n_events, sum_value)"
+            ),
+        )
+        .select(
+            "day",
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("sum_value").cast("double").alias("sum_value"),
+        )
+        .orderBy("day", "event_type")
+    )

@@ -1764,3 +1764,86 @@ def approx_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-level aggregation: ROLLUP and CUBE (grouping sets). The
+# reference reports stack per-group and grand-total queries as separate
+# passes (systemscripts report SQL); grouping sets compute every level
+# in ONE scan — at 100 TB this is the difference between k passes over
+# the fact table and one. Grouped-out keys are coalesced to 'ALL' so
+# the output stays null-free (cross-engine null rendering, ROADMAP),
+# and the grouping bitmask is carried explicitly (Spark grouping_id ==
+# DuckDB GROUPING, both MSB-first in column order — verified 0/1/3 on
+# ROLLUP, 0..3 on CUBE).
+_ROLLUP_ORACLE = """
+    SELECT COALESCE(r_name, 'ALL') AS region,
+           COALESCE(n_name, 'ALL') AS nation,
+           CAST(GROUPING(r_name, n_name) AS BIGINT) AS lvl,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY lvl, region, nation
+    """
+
+
+@register("revenue_rollup_region_nation", oracle=_ROLLUP_ORACLE)
+def revenue_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order revenue at nation, region, and grand-total grain in one
+    scan via ROLLUP; schema-bounded dims broadcast, fact unhinted."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    j = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(dim(table(spark, sf_dir, "nation"), "nation"), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(dim(table(spark, sf_dir, "region"), "region"), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    rolled = j.rollup("r_name", "n_name").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").cast("long").alias("n_orders"),
+        dsum(F.col("o_totalprice"), "revenue"),
+    )
+    return rolled.select(
+        F.coalesce("r_name", F.lit("ALL")).alias("region"),
+        F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+        F.col("gid").cast("long").alias("lvl"),
+        "n_orders",
+        "revenue",
+    ).orderBy("lvl", "region", "nation")
+
+
+_CUBE_ORACLE = """
+    SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(c_mktsegment, o_orderpriority) AS BIGINT) AS lvl,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY CUBE (c_mktsegment, o_orderpriority)
+    ORDER BY lvl, segment, priority
+    """
+
+
+@register("orders_cube_segment_priority", oracle=_CUBE_ORACLE)
+def orders_cube_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four aggregation grains of (segment x priority) in one scan
+    via CUBE — segment totals, priority totals, cells, grand total."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"])
+    cubed = j.cube("c_mktsegment", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").cast("long").alias("n_orders"),
+        dsum(F.col("o_totalprice"), "revenue"),
+    )
+    return cubed.select(
+        F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+        F.col("gid").cast("long").alias("lvl"),
+        "n_orders",
+        "revenue",
+    ).orderBy("lvl", "segment", "priority")
