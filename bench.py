@@ -47,6 +47,7 @@ HEADLINE = [
     "event_funnel_counts",
     "rollup_daily_event_stats",
     "partitioned_day_slice_stats",
+    "duplicate_span_stats",
 ]
 
 

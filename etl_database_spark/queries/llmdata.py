@@ -2240,3 +2240,73 @@ def daily_event_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted incremental Bloom store (operators/bloomstore.py): the
+# first-ten-sources filter built as TWO batches with a compaction and
+# a forced replay in between, then served. The oracle is the SAME
+# one-shot SQL as bloom_seen_fingerprints — a green hash therefore
+# proves incremental ingest + compact + replay-no-op == one-shot build,
+# cross-engine and down to the packed bits.
+_BLOOM_STORE_CACHE: dict = {}
+
+
+def _bloom_store(spark: SparkSession, sf_dir: str):
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = (sf_dir, os.path.getmtime(src) if os.path.exists(src) else None)
+    if key not in _BLOOM_STORE_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        from etl_database_spark.operators.bloomstore import BloomStore
+
+        for old_key in [k for k in _BLOOM_STORE_CACHE if k[0] == sf_dir and k != key]:
+            old = _BLOOM_STORE_CACHE.pop(old_key)
+            shutil.rmtree(old.path, ignore_errors=True)
+        d = table(spark, sf_dir, "documents")
+        fp = T.fingerprint_md5(F.col("text"))
+        store = BloomStore(
+            spark, tempfile.mkdtemp(prefix="spark_graft_bloom_"), m_bits=_BLOOM_M
+        )
+        first = d.where(F.col("source").isin([f"src{i}" for i in range(5)]))
+        second = d.where(F.col("source").isin([f"src{i}" for i in range(5, 10)]))
+        store.ingest(first.select(fp.alias("fp")), "fp", batch="day1")
+        store.compact()
+        store.ingest(second.select(fp.alias("fp")), "fp", batch="day2")
+        if store.ingest(first.select(fp.alias("fp")), "fp", batch="day1") is not False:
+            raise RuntimeError(
+                "bloom store re-ingested an already-compacted batch; "
+                "the manifest/compaction contract is broken"
+            )
+        atexit.register(shutil.rmtree, store.path, ignore_errors=True)
+        _BLOOM_STORE_CACHE[key] = store
+    return _BLOOM_STORE_CACHE[key]
+
+
+@register("bloom_incremental_membership", oracle=_BLOOM_ORACLE)
+def bloom_incremental_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership served from the PERSISTED two-batch Bloom store
+    (ingest day1 → compact → ingest day2 → replay day1 as a no-op);
+    must equal the one-shot filter bit-for-bit."""
+    store = _bloom_store(spark, sf_dir)
+    d = table(spark, sf_dir, "documents")
+    fp = T.fingerprint_md5(F.col("text"))
+    probes = d.select("doc_id", fp.alias("fp"))
+    hits = store.might_contain(probes, "fp", ["doc_id", "fp"])
+    seen = d.where(F.col("source").isin([f"src{i}" for i in range(10)])).select(
+        fp.alias("fp")
+    )
+    exact = seen.distinct().withColumn("em", F.lit(1))
+    return (
+        hits.join(exact, "fp", "left")
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.coalesce(F.col("em"), F.lit(0)).cast("long").alias("exact_member"),
+        )
+        .orderBy("doc_id")
+    )

@@ -123,6 +123,28 @@ def run(spark, docs, eval_docs, tag: str, exact_tier: bool = True) -> dict:
         lambda: D.contamination_check(docs, eval_docs, "text", "doc_id", n=13).count(),
     )
 
+    from etl_database_spark.functions import spans as SP
+
+    # aggregate a computed column, not count(): the stats frame's left
+    # join is provably cardinality-preserving, so count() alone would
+    # let Catalyst prune the whole window-hash pipeline
+    res["dup_spans"] = timed(
+        "duplicate span stats (w=15)",
+        lambda: int(
+            SP.duplicate_span_stats(docs, "text", "doc_id", 15)
+            .where(F.col("dup_tokens") > 0)
+            .count()
+        ),
+    )
+    res["span_cut"] = timed(
+        "substring dedup cut (w=15)",
+        lambda: int(
+            SP.cut_duplicate_spans(docs, "text", "doc_id", 15)
+            .where(F.col("cut_tokens") > 0)
+            .count()
+        ),
+    )
+
     def minhash_clusters():
         pairs = D.minhash_near_duplicates(
             docs,
@@ -163,7 +185,7 @@ def main() -> None:
         docs_nx = spark.read.parquet(path)
         big = run(spark, docs_nx, eval_docs, f"{scale}x", exact_tier=scale <= 4)
         print(f"\n{'op':<28}{'1x':>9}{'%dx' % scale:>9}{'cost ratio':>12}{'rows ratio':>12}")
-        for op in ("store_build", "serve", "contamination", "minhash_clusters", "ngram_clusters"):
+        for op in ("store_build", "serve", "contamination", "dup_spans", "span_cut", "minhash_clusters", "ngram_clusters"):
             if op not in base:
                 continue
             (t1, n1), (tn, nn) = base[op], big[op]
