@@ -651,3 +651,78 @@ def partitioned_day_slice_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap filling / forward fill (the hypertable "locf" operator): project
+# a sparse daily aggregate (high-value events, >250) onto the dense
+# day x type grid and carry the last observation forward. The grid is
+# a crossJoin of two SCHEMA-BOUNDED-or-tiny frames (distinct days x
+# distinct types — thousands x handful even at 100 TB), the fill is
+# one window pass per type, and the carried value is an exact
+# decimal-avg double so the oracle (DuckDB last_value IGNORE NULLS)
+# hash-matches bit-for-bit. Leading gaps coalesce to 0 with is_gap
+# marking fills, keeping the output null-free.
+_FF_THRESHOLD = 250
+
+_FF_ORACLE = f"""
+    WITH agg AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             COUNT(*) AS n_hv,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value
+      FROM events WHERE value > {_FF_THRESHOLD} GROUP BY 1, 2
+    ),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    types AS (SELECT DISTINCT event_type FROM events),
+    j AS (
+      SELECT g.day, g.event_type, a.n_hv, a.avg_value
+      FROM (SELECT day, event_type FROM days CROSS JOIN types) g
+      LEFT JOIN agg a USING (day, event_type)
+    )
+    SELECT day, event_type,
+           CAST(COALESCE(n_hv, 0) AS BIGINT) AS n_hv,
+           CAST(COALESCE(last_value(avg_value IGNORE NULLS) OVER (
+                  PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+                AS DOUBLE) AS filled_avg,
+           CAST(CASE WHEN n_hv IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+    FROM j
+    ORDER BY event_type, day
+    """
+
+
+@register("daily_highvalue_forward_fill", oracle=_FF_ORACLE)
+def daily_highvalue_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense day x type grid of the sparse high-value daily average,
+    gaps filled by last-observation-carried-forward."""
+    e = table(spark, sf_dir, "events")
+    agg = (
+        e.where(F.col("value") > _FF_THRESHOLD)
+        .withColumn("day", F.to_date("ts"))
+        .groupBy("day", "event_type")
+        .agg(
+            F.count("*").alias("n_hv"),
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("avg_value"),
+        )
+    )
+    days = e.select(F.to_date("ts").alias("day")).distinct()
+    types = e.select("event_type").distinct()
+    grid = days.crossJoin(F.broadcast(types))
+    j = grid.join(agg, ["day", "event_type"], "left")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return j.select(
+        "day",
+        "event_type",
+        F.coalesce("n_hv", F.lit(0)).cast("long").alias("n_hv"),
+        F.coalesce(F.last("avg_value", ignorenulls=True).over(w), F.lit(0.0))
+        .cast("double")
+        .alias("filled_avg"),
+        F.when(F.col("n_hv").isNull(), 1).otherwise(0).cast("long").alias("is_gap"),
+    ).orderBy("event_type", "day")

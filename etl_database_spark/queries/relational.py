@@ -1847,3 +1847,50 @@ def orders_cube_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         "revenue",
     ).orderBy("lvl", "segment", "priority")
+
+
+# ---------------------------------------------------------------------------
+# Full analytic window-function family in one pass: rank, dense_rank,
+# ntile, percent_rank, cume_dist, lag, lead over a single
+# (priority)-partitioned ordering — one shuffle serves all seven.
+# percent_rank/cume_dist are exact small-integer ratios ((r-1)/(n-1),
+# r/n) so the IEEE division is bit-identical cross-engine; the ORDER
+# BY carries o_orderkey as the unique tie-break (repo convention);
+# lag/lead defaults are 0.0 to keep the frame null-free.
+_WINRANK_ORACLE = """
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cdist,
+           COALESCE(lag(o_totalprice, 1) OVER w, 0) AS prev_price,
+           COALESCE(lead(o_totalprice, 1) OVER w, 0) AS next_price
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-04-01'
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderpriority, rnk
+    """
+
+
+@register("order_value_window_ranks", oracle=_WINRANK_ORACLE)
+def order_value_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seven ranking/offset window functions over one partitioned sort
+    of Q1-1995 orders — a single exchange computes the lot."""
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-04-01")
+    )
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.coalesce(F.lag("o_totalprice", 1).over(w), F.lit(0.0)).alias("prev_price"),
+        F.coalesce(F.lead("o_totalprice", 1).over(w), F.lit(0.0)).alias("next_price"),
+    ).orderBy("o_orderpriority", "rnk")

@@ -38,17 +38,19 @@ from etl_database_spark.streaming.near_dup import _checkpoint_stream_id
 _STREAM_MARKER = "_stream_id"
 
 
-def _bind(store_path: str, stream_id: str) -> None:
-    """Claim the rollup store for one stream identity (or verify the
+def _bind(store_path: str, stream_id: str, kind: str = "rollup store") -> None:
+    """Claim the store for one stream identity (or verify the
     claim on restart); refuse reuse by a different checkpoint — its
-    batch ids restart at 0 and would collide with stored batches."""
+    batch ids restart at 0 and would collide with stored batches.
+    Shared by the rollup and bloom store streams (``kind`` only
+    labels the refusal message)."""
     marker = os.path.join(store_path, _STREAM_MARKER)
     if os.path.exists(marker):
         with open(marker) as f:
             owner = f.read().strip()
         if owner != stream_id:
             raise ValueError(
-                f"rollup store {store_path} belongs to stream {owner}; "
+                f"{kind} {store_path} belongs to stream {owner}; "
                 f"refusing reuse by stream {stream_id} (use a fresh "
                 "store path or keep the original checkpoint)"
             )

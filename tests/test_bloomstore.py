@@ -95,3 +95,52 @@ def test_probe_definitely_new_keys(spark, tmp_path):
     hits = store.might_contain(probes, "k", ["k"])
     fpr = hits.where(F.col("bloom_hit") == 1).count() / 500
     assert fpr < 0.05  # tiny load factor -> tiny FPR
+
+
+def test_streaming_bloom_equals_batch(spark, tmp_path):
+    """Draining a fingerprint stream through foreachBatch must serve
+    the same filter as a one-shot batch build; re-running a drained
+    checkpoint changes nothing; a fresh checkpoint is refused."""
+    from etl_database_spark.streaming.bloom import run_bloom_once
+
+    keys = _keys(spark, 0, 500)
+    src = str(tmp_path / "src")
+    # several files -> several micro-batches (maxFilesPerTrigger=1)
+    keys.repartition(4).write.parquet(src)
+    store_path = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = (
+        spark.readStream.schema(keys.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    store = run_bloom_once(spark, stream, "k", store_path, ckpt, m_bits=M)
+    assert len(store.batches()) > 1  # genuinely incremental
+
+    fresh = B.bloom_partials(keys, "k", M)
+    want = sorted(map(tuple, fresh.collect()))
+    assert _served_rows(store) == want
+
+    # drained checkpoint: nothing new, serving unchanged
+    stream2 = (
+        spark.readStream.schema(keys.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_bloom_once(spark, stream2, "k", store_path, ckpt, m_bits=M)
+    assert _served_rows(store) == want
+
+    # compaction preserves answers and the binding
+    store.compact()
+    assert _served_rows(store) == want
+
+    # fresh checkpoint (batch ids restart at 0) refused
+    stream3 = (
+        spark.readStream.schema(keys.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with pytest.raises(Exception, match="bloom store"):
+        run_bloom_once(spark, stream3, "k", store_path, str(tmp_path / "c2"), m_bits=M)
+    assert _served_rows(store) == want
