@@ -726,3 +726,25 @@ def daily_highvalue_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("filled_avg"),
         F.when(F.col("n_hv").isNull(), 1).otherwise(0).cast("long").alias("is_gap"),
     ).orderBy("event_type", "day")
+
+
+# ---------------------------------------------------------------------------
+# t-digest quantiles (functions/tdigest.py): the unbounded-domain,
+# tail-accurate member of the quantile family — no [lo, hi) bounds
+# (histogram) and no positive-domain restriction (ddsketch). Built and
+# merged entirely in DataFrame algebra (scale-function band
+# construction — no Python UDAF); rows-only like the DDSketch entry
+# (libm asin has no cross-engine bit contract), accuracy
+# property-tested in tests/test_tdigest.py.
+@register("event_value_quantile_tdigest")
+def event_value_quantile_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of events.value per event_type from merged
+    per-type t-digest centroids (delta=200)."""
+    from etl_database_spark.functions.tdigest import (
+        tdigest_partials,
+        tdigest_quantiles,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    cents = tdigest_partials(ev, "value", ["event_type"])
+    return tdigest_quantiles(cents, [0.5, 0.9, 0.99], ["event_type"])
