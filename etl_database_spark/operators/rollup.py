@@ -60,6 +60,7 @@ class RollupStore:
     # works as its own parquet root.
     HLL_SUBDIR = "_hll"
     QHIST_SUBDIR = "_qhist"
+    TDIGEST_SUBDIR = "_tdigest"
 
     def __init__(
         self,
@@ -67,6 +68,7 @@ class RollupStore:
         path: str,
         distinct_col: str | None = None,
         quantile_spec: tuple | None = None,
+        tdigest_col: str | None = None,
     ):
         """``distinct_col``: optionally maintain an HLL sketch of this
         column per (day, event_type) alongside the additive measures,
@@ -80,11 +82,22 @@ class RollupStore:
         counters are additive, so unlike exact percentiles they
         survive incremental ingest, retraction (negated counters), and
         compaction; the bucket arithmetic is deterministic, so the
-        served quantiles stay DuckDB-oracle-checkable."""
+        served quantiles stay DuckDB-oracle-checkable.
+
+        ``tdigest_col``: optionally maintain t-digest centroids of
+        this column per (day, event_type) — quantiles with NO domain
+        bounds (the constraint quantile_spec carries), tail-accurate,
+        merged centroid-algebraically on read and in compaction.
+        Insert-only like the HLL sketch: centroid weights cannot be
+        negated (the merge's rank positioning breaks), so retraction
+        does not touch the digest and wrong-data retractions leave
+        ghosts until a rebuild. Rows-only verification (libm asin);
+        accuracy property-tested in tests/test_tdigest.py."""
         self.spark = spark
         self.path = path
         self.distinct_col = distinct_col
         self.quantile_spec = quantile_spec
+        self.tdigest_col = tdigest_col
 
     # -- write path -------------------------------------------------------
 
@@ -145,6 +158,20 @@ class RollupStore:
                 .parquet(os.path.join(self.path, self.HLL_SUBDIR))
             )
         self._write_qhist(events, batch, ts_col, sign=1)
+        if self.tdigest_col is not None:
+            from etl_database_spark.functions.tdigest import tdigest_partials
+
+            cents = tdigest_partials(
+                events.withColumn("day", F.to_date(ts_col)),
+                self.tdigest_col,
+                ["day", "event_type"],
+            ).withColumn("batch", F.lit(batch))
+            (
+                cents.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch", "day")
+                .parquet(os.path.join(self.path, self.TDIGEST_SUBDIR))
+            )
         # commit LAST: a crash anywhere above leaves no manifest entry,
         # so the retry rewrites the measures and every sketch
         self._commit(batch)
@@ -341,6 +368,33 @@ class RollupStore:
             merged, qs, lo, hi, group_cols=["day", "event_type"], buckets=buckets
         )
 
+    def serve_quantiles_tdigest(
+        self, qs: list[float], days: list | None = None
+    ) -> DataFrame:
+        """Quantiles of the configured t-digest column per
+        (day, event_type) from stored centroids: centroid-algebra merge
+        across batches, then interpolation — no domain bounds, tails
+        tight by the scale function. Centroid-sized work."""
+        from etl_database_spark.functions.tdigest import (
+            tdigest_merge,
+            tdigest_quantiles,
+        )
+
+        if self.tdigest_col is None:
+            raise ValueError(
+                f"rollup store {self.path} has no t-digest centroids — "
+                "construct RollupStore(..., tdigest_col=...) before ingesting"
+            )
+        td_path = os.path.join(self.path, self.TDIGEST_SUBDIR)
+        df = self.spark.read.parquet(td_path)
+        if days is not None:
+            df = df.where(F.col("day").isin(days))
+        merged = tdigest_merge(
+            df.select("day", "event_type", "sum_val", "weight"),
+            ["day", "event_type"],
+        )
+        return tdigest_quantiles(merged, qs, ["day", "event_type"])
+
     # -- maintenance ------------------------------------------------------
 
     def batches(self) -> list[str]:
@@ -408,6 +462,21 @@ class RollupStore:
             )
             folded_hll.write.mode("overwrite").partitionBy("batch", "day").parquet(
                 os.path.join(tmp, self.HLL_SUBDIR)
+            )
+        td_path = os.path.join(self.path, self.TDIGEST_SUBDIR)
+        if os.path.isdir(td_path):
+            # fold the digest: centroid-algebra merge per (day, type) —
+            # the same operation serving performs, done once
+            from etl_database_spark.functions.tdigest import tdigest_merge
+
+            folded_td = tdigest_merge(
+                self.spark.read.parquet(td_path).select(
+                    "day", "event_type", "sum_val", "weight"
+                ),
+                ["day", "event_type"],
+            ).withColumn("batch", F.lit(self.BASE_BATCH))
+            folded_td.write.mode("overwrite").partitionBy("batch", "day").parquet(
+                os.path.join(tmp, self.TDIGEST_SUBDIR)
             )
         qh_path = os.path.join(self.path, self.QHIST_SUBDIR)
         if os.path.isdir(qh_path):

@@ -132,4 +132,11 @@ WINDOW_DEMOTED = (
     "approx_distinct_parts",
     "approx_price_percentiles",
     "price_quantity_stats",
+    # round-5 wideners of families the window already samples
+    # (rollup_revenue, cube_doc_counts, customer_spend_quartiles):
+    # fully oracle-backed, verified by tests/test_oracle_equivalence.py,
+    # kept out of the cap so the sketch-serving promotions stay in
+    "revenue_rollup_region_nation",
+    "orders_cube_segment_priority",
+    "order_value_window_ranks",
 )

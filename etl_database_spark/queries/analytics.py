@@ -748,3 +748,56 @@ def event_value_quantile_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     cents = tdigest_partials(ev, "value", ["event_type"])
     return tdigest_quantiles(cents, [0.5, 0.9, 0.99], ["event_type"])
+
+
+# ---------------------------------------------------------------------------
+# Statistical outlier detection: per-type z-scores from exact decimal
+# moment sums. Variance = (sumsq - sum^2/n)/n computed from
+# decimal-exact SUM(v) and SUM(v*v) — the double products and the
+# final sqrt are single IEEE ops, bit-identical cross-engine, so the
+# 3-sigma cut admits the same rows in both engines. One aggregate +
+# one broadcast join back; no second scan of the fact table shape.
+_ZSCORE_ORACLE = """
+    WITH stats AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS s2
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - s.s1 / s.n)
+                 / sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)), 6) AS zscore
+    FROM events e JOIN stats s USING (event_type)
+    WHERE (e.value - s.s1 / s.n)
+          / sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)) > 3
+    ORDER BY e.event_type, e.event_id
+    """
+
+
+@register("event_value_outliers", oracle=_ZSCORE_ORACLE)
+def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value sits more than 3 population-sigma above its
+    type's mean — z-scores from exact decimal moment sums."""
+    e = table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,8)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .where(z > 3)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 6).alias("zscore"),
+        )
+        .orderBy("event_type", "event_id")
+    )

@@ -2310,3 +2310,72 @@ def bloom_incremental_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-gated incremental dedup — the seen-set's whole point, end to
+# end: probe the new day's docs against yesterday's filter, and run
+# the exact fingerprint anti-join ONLY for bloom-positive candidates.
+# At a 1% FPR the exact join's probe side shrinks to hits ~= truly-seen
+# + 1% of new — on 100 TB of mostly-new data that's a ~99% cut of the
+# expensive join, and the no-false-negative guarantee means
+# bloom-negative docs are PROVABLY new (no exact check needed). The
+# oracle replays filter, gate, and verification, so green proves the
+# final new-doc set matches cross-engine.
+_BLOOM_GATE_ORACLE = f"""
+    WITH keys AS (
+      SELECT md5({_NORM_SQL}) AS fp FROM documents WHERE source IN ({_BLOOM_SRCS})
+    ),
+    pos AS (SELECT unnest([{_bloom_chunks_sql('fp')}]) AS p FROM keys),
+    words AS (
+      SELECT p // 32 AS word,
+             bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+      FROM pos GROUP BY 1
+    ),
+    newdocs AS (
+      SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents
+      WHERE source NOT IN ({_BLOOM_SRCS})
+    ),
+    ppos AS (
+      SELECT doc_id, fp, unnest([{_bloom_chunks_sql('fp')}]) AS p FROM newdocs
+    ),
+    gated AS (
+      SELECT doc_id, fp,
+             MIN(CASE WHEN w.word IS NOT NULL
+                       AND ((w.bits >> CAST(p % 32 AS INT)) & 1) = 1
+                      THEN 1 ELSE 0 END) AS bloom_hit
+      FROM ppos LEFT JOIN words w ON w.word = p // 32
+      GROUP BY doc_id, fp
+    )
+    SELECT doc_id,
+           CAST(bloom_hit AS BIGINT) AS needed_exact_check
+    FROM gated
+    WHERE bloom_hit = 0
+       OR fp NOT IN (SELECT fp FROM keys)
+    ORDER BY doc_id
+    """
+
+
+@register("bloom_gated_new_docs", oracle=_BLOOM_GATE_ORACLE)
+def bloom_gated_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truly-new documents among sources src10+ vs the src0-9 seen
+    set: bloom-negative docs pass straight through (provably new);
+    only bloom-positive candidates pay the exact anti-join.
+    needed_exact_check records which path admitted each doc."""
+    from etl_database_spark.functions import bloom as B
+
+    d = table(spark, sf_dir, "documents")
+    fp = T.fingerprint_md5(F.col("text"))
+    seen_srcs = [f"src{i}" for i in range(10)]
+    seen = d.where(F.col("source").isin(seen_srcs)).select(fp.alias("fp"))
+    filt = B.bloom_partials(seen, "fp", _BLOOM_M)
+    new = d.where(~F.col("source").isin(seen_srcs)).select("doc_id", fp.alias("fp"))
+    gated = B.bloom_might_contain(filt, new, "fp", ["doc_id", "fp"], _BLOOM_M)
+    negatives = gated.where(F.col("bloom_hit") == 0)
+    candidates = gated.where(F.col("bloom_hit") == 1)
+    verified_new = candidates.join(seen.distinct(), "fp", "left_anti")
+    return (
+        negatives.unionByName(verified_new)
+        .select("doc_id", F.col("bloom_hit").cast("long").alias("needed_exact_check"))
+        .orderBy("doc_id")
+    )

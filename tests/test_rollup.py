@@ -376,3 +376,50 @@ def test_quantile_counters_ignore_null_values(spark, events, tmp_path):
         (r.day, r.event_type): r.n_events for r in clean.serve().collect()
     }
     assert n[(dt.date(2024, 3, 1), "click")] == n_clean[(dt.date(2024, 3, 1), "click")] + 1
+
+
+def test_tdigest_sketch_serves_alongside_measures(spark, events, tmp_path):
+    """A store with tdigest_col maintains centroids per (day, type)
+    through incremental ingest AND compaction; served medians must
+    track the exact per-group medians (no domain bounds needed)."""
+    store = RollupStore(spark, str(tmp_path / "store"), tdigest_col="value")
+    early = events.where(F.dayofmonth("ts") <= 5)
+    late = events.where(F.dayofmonth("ts") > 5)
+    store.ingest(early, batch="b1")
+    store.ingest(late, batch="b2")
+
+    exact = {
+        (r["day"], r["event_type"]): r["med"]
+        for r in events.withColumn("day", F.to_date("ts"))
+        .groupBy("day", "event_type")
+        .agg(F.expr("percentile(value, 0.5)").alias("med"))
+        .collect()
+    }
+
+    def check():
+        served = store.serve_quantiles_tdigest([0.5])
+        rows = served.collect()
+        assert len(rows) == len(exact)
+        for r in rows:
+            want = exact[(r["day"], r["event_type"])]
+            # groups are ~30 values: the digest keeps tails exact and
+            # mid-quantiles within a couple of neighbors
+            assert abs(r["est"] - want) <= 5.0, (r, want)
+
+    check()
+    store.compact()
+    check()
+    # digest folded into batch=base and bounded
+    import os
+
+    td = spark.read.parquet(os.path.join(store.path, store.TDIGEST_SUBDIR))
+    assert td.select("batch").distinct().collect()[0][0] == "base"
+    # additive measures still serve after compaction
+    assert store.serve().count() == len(exact)
+
+
+def test_tdigest_requires_configuration(spark, events, tmp_path):
+    store = RollupStore(spark, str(tmp_path / "store"))
+    store.ingest(events, batch="b1")
+    with pytest.raises(ValueError, match="t-digest"):
+        store.serve_quantiles_tdigest([0.5])
