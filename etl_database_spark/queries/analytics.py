@@ -801,3 +801,54 @@ def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bivariate statistics: Pearson correlation from exact decimal moment
+# sums — same determinism argument as event_value_outliers (double
+# products and one sqrt are single IEEE ops), so corr() needs no
+# engine-specific aggregate to hash-match. One scan, one 5-row output.
+_CORR_ORACLE = """
+    WITH m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(EXTRACT(hour FROM ts) AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(EXTRACT(hour FROM ts) * EXTRACT(hour FROM ts) AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(EXTRACT(hour FROM ts) * value AS DECIMAL(28,8))) AS DOUBLE) AS sxy
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS hour_value_corr
+    FROM m
+    ORDER BY event_type
+    """
+
+
+@register("hour_value_correlation", oracle=_CORR_ORACLE)
+def hour_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between hour-of-day and event value per
+    type, from decimal-exact moment sums (engine-portable corr)."""
+    e = table(spark, sf_dir, "events")
+    hour = F.hour("ts").cast("double")
+    v = F.col("value")
+    m = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(hour.cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum(v.cast("decimal(18,6)")).cast("double").alias("sy"),
+        F.sum((hour * hour).cast("decimal(28,8)")).cast("double").alias("sxx"),
+        F.sum((v * v).cast("decimal(28,8)")).cast("double").alias("syy"),
+        F.sum((hour * v).cast("decimal(28,8)")).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    r = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        "event_type",
+        n.cast("long").alias("n"),
+        F.round(r, 6).alias("hour_value_corr"),
+    ).orderBy("event_type")

@@ -2379,3 +2379,59 @@ def bloom_gated_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("bloom_hit").cast("long").alias("needed_exact_check"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental substring dedup served from the persisted SpanStore
+# (operators/spanstore.py): the corpus ingested as THREE batches with
+# a compaction and a forced replay in between, then profiled. The
+# oracle is the SAME one-shot SQL as duplicate_span_stats — counts are
+# additive, so a green hash proves incremental ingest + compact +
+# replay-no-op == full-corpus recompute, per document, cross-engine.
+_SPAN_STORE_CACHE: dict = {}
+
+
+def _span_store(spark: SparkSession, sf_dir: str):
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = (sf_dir, os.path.getmtime(src) if os.path.exists(src) else None)
+    if key not in _SPAN_STORE_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        from etl_database_spark.operators.spanstore import SpanStore
+
+        for old_key in [k for k in _SPAN_STORE_CACHE if k[0] == sf_dir and k != key]:
+            old = _SPAN_STORE_CACHE.pop(old_key)
+            shutil.rmtree(old.path, ignore_errors=True)
+        d = table(spark, sf_dir, "documents")
+        store = SpanStore(
+            spark, tempfile.mkdtemp(prefix="spark_graft_spans_"), w=_SPAN_W
+        )
+        b1 = d.where(F.col("doc_id") % 3 == 0)
+        b2 = d.where(F.col("doc_id") % 3 == 1)
+        b3 = d.where(F.col("doc_id") % 3 == 2)
+        store.ingest(b1, batch="day1")
+        store.compact()
+        store.ingest(b2, batch="day2")
+        if store.ingest(b1, batch="day1") is not False:
+            raise RuntimeError(
+                "span store re-ingested an already-compacted batch; "
+                "profiled span stats would double-count day1 windows"
+            )
+        store.ingest(b3, batch="day3")
+        atexit.register(shutil.rmtree, store.path, ignore_errors=True)
+        _SPAN_STORE_CACHE[key] = store
+    return _SPAN_STORE_CACHE[key]
+
+
+@register("spanstore_incremental_stats", oracle=_SPAN_STATS_ORACLE)
+def spanstore_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span profile served from the PERSISTED
+    three-batch SpanStore (ingest -> compact -> ingest -> replay no-op
+    -> ingest); must equal the one-shot full-corpus computation."""
+    store = _span_store(spark, sf_dir)
+    d = table(spark, sf_dir, "documents")
+    return store.profile(d).orderBy("doc_id")
