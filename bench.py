@@ -48,6 +48,7 @@ HEADLINE = [
     "rollup_daily_event_stats",
     "partitioned_day_slice_stats",
     "duplicate_span_stats",
+    "bloom_gated_new_docs",
 ]
 
 

@@ -852,3 +852,43 @@ def hour_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n"),
         F.round(r, 6).alias("hour_value_corr"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Multi-grain serving from ONE set of partials: the week grain is a
+# re-aggregation of the same (batch, day) partials the daily query
+# serves — proof that the store's algebraic measures compose across
+# grains (the hypertable continuous-aggregate property). The oracle
+# recomputes weekly stats from raw events, so green means
+# day-partials -> week == raw -> week, cross-engine. Monday-start
+# date_trunc('week') agrees between Spark and DuckDB (verified).
+_WEEKLY_ORACLE = """
+    SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY week, event_type
+    ORDER BY week, event_type
+    """
+
+
+@register("rollup_weekly_event_stats", oracle=_WEEKLY_ORACLE)
+def rollup_weekly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly stats served by re-aggregating the SAME day-grain
+    partials the daily rollup serves — no second store, no raw scan."""
+    store = _rollup_store(spark, sf_dir)
+    return (
+        store.partials()
+        .withColumn("week", F.date_trunc("week", F.col("day")).cast("date"))
+        .groupBy("week", "event_type")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("sum_value").cast("double").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .orderBy("week", "event_type")
+    )
