@@ -164,20 +164,31 @@ def cut_duplicate_spans(
     occurrences lose exactly the covered run.  Single pass (no
     fixpoint), matching the paper's behavior.
 
-    Ranking occurrences replaces the count>1 aggregation: a window is
-    *redundant* iff its row_number within its hash (ordered by
-    (doc_id, pos)) is > 1 — which implies the hash occurs more than
-    once, so no separate duplicate filter is needed.  The span merge
-    then runs over redundant windows only, and the token-level cut is
-    a per-row array expression (no further shuffle beyond the
-    collect_list keyed by doc_id).
+    A window is *redundant* iff it is not its hash's canonical (first)
+    occurrence under the global (doc_id, pos) order — which implies
+    the hash occurs more than once, so no separate duplicate filter is
+    needed.  The canonical occurrence is found with a min-STRUCT
+    aggregation, not a per-hash row_number window: the aggregation
+    partial-combines map-side, so a boilerplate substring occurring
+    millions of times costs one struct per map task instead of a
+    single-task sort of all its occurrences (the skew that kills
+    per-hash windows at 100 TB).  The span merge then runs over
+    redundant windows only, and the token-level cut is a per-row array
+    expression (no further shuffle beyond the collect_list keyed by
+    doc_id).
     """
     toks = tokenized(docs, text_col, id_col)
     wins = window_hashes(toks, w)
-    occ = W.partitionBy("h").orderBy("doc_id", "pos")
+    canon = wins.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first_occ"),
+        F.count("*").alias("occ"),
+    )
     redundant = (
-        wins.withColumn("rn", F.row_number().over(occ))
-        .where(F.col("rn") > 1)
+        wins.join(canon.where(F.col("occ") > 1), "h")
+        .where(
+            (F.col("doc_id") != F.col("first_occ.doc_id"))
+            | (F.col("pos") != F.col("first_occ.pos"))
+        )
         .select("doc_id", "pos")
     )
     spans = _merge_islands(redundant, w)

@@ -25,8 +25,11 @@ DataFrame algebra (zero Python in the hot path):
 
 Ties need no tie-break: equal values may swap ranks across runs, but
 swapping equal values between bands leaves every centroid's (sum,
-weight) unchanged, so the output is deterministic under any partition
-order (asserted by test).
+weight) unchanged. Construction is two-level (a local digest per
+input partition, then a centroid-level merge per group — see
+``tdigest_partials``), so for a fixed partitioning the output is
+bit-deterministic (asserted by test) and no group ever pays a
+single-task global sort.
 
 Merge re-runs the same band assignment over the UNION of centroid
 rows (ordered by mean, positioned by cumulative weight midpoint) —
@@ -63,23 +66,35 @@ def tdigest_partials(
 ) -> DataFrame:
     """(group..., sum_val, weight) centroid rows, <= ~delta/2 + 2 per
     group. NULL values are skipped (SQL aggregate semantics, matching
-    histogram/ddsketch partials)."""
+    histogram/ddsketch partials).
+
+    Two-level construction — the standard parallel t-digest shape: a
+    local digest per (group, input partition), then one centroid-level
+    merge per group. The rank window that positions each value sorts
+    within (group, partition), so no group ever funnels through a
+    single sort task (a per-group global rank would — the 100 TB
+    failure mode of naive rank-based sketches); the cross-partition
+    merge handles centroid rows only. Like any t-digest built in
+    parallel, the exact centroid set depends on the input
+    partitioning; for a FIXED partitioning the output is fully
+    deterministic (ties between equal values cannot change any
+    centroid — see module doc), and accuracy bounds hold regardless
+    (property-tested)."""
     group_cols = group_cols or []
-    vals = df.where(F.col(value_col).isNotNull()).select(
-        *group_cols, F.col(value_col).cast("double").alias("v")
+    vals = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, F.col(value_col).cast("double").alias("v"))
+        .withColumn("pid", F.spark_partition_id())
     )
-    w_rank = (
-        W.partitionBy(*group_cols).orderBy("v")
-        if group_cols
-        else W.orderBy("v")
-    )
-    w_all = W.partitionBy(*group_cols) if group_cols else W.partitionBy()
+    w_rank = W.partitionBy(*group_cols, "pid").orderBy("v")
+    w_all = W.partitionBy(*group_cols, "pid")
     q = (F.row_number().over(w_rank) - F.lit(0.5)) / F.count("*").over(w_all)
     banded = vals.withColumn("band", _band(q, delta))
-    return banded.groupBy(*group_cols, "band").agg(
+    local = banded.groupBy(*group_cols, "pid", "band").agg(
         F.sum(F.col("v").cast("decimal(18,6)")).cast(_SUM_DEC).alias("sum_val"),
         F.count("*").cast("long").alias("weight"),
-    ).drop("band")
+    ).drop("pid", "band")
+    return tdigest_merge(local, group_cols, delta)
 
 
 def tdigest_merge(
