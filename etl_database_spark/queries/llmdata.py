@@ -2435,3 +2435,39 @@ def spanstore_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = _span_store(spark, sf_dir)
     d = table(spark, sf_dir, "documents")
     return store.profile(d).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Approximate string join (functions/fuzzy.py): supplier names within
+# edit distance 1, via FastSS deletion-neighborhood blocking + exact
+# levenshtein verify — never an all-pairs cross join. The oracle
+# replays blocking AND verification (substr algebra + levenshtein are
+# engine-portable), so green proves the blocked join is loss-free on
+# this corpus, not just plausible.
+_FUZZY_ORACLE = """
+    WITH s AS (SELECT s_suppkey AS id, s_name AS name FROM supplier),
+    vars AS (
+      SELECT id, name, name AS var FROM s
+      UNION ALL
+      SELECT id, name, substr(name, 1, i) || substr(name, i+2) AS var
+      FROM s, unnest(range(0, len(name))) u(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id1, b.id AS id2, a.name AS n1, b.name AS n2
+      FROM vars a JOIN vars b ON a.var = b.var AND a.id < b.id
+    )
+    SELECT id1, id2, n1, n2, CAST(levenshtein(n1, n2) AS BIGINT) AS dist
+    FROM cand
+    WHERE levenshtein(n1, n2) <= 1
+    ORDER BY id1, id2
+    """
+
+
+@register("supplier_name_fuzzy_pairs", oracle=_FUZZY_ORACLE)
+def supplier_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-name pairs at edit distance <= 1 via deletion
+    blocking — the scalable fuzzy-key reconciliation join."""
+    from etl_database_spark.functions import fuzzy as FZ
+
+    s = table(spark, sf_dir, "supplier")
+    return FZ.fuzzy_pairs_dist1(s, "s_name", "s_suppkey").orderBy("id1", "id2")
