@@ -2471,3 +2471,145 @@ def supplier_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s = table(spark, sf_dir, "supplier")
     return FZ.fuzzy_pairs_dist1(s, "s_name", "s_suppkey").orderBy("id1", "id2")
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution = fuzzy join + connected components: edit-distance
+# pairs cluster into entities, min member id is the canonical record.
+# Composes two already-verified operators; the oracle replays the
+# whole pipeline (deletion blocking, levenshtein verify, recursive-CTE
+# closure), so green proves the entity assignment end-to-end.
+_ENTITY_ORACLE = """
+    WITH RECURSIVE s AS (SELECT s_suppkey AS id, s_name AS name FROM supplier),
+    vars AS (
+      SELECT id, name, name AS var FROM s
+      UNION ALL
+      SELECT id, name, substr(name, 1, i) || substr(name, i+2) AS var
+      FROM s, unnest(range(0, len(name))) u(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id1, b.id AS id2, a.name AS n1, b.name AS n2
+      FROM vars a JOIN vars b ON a.var = b.var AND a.id < b.id
+    ),
+    fp AS (SELECT id1, id2 FROM cand WHERE levenshtein(n1, n2) <= 1),
+    edges AS (
+      SELECT id1 AS src, id2 AS dst FROM fp
+      UNION
+      SELECT id2 AS src, id1 AS dst FROM fp
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (SELECT src, LEAST(src, MIN(dst)) AS component FROM reach GROUP BY src)
+    SELECT su.id AS supp_id,
+           COALESCE(c.component, su.id) AS entity_id,
+           CAST(CASE WHEN COALESCE(c.component, su.id) = su.id
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+    FROM s su LEFT JOIN comp c ON c.src = su.id
+    ORDER BY supp_id
+    """
+
+
+@register("supplier_entity_resolution", oracle=_ENTITY_ORACLE)
+def supplier_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical entity ids for suppliers whose names are within edit
+    distance 1 of each other (fuzzy pairs -> connected components;
+    singletons stay their own entity)."""
+    from etl_database_spark.functions import fuzzy as FZ
+
+    s = table(spark, sf_dir, "supplier")
+    pairs = FZ.fuzzy_pairs_dist1(s, "s_name", "s_suppkey").select(
+        F.col("id1").alias("id_a"), F.col("id2").alias("id_b")
+    )
+    comps = D.connected_components(pairs)
+    return (
+        s.select(F.col("s_suppkey").alias("supp_id"))
+        .join(comps.withColumnRenamed("_id", "supp_id"), "supp_id", "left")
+        .select(
+            "supp_id",
+            F.coalesce("component", F.col("supp_id")).cast("long").alias("entity_id"),
+            F.when(
+                F.coalesce("component", F.col("supp_id")) == F.col("supp_id"), 1
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("is_canonical"),
+        )
+        .orderBy("supp_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive hard-negative mining: per anchor vector, the most
+# cosine-similar vectors carrying a DIFFERENT label — the standard
+# negative-sampling prep for embedding-model training. Exact tier
+# (broadcast anchors x corpus, JVM fold dot products, same shape as
+# cosine_topk_bruteforce); at 100 TB the candidate side routes through
+# the IVF index instead, same ranking semantics.
+_HARDNEG_K = 3
+
+_HARDNEG_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT * FROM e WHERE vec_id < 20),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.label AS anchor_label,
+             c.vec_id AS neighbor_id, c.label AS neighbor_label,
+             ROUND(
+               list_sum(list_transform(list_zip(q.v, c.v), x -> x[1] * x[2]))
+               / (SQRT(list_sum(list_transform(q.v, x -> x * x)))
+                  * SQRT(list_sum(list_transform(c.v, x -> x * x)))),
+             4) AS cos_sim
+      FROM q JOIN e c ON c.label <> q.label
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id,
+           CAST(anchor_label AS BIGINT) AS anchor_label,
+           CAST(neighbor_label AS BIGINT) AS neighbor_label,
+           cos_sim
+    FROM ranked WHERE rn <= {_HARDNEG_K}
+    ORDER BY query_id, cos_sim DESC, neighbor_id
+    """
+
+
+@register("hard_negative_mining", oracle=_HARDNEG_ORACLE)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} cross-label nearest neighbors per anchor (vec_id < 20):
+    hard negatives for contrastive training."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("q_vec"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("c_vec"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_label") != F.col("anchor_label"))
+        .withColumn("cos_sim", F.round(S.cosine(F.col("q_vec"), F.col("c_vec")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _HARDNEG_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("anchor_label").cast("long").alias("anchor_label"),
+            F.col("neighbor_label").cast("long").alias("neighbor_label"),
+            "cos_sim",
+        )
+        .orderBy("query_id", F.desc("cos_sim"), "neighbor_id")
+    )
