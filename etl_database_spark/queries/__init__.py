@@ -139,4 +139,5 @@ WINDOW_DEMOTED = (
     "revenue_rollup_region_nation",
     "orders_cube_segment_priority",
     "order_value_window_ranks",
+    "integrity_audit",
 )

@@ -1894,3 +1894,78 @@ def order_value_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.lag("o_totalprice", 1).over(w), F.lit(0.0)).alias("prev_price"),
         F.coalesce(F.lead("o_totalprice", 1).over(w), F.lit(0.0)).alias("next_price"),
     ).orderBy("o_orderpriority", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# Data-quality integrity audit — the dbt-style test battery as ONE
+# query: referential orphans (anti-join), key uniqueness, null and
+# domain violations, each a count row. The reference gates these
+# per-file at ingest (content-validation, SURVEY P8); this is the
+# warehouse-level audit over already-loaded tables. Each check is an
+# independent aggregate; the union is rows, not columns, so adding a
+# check never changes the schema.
+_INTEGRITY_ORACLE = """
+    SELECT 'orphan_orders' AS check_name,
+           CAST(COUNT(*) AS BIGINT) AS n_violations
+    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    UNION ALL
+    SELECT 'duplicate_customer_keys',
+           CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+    FROM (SELECT c_custkey, COUNT(*) AS n FROM customer GROUP BY 1 HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'null_order_dates', CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE o_orderdate IS NULL
+    UNION ALL
+    SELECT 'nonpositive_totalprice', CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE o_totalprice <= 0
+    UNION ALL
+    SELECT 'lineitem_orphans', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    UNION ALL
+    SELECT 'ship_before_order', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate < o_orderdate
+    ORDER BY check_name
+    """
+
+
+@register("integrity_audit", oracle=_INTEGRITY_ORACLE)
+def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-check referential/uniqueness/domain audit in one result
+    frame (check_name, n_violations)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    li = table(spark, sf_dir, "lineitem")
+
+    def row(name, df):
+        return df.agg(F.count("*").cast("long").alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    orphans = row("orphan_orders", o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti"))
+    dup_keys = (
+        c.groupBy("c_custkey")
+        .count()
+        .where(F.col("count") > 1)
+        .agg(F.coalesce(F.sum(F.col("count") - 1), F.lit(0)).cast("long").alias("n_violations"))
+        .select(F.lit("duplicate_customer_keys").alias("check_name"), "n_violations")
+    )
+    null_dates = row("null_order_dates", o.where(F.col("o_orderdate").isNull()))
+    nonpos = row("nonpositive_totalprice", o.where(F.col("o_totalprice") <= 0))
+    li_orphans = row(
+        "lineitem_orphans", li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti")
+    )
+    ship_before = row(
+        "ship_before_order",
+        li.join(o, li["l_orderkey"] == o["o_orderkey"]).where(
+            F.col("l_shipdate") < F.col("o_orderdate")
+        ),
+    )
+    return (
+        orphans.unionByName(dup_keys)
+        .unionByName(null_dates)
+        .unionByName(nonpos)
+        .unionByName(li_orphans)
+        .unionByName(ship_before)
+        .orderBy("check_name")
+    )

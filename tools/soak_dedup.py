@@ -145,6 +145,26 @@ def run(spark, docs, eval_docs, tag: str, exact_tier: bool = True) -> dict:
         ),
     )
 
+    # incremental substring dedup: the 100 TB claim is "a day costs a
+    # day" — ingest the whole corpus as the store's base, then time
+    # profiling a FIXED 500-doc batch against it; the profile cost
+    # curve vs store size is the incremental story's evidence
+    from etl_database_spark.operators.spanstore import SpanStore
+
+    sstore = SpanStore(
+        spark, os.path.join(tempfile.mkdtemp(prefix="soak_spanstore_"), "store"), w=15
+    )
+    res["spanstore_ingest"] = timed(
+        "spanstore ingest (corpus)",
+        lambda: int(sstore.ingest(docs, batch="b0")),
+    )
+    res["spanstore_profile"] = timed(
+        "spanstore profile (500 docs)",
+        lambda: int(
+            sstore.profile(eval_docs).where(F.col("dup_tokens") > 0).count()
+        ),
+    )
+
     def minhash_clusters():
         pairs = D.minhash_near_duplicates(
             docs,
@@ -185,7 +205,7 @@ def main() -> None:
         docs_nx = spark.read.parquet(path)
         big = run(spark, docs_nx, eval_docs, f"{scale}x", exact_tier=scale <= 4)
         print(f"\n{'op':<28}{'1x':>9}{'%dx' % scale:>9}{'cost ratio':>12}{'rows ratio':>12}")
-        for op in ("store_build", "serve", "contamination", "dup_spans", "span_cut", "minhash_clusters", "ngram_clusters"):
+        for op in ("store_build", "serve", "contamination", "dup_spans", "span_cut", "spanstore_ingest", "spanstore_profile", "minhash_clusters", "ngram_clusters"):
             if op not in base:
                 continue
             (t1, n1), (tn, nn) = base[op], big[op]
