@@ -2613,3 +2613,42 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", F.desc("cos_sim"), "neighbor_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 hopping (sliding) windows — the overlapping-window sibling of
+# windowed_event_counts: 1-hour windows every 30 minutes, so each
+# event lands in exactly two windows. Spark's window() emits the
+# overlap natively; the oracle replays it with an epoch-aligned
+# time_bucket unnest. Same decimal-sum determinism as the tumbling
+# form; the streaming variant is the same function with a watermark
+# (streaming/windowed.py).
+_HOP_ORACLE = """
+    WITH hopped AS (
+      SELECT event_type, value,
+             unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE])
+               AS window_start
+      FROM events
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM hopped
+    GROUP BY window_start, window_end, event_type
+    ORDER BY window_start, event_type
+    """
+
+
+@register("hopping_event_counts", oracle=_HOP_ORACLE)
+def hopping_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (each event in two
+    windows) — counts and deterministic sums per (window, type)."""
+    from etl_database_spark.streaming.windowed import windowed_event_counts
+
+    ev = table(spark, sf_dir, "events")
+    return windowed_event_counts(ev, "1 hour", slide="30 minutes").orderBy(
+        "window_start", "event_type"
+    )

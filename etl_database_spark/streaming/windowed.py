@@ -31,14 +31,24 @@ def windowed_event_counts(
     window_size: str = "1 hour",
     watermark: str = "2 hours",
     ts_col: str = "ts",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window counts/sums per event_type. Works on both batch
-    and streaming frames; on a stream the watermark bounds state."""
+    """Tumbling-window (or, with ``slide``, hopping-window) counts and
+    sums per event_type. Works on both batch and streaming frames; on
+    a stream the watermark bounds state. A hopping window assigns each
+    event to size/slide overlapping windows (F.window emits them
+    natively — no manual explode), so state and output scale by that
+    same factor."""
     df = normalize_event_time(events, [ts_col])
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
+    win = (
+        F.window(F.col(ts_col), window_size, slide)
+        if slide
+        else F.window(F.col(ts_col), window_size)
+    )
     return (
-        df.groupBy(F.window(F.col(ts_col), window_size).alias("w"), "event_type")
+        df.groupBy(win.alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),

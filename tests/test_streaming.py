@@ -448,3 +448,55 @@ def test_near_dup_batch_replay_is_idempotent(spark, tmp_path):
     again = sorted((r.id_a, r.id_b) for r in spark.read.parquet(matches).collect())
     assert again == first and len(first) >= 1
     assert store.read().count() == n_store_first == 2
+
+
+def test_hopping_stream_matches_batch(spark, tmp_path):
+    """Hopping (overlapping) windows: the streamed append-mode output
+    must equal the batch hopping aggregate for watermark-closed
+    windows, with each event counted in exactly size/slide windows."""
+    import datetime as dt
+
+    from etl_database_spark.streaming.windowed import windowed_event_counts
+
+    base = dt.datetime(2025, 4, 1, 0, 0, 0)
+    rows = []
+    for i in range(240):
+        rows.append(
+            (i, base + dt.timedelta(minutes=3 * i), i % 5, "click" if i % 2 else "view", float(i))
+        )
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    src = str(tmp_path / "events_src")
+    events.coalesce(2).write.parquet(src)
+
+    batch = windowed_event_counts(events, "1 hour", slide="30 minutes")
+    # every event lands in exactly 2 windows
+    total = batch.agg(F.sum("n_events")).collect()[0][0]
+    assert total == 2 * len(rows)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = windowed_event_counts(stream, "1 hour", "2 hours", slide="30 minutes")
+    out = str(tmp_path / "hop_out")
+    (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "hop_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    max_ts = max(r[1] for r in rows)
+    closed = max_ts - dt.timedelta(hours=2)
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in batch.collect()
+        if r.window_end <= closed
+    }
+    for k, v in want.items():
+        assert got.get(k) == v, k
