@@ -2652,3 +2652,105 @@ def hopping_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_counts(ev, "1 hour", slide="30 minutes").orderBy(
         "window_start", "event_type"
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing MATERIALIZED: the actual pretraining artifact —
+# per (shard, bin) the concatenated document text with an <eos>
+# separator, in deterministic doc_id order (array_sort of structs on
+# the Spark side, string_agg ORDER BY on the oracle side). Same bin
+# assignment as doc_packing_bins (functions/chunking.pack_documents),
+# so the two queries stay in lockstep; the per-bin collect_list is
+# bounded by the token budget, never by corpus size.
+_PACKSEQ_ORACLE = f"""
+    WITH s AS (
+      SELECT doc_id, text,
+             CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1 END AS n_tokens,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               % {1000 * _PACK_SHARDS} % {_PACK_SHARDS} AS shard
+      FROM documents),
+    p AS (
+      SELECT doc_id, text, n_tokens, shard,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens AS start_off
+      FROM s)
+    SELECT shard,
+           CAST(start_off // {_PACK_BUDGET} AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           string_agg(text, ' <eos> ' ORDER BY doc_id) AS packed_text
+    FROM p GROUP BY shard, bin_id
+    ORDER BY shard, bin_id
+    """
+
+
+@register("packed_training_sequences", oracle=_PACKSEQ_ORACLE)
+def packed_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pretraining packing output itself: per (shard, bin) the
+    <eos>-joined document text in doc_id order, with doc and token
+    counts — hash-verified byte-for-byte cross-engine."""
+    from etl_database_spark.functions import chunking as C
+
+    d = table(spark, sf_dir, "documents")
+    trimmed = F.trim(F.col("text"))
+    ntok = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.length(trimmed) - F.length(F.replace(trimmed, F.lit(" "), F.lit(""))) + 1
+    )
+    sized = d.select("doc_id", "text", ntok.alias("n_tokens"))
+    bins = C.pack_documents(sized, _PACK_BUDGET, _PACK_SHARDS)
+    joined = bins.join(sized, "doc_id")
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+        lambda x: x["text"],
+    )
+    return (
+        joined.groupBy("shard", "bin_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.concat_ws(" <eos> ", ordered).alias("packed_text"),
+        )
+        .orderBy("shard", "bin_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 completion: INTERSECT — the one set operation the reference
+# lacks ("No INTERSECT", SURVEY §2.7). Distinct-set semantics in both
+# engines (Spark intersect() dedups, like SQL INTERSECT): nations that
+# have BOTH a customer with an open order in 1995 AND one in 1996.
+_INTERSECT_ORACLE = """
+    SELECT n_name FROM (
+      SELECT DISTINCT n_name
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+      INTERSECT
+      SELECT DISTINCT n_name
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+    ) ORDER BY n_name
+    """
+
+
+@register("nations_active_both_years", oracle=_INTERSECT_ORACLE)
+def nations_active_both_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT of nations with 1995 orders and nations with 1996
+    orders (distinct-set semantics, one left-semi-shaped branch each)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+
+    def active(year):
+        return (
+            o.where(
+                (F.col("o_orderdate") >= f"{year}-01-01")
+                & (F.col("o_orderdate") < f"{year + 1}-01-01")
+            )
+            .join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("n_name")
+            .distinct()
+        )
+
+    return active(1995).intersect(active(1996)).orderBy("n_name")
