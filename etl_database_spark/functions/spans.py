@@ -59,10 +59,14 @@ def _md5_join(win) -> "F.Column":
 
 
 def tokenized(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, toks): whitespace tokens of the normalized text."""
+    """(doc_id, toks): whitespace tokens of the normalized text.
+    NULL text is treated as empty (one empty token, no windows) so a
+    null-bearing corpus degrades to zero spans instead of null stats."""
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.split(normalize_text(F.col(text_col)), " ").alias("toks"),
+        F.split(
+            normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " "
+        ).alias("toks"),
     )
 
 

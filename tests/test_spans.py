@@ -113,3 +113,20 @@ def test_spans_are_maximal_not_fragmented(spark):
     for r in spans:
         per_doc.setdefault(r["doc_id"], []).append((r["s"], r["e"]))
     assert per_doc == {1: [(0, 7)], 2: [(0, 7)]}
+
+
+def test_empty_corpus(spark):
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert SP.duplicate_span_stats(docs, "text", "doc_id", W).count() == 0
+    assert SP.cut_duplicate_spans(docs, "text", "doc_id", W).count() == 0
+
+
+def test_null_text_treated_as_empty(spark):
+    docs = spark.createDataFrame(
+        [(1, None), (2, "a b c d e"), (3, "a b c d e")],
+        "doc_id long, text string",
+    )
+    st = _stats(spark, docs.collect())
+    # null normalizes to empty -> 1 empty token, no windows, no dups
+    assert st[1] == (1, 0, 0)
+    assert st[2][1] == 5 and st[3][1] == 5

@@ -121,3 +121,17 @@ def test_single_value_group(spark):
     cents = TD.tdigest_partials(df, "v", delta=DELTA)
     out = {r["q"]: r["est"] for r in TD.tdigest_quantiles(cents, QS).collect()}
     assert all(v == 42.0 for v in out.values())
+
+
+def test_empty_input(spark):
+    df = spark.createDataFrame([], "v double")
+    cents = TD.tdigest_partials(df, "v", delta=DELTA)
+    assert cents.count() == 0
+    assert TD.tdigest_quantiles(cents, [0.5]).count() == 0
+
+
+def test_all_null_group_is_absent(spark):
+    df = spark.createDataFrame([("a", None), ("a", None), ("b", 1.0)], "g string, v double")
+    cents = TD.tdigest_partials(df, "v", ["g"], delta=DELTA)
+    groups = {r["g"] for r in cents.select("g").distinct().collect()}
+    assert groups == {"b"}

@@ -53,7 +53,17 @@ MINHASH = {"n": 7, "num_perm": 32, "bands": 8, "threshold": 0.5}
 
 def scaled_corpus(spark, scale: int, workdir: str) -> str:
     """Write the Nx union to parquet and return its path (reads are
-    then from disk, same as the 1x fixture)."""
+    then from disk, same as the 1x fixture).
+
+    VALIDITY BOUND: the letter rotation has 26 distinct classes and
+    the fixture text is letters-only, so copies k and k+26 carry
+    IDENTICAL text. Up to scale 26 the construction is clean (pair
+    output scales exactly Nx); beyond 26 it deliberately degrades
+    into a duplicate-density STRESS mode — cross-copy exact
+    duplicates multiply the true pair/span output far beyond Nx,
+    which exercises the operators on a dup-heavy corpus rather than
+    measuring a clean cost curve. The 64x run in ROADMAP.md is
+    recorded under that reading."""
     docs = table(spark, SF_DIR, "documents")
     alpha = string.ascii_lowercase
     digits = string.digits
