@@ -494,6 +494,102 @@ def image_features(
     return df.select(id_col, media_col).mapInPandas(process, IMAGE_FEATURES_SCHEMA)
 
 
+IMAGE_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("sha256", T.StringType(), True),
+        T.StructField("dhash", T.LongType(), True),
+    ]
+)
+
+
+def _dhash64(px) -> int:
+    """64-bit difference hash (dHash): block-mean the luma plane to an
+    8x9 grid, emit one bit per horizontal gradient sign. Perceptual:
+    invariant to container format, re-encoding, and global brightness
+    shifts (gradient signs survive +c); small edits flip few bits, so
+    near-duplicate images sit at small Hamming distance — the image
+    analog of SimHash, and it reuses SimHash's banded blocking."""
+    import numpy as np
+
+    f = px.astype(np.float64)
+    luma = 0.2126 * f[:, :, 0] + 0.7152 * f[:, :, 1] + 0.0722 * f[:, :, 2]
+    h, w = luma.shape
+    redges = np.linspace(0, h, 9).astype(int)
+    cedges = np.linspace(0, w, 10).astype(int)
+    cells = np.empty((8, 9))
+    for i in range(8):
+        r0, r1 = redges[i], max(redges[i + 1], redges[i] + 1)
+        for j in range(9):
+            c0, c1 = cedges[j], max(cedges[j + 1], cedges[j] + 1)
+            cells[i, j] = luma[min(r0, h - 1) : min(r1, h), min(c0, w - 1) : min(c1, w)].mean()
+    bits = cells[:, 1:] > cells[:, :-1]
+    val = 0
+    for k, b in enumerate(bits.flatten()):
+        if b:
+            val |= 1 << k
+    if val >= 1 << 63:  # store as signed LongType
+        val -= 1 << 64
+    return val
+
+
+def _dhash_fake(payload: bytes) -> int:
+    digest = hashlib.sha256(payload).digest()
+    return int.from_bytes(digest[:8], "big", signed=True)
+
+
+def image_dhash(
+    df: DataFrame,
+    id_col: str = "id",
+    media_col: str = "media",
+    fake: bool = False,
+) -> DataFrame:
+    """Perceptual 64-bit dHash per image via mapInPandas →
+    (id, n_bytes, sha256, dhash). Real path decodes the stdlib
+    formats (BMP/PPM/PNG/GIF/baseline+progressive JPEG); other
+    formats raise at the documented real-codec slot."""
+
+    def one(payload: bytes) -> int:
+        if fake:
+            return _dhash_fake(payload)
+        px = _decode_pixels(payload)
+        if px is None:
+            raise NotImplementedError(
+                "image hash for compressed formats beyond the stdlib "
+                "envelope requires an imaging library; plug a decoder "
+                "into _decode_pixels"
+            )
+        return _dhash64(px)
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf[id_col], pdf[media_col]):
+                data = bytes(payload) if payload is not None else b""
+                rows.append(
+                    {
+                        "id": int(_id),
+                        "n_bytes": len(data),
+                        "sha256": hashlib.sha256(data).hexdigest(),
+                        "dhash": one(data),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_HASH_SCHEMA.fields])
+
+    return df.select(id_col, media_col).mapInPandas(process, IMAGE_HASH_SCHEMA)
+
+
+def image_near_duplicates(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate image pairs from dhash rows: SimHash's 4x16-bit
+    pigeonhole blocking + popcount verify (sound for Hamming <= 3) —
+    one banded equi-join, never all-pairs. → (id_a, id_b, hamming)."""
+    from etl_database_spark.functions.dedup import simhash_near_duplicates
+
+    fps = hashes.select(F.col("id").alias("_id"), F.col("dhash").alias("simhash"))
+    return simhash_near_duplicates(fps, max_hamming)
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("id", T.LongType(), False),

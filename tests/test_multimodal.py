@@ -873,3 +873,97 @@ def test_gif_random_roundtrip_property():
             assert np.array_equal(decoded, np.array(px, dtype=np.uint8)), (
                 f"trial {trial} {w}x{h} interlaced={interlaced}"
             )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (dHash) + near-dup blocking
+
+
+def _grad_pixels(w=32, h=24, seed=3):
+    """Structured test image: smooth gradient + a few features, so the
+    dhash carries signal (a flat image hashes to 0 everywhere)."""
+    import random
+
+    rng = random.Random(seed)
+    px = [
+        [
+            (
+                (x * 255) // w,
+                (y * 255) // h,
+                ((x + y) * 255) // (w + h),
+            )
+            for x in range(w)
+        ]
+        for y in range(h)
+    ]
+    # sprinkle deterministic features
+    for _ in range(30):
+        x, y = rng.randrange(w), rng.randrange(h)
+        px[y][x] = (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+    return px
+
+
+def _hamming(a, b):
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_dhash_is_format_invariant(spark):
+    from etl_database_spark.functions.multimodal import image_dhash
+
+    px = _grad_pixels()
+    df = spark.createDataFrame(
+        [(1, bytearray(_bmp_bytes(px))), (2, bytearray(_ppm_bytes(px)))],
+        "id long, media binary",
+    )
+    rows = {r["id"]: r for r in image_dhash(df).collect()}
+    assert rows[1]["sha256"] != rows[2]["sha256"]  # bytes differ...
+    assert rows[1]["dhash"] == rows[2]["dhash"]  # ...perception doesn't
+
+
+def test_dhash_survives_brightness_shift(spark):
+    from etl_database_spark.functions.multimodal import image_dhash
+
+    px = _grad_pixels()
+    brighter = [[(min(r + 20, 255), min(g + 20, 255), min(b + 20, 255)) for r, g, b in row] for row in px]
+    df = spark.createDataFrame(
+        [(1, bytearray(_ppm_bytes(px))), (2, bytearray(_ppm_bytes(brighter)))],
+        "id long, media binary",
+    )
+    rows = {r["id"]: r["dhash"] for r in image_dhash(df).collect()}
+    assert _hamming(rows[1], rows[2]) <= 2  # gradient signs nearly all survive
+
+
+def test_near_duplicates_found_and_verified(spark):
+    from etl_database_spark.functions.multimodal import image_dhash, image_near_duplicates
+
+    base = _grad_pixels()
+    # small local edit: a 3x3 patch
+    edited = [row[:] for row in base]
+    for y in range(3):
+        for x in range(3):
+            edited[y + 5][x + 5] = (255, 255, 255)
+    other = _grad_pixels(seed=99)
+    different = [[c[::-1] for c in row[::-1]] for row in other]  # mirrored, channel-swapped
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_ppm_bytes(base))),
+            (2, bytearray(_ppm_bytes(edited))),
+            (3, bytearray(_ppm_bytes(different))),
+        ],
+        "id long, media binary",
+    )
+    hashes = image_dhash(df)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in image_near_duplicates(hashes, 3).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert not any(3 in p for p in pairs)
+
+
+def test_dhash_fake_path_is_deterministic(spark):
+    from etl_database_spark.functions.multimodal import image_dhash
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not-an-image")), (2, bytearray(b"not-an-image"))],
+        "id long, media binary",
+    )
+    rows = [r["dhash"] for r in image_dhash(df, fake=True).collect()]
+    assert rows[0] == rows[1]
