@@ -997,6 +997,132 @@ def _decode_audio_fake(payload: bytes) -> tuple[int, int, float]:
     return duration_ms, sample_rate, rms
 
 
+AUDIO_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("sha256", T.StringType(), True),
+        T.StructField("afp", T.LongType(), True),
+    ]
+)
+
+
+def _decode_audio_samples(payload: bytes):
+    """→ (mono float64 in [-1, 1], rate). Same stdlib WAV envelope as
+    :func:`_decode_audio_real` (PCM via ``wave``, G.711 via the
+    tables); multi-channel audio is averaged to mono per frame."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "compressed-audio decode requires an audio library not present "
+            "in this build; plug a real decoder into _decode_audio_samples"
+        )
+    fmt, data = _wav_fmt_and_data(payload)
+    if fmt is not None and len(fmt) >= 8:
+        audio_format = int.from_bytes(fmt[0:2], "little")
+        if audio_format in (6, 7):
+            channels = int.from_bytes(fmt[2:4], "little") or 1
+            rate = int.from_bytes(fmt[4:8], "little")
+            x = _g711_table(audio_format)[np.frombuffer(data or b"", np.uint8)]
+            x = x.astype(np.float64) / 32768.0
+            n = len(x) // channels
+            return x[: n * channels].reshape(n, channels).mean(axis=1), rate
+    with wave.open(io.BytesIO(payload)) as wf:
+        rate = wf.getframerate()
+        channels = wf.getnchannels() or 1
+        width = wf.getsampwidth()
+        raw = wf.readframes(wf.getnframes())
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
+    if dtype is None:
+        raise NotImplementedError(f"unsupported PCM sample width {width}")
+    x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if width == 1:
+        x = x - 128.0
+    x = x / float(2 ** (8 * width - 1))
+    n = len(x) // channels
+    return x[: n * channels].reshape(n, channels).mean(axis=1), rate
+
+
+def _audio_fingerprint64(mono, rate) -> int:
+    """64-bit spectrogram-gradient fingerprint: 9 equal time slices,
+    8 log-spaced rFFT band energies each, one bit per band's energy
+    gradient along time — the audio analog of the image dHash.
+    Gain-invariant (scaling every energy preserves gradient signs);
+    re-quantization (e.g. G.711) flips few bits; different spectral
+    content lands far away in Hamming space."""
+    import numpy as np
+
+    if len(mono) < 18:
+        return 0
+    edges = np.linspace(0, len(mono), 10).astype(int)
+    bands = np.empty((9, 8))
+    for t in range(9):
+        seg = mono[edges[t] : max(edges[t + 1], edges[t] + 1)]
+        spec = np.abs(np.fft.rfft(seg))
+        if len(spec) < 2:
+            bands[t] = 0.0
+            continue
+        bedges = np.geomspace(1, len(spec), 9)
+        for b in range(8):
+            lo = int(bedges[b])
+            hi = max(int(bedges[b + 1]), lo + 1)
+            bands[t, b] = spec[lo : min(hi, len(spec))].mean() if lo < len(spec) else 0.0
+    bits = bands[1:, :] > bands[:-1, :]
+    val = 0
+    for k, b in enumerate(bits.flatten()):
+        if b:
+            val |= 1 << k
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    id_col: str = "id",
+    media_col: str = "media",
+    fake: bool = False,
+) -> DataFrame:
+    """Perceptual 64-bit audio fingerprint per clip via mapInPandas →
+    (id, n_bytes, sha256, afp)."""
+
+    def one(payload: bytes) -> int:
+        if fake:
+            return _dhash_fake(payload)
+        mono, rate = _decode_audio_samples(payload)
+        return _audio_fingerprint64(mono, rate)
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf[id_col], pdf[media_col]):
+                data = bytes(payload) if payload is not None else b""
+                rows.append(
+                    {
+                        "id": int(_id),
+                        "n_bytes": len(data),
+                        "sha256": hashlib.sha256(data).hexdigest(),
+                        "afp": one(data),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_HASH_SCHEMA.fields])
+
+    return df.select(id_col, media_col).mapInPandas(process, AUDIO_HASH_SCHEMA)
+
+
+def audio_near_duplicates(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate clip pairs from fingerprint rows — same banded
+    blocking as the image/text SimHash family."""
+    from etl_database_spark.functions.dedup import simhash_near_duplicates
+
+    fps = hashes.select(F.col("id").alias("_id"), F.col("afp").alias("simhash"))
+    return simhash_near_duplicates(fps, max_hamming)
+
+
 def audio_features(
     df: DataFrame,
     id_col: str = "id",

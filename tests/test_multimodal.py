@@ -967,3 +967,77 @@ def test_dhash_fake_path_is_deterministic(spark):
     )
     rows = [r["dhash"] for r in image_dhash(df, fake=True).collect()]
     assert rows[0] == rows[1]
+
+
+# ---------------------------------------------------------------------------
+# Perceptual audio fingerprinting
+
+
+def _tone_samples(freqs, n=4000, rate=8000, amp=8000, seed=None):
+    import math
+    import random
+
+    rng = random.Random(seed)
+    out = []
+    for i in range(n):
+        v = sum(math.sin(2 * math.pi * f * i / rate) for f in freqs) * amp / len(freqs)
+        if seed is not None:
+            v += rng.gauss(0, 80)
+        out.append(max(-32768, min(32767, int(v))))
+    return out
+
+
+def test_audio_fp_gain_invariant(spark):
+    from etl_database_spark.functions.multimodal import audio_fingerprint
+
+    s = _tone_samples([440, 1200], seed=1)
+    half = [v // 2 for v in s]
+    df = spark.createDataFrame(
+        [(1, bytearray(_wav_bytes(s))), (2, bytearray(_wav_bytes(half)))],
+        "id long, media binary",
+    )
+    rows = {r["id"]: r["afp"] for r in audio_fingerprint(df).collect()}
+    assert bin((rows[1] ^ rows[2]) & ((1 << 64) - 1)).count("1") <= 2
+
+
+def test_audio_fp_survives_g711_requantization(spark):
+    import audioop
+    import struct
+
+    from etl_database_spark.functions.multimodal import audio_fingerprint
+
+    s = _tone_samples([300, 900, 2100], seed=2)
+    raw = b"".join(struct.pack("<h", v) for v in s)
+    ulaw = audioop.lin2ulaw(raw, 2)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_wav_bytes(s))),
+            (2, bytearray(_g711_wav_bytes(ulaw, 7))),
+        ],
+        "id long, media binary",
+    )
+    rows = {r["id"]: r["afp"] for r in audio_fingerprint(df).collect()}
+    assert bin((rows[1] ^ rows[2]) & ((1 << 64) - 1)).count("1") <= 3
+
+
+def test_audio_near_duplicates_blocking(spark):
+    from etl_database_spark.functions.multimodal import (
+        audio_fingerprint,
+        audio_near_duplicates,
+    )
+
+    base = _tone_samples([440, 1200], seed=3)
+    noised = [max(-32768, min(32767, v + ((i * 2654435761) % 97) - 48)) for i, v in enumerate(base)]
+    other = _tone_samples([3500], seed=4)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_wav_bytes(base))),
+            (2, bytearray(_wav_bytes(noised))),
+            (3, bytearray(_wav_bytes(other))),
+        ],
+        "id long, media binary",
+    )
+    fps = audio_fingerprint(df)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in audio_near_duplicates(fps, 3).collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
