@@ -847,6 +847,119 @@ def video_frame_features(
     return df.select(id_col, media_col).mapInPandas(process, FRAME_FEATURES_SCHEMA)
 
 
+FRAME_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("dhash", T.LongType(), True),
+    ]
+)
+
+
+def video_frame_hashes(
+    df: DataFrame,
+    every_n: int = 5,
+    id_col: str = "id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Perceptual dHash of every ``every_n``-th frame of raw
+    YUV4MPEG2 / MJPEG-AVI payloads → (id, frame_idx, dhash). The luma
+    plane is hashed directly (the image dHash is luma-based anyway),
+    so y4m and MJPEG encodings of the same footage produce comparable
+    hashes."""
+    import numpy as np
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from etl_database_spark.functions.jpeg import decode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf[id_col], pdf[media_col]):
+                data = bytes(payload) if payload is not None else b""
+                if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+                    frames = (
+                        (idx, decode_jpeg(jpeg))
+                        for idx, jpeg in _iter_avi_mjpeg_frames(data)
+                    )
+                    for idx, rgb in frames:
+                        if idx % every_n:
+                            continue
+                        if rgb is None:
+                            raise NotImplementedError(
+                                "non-baseline JPEG inside MJPEG AVI requires an "
+                                "imaging library not present in this build"
+                            )
+                        rows.append(
+                            {"id": int(_id), "frame_idx": idx, "dhash": _dhash64(rgb)}
+                        )
+                    continue
+                for idx, w, h, luma in _iter_y4m_frames(data):
+                    if idx % every_n:
+                        continue
+                    y = np.frombuffer(luma, dtype=np.uint8).reshape(h, w)
+                    gray = np.repeat(y[:, :, None], 3, axis=2)
+                    rows.append(
+                        {"id": int(_id), "frame_idx": idx, "dhash": _dhash64(gray)}
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_HASH_SCHEMA.fields])
+
+    return df.select(id_col, media_col).mapInPandas(process, FRAME_HASH_SCHEMA)
+
+
+def video_near_duplicates(
+    frame_hashes: DataFrame, max_hamming: int = 3, min_matched_frames: int = 2
+) -> DataFrame:
+    """Near-duplicate video pairs: per-frame banded blocking (the
+    SimHash 4x16-bit pigeonhole) + popcount verify, then a per-pair
+    count of matched sampled frames. One banded equi-join over frame
+    rows — never all-pairs over videos or frames.
+    → (id_a, id_b, matched_frames)."""
+    bands = frame_hashes.select(
+        F.col("id").alias("vid"),
+        F.col("frame_idx").alias("fidx"),
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.shiftright("dhash", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("vid", "fidx", "dhash", F.col("b.band_id").alias("band_id"), F.col("b.band_val").alias("band_val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.col("a.fidx").alias("fidx_a"),
+            F.col("b.fidx").alias("fidx_b"),
+            F.col("a.dhash").alias("h_a"),
+            F.col("b.dhash").alias("h_b"),
+        )
+        .distinct()
+    )
+    verified = cands.where(
+        F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))) <= max_hamming
+    )
+    return (
+        verified.groupBy("id_a", "id_b")
+        .agg(F.countDistinct("fidx_a").cast("long").alias("matched_frames"))
+        .where(F.col("matched_frames") >= min_matched_frames)
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 10, id_col: str = "id") -> DataFrame:
     """Video frame-sampling *plan*: explode per-media frame indices
     (metadata-driven — requires a frame_count column) without touching

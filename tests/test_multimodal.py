@@ -1041,3 +1041,60 @@ def test_audio_near_duplicates_blocking(spark):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in audio_near_duplicates(fps, 3).collect()}
     assert (1, 2) in pairs
     assert not any(3 in p for p in pairs)
+
+
+# ---------------------------------------------------------------------------
+# Video near-dup via per-frame dHash
+
+
+def _y4m_plane_bytes(planes, w, h):
+    out = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420\n" % (w, h)
+    for plane in planes:
+        assert len(plane) == w * h
+        out += b"FRAME\n" + bytes(plane) + bytes([128]) * (w * h // 2)
+    return out
+
+
+def _pattern_plane(w, h, phase):
+    return [((x * 7 + y * 13 + phase * 29) % 197 + (x > w // 2) * 40) % 256 for y in range(h) for x in range(w)]
+
+
+def test_video_near_duplicates(spark):
+    from etl_database_spark.functions.multimodal import (
+        video_frame_hashes,
+        video_near_duplicates,
+    )
+
+    w, h = 32, 16
+    base = [_pattern_plane(w, h, k) for k in range(6)]
+    noised = [[min(255, v + (i % 3)) for i, v in enumerate(p)] for p in base]
+    other = [_pattern_plane(w, h, k + 50)[::-1] for k in range(6)]
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_y4m_plane_bytes(base, w, h))),
+            (2, bytearray(_y4m_plane_bytes(noised, w, h))),
+            (3, bytearray(_y4m_plane_bytes(other, w, h))),
+        ],
+        "id long, media binary",
+    )
+    fh = video_frame_hashes(df, every_n=2)
+    assert fh.where(F.col("id") == 1).count() == 3  # frames 0,2,4 sampled
+    pairs = {
+        (r["id_a"], r["id_b"]): r["matched_frames"]
+        for r in video_near_duplicates(fh, max_hamming=3, min_matched_frames=2).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert not any(3 in p for p in pairs)
+
+
+def test_video_frame_hash_deterministic(spark):
+    from etl_database_spark.functions.multimodal import video_frame_hashes
+
+    w, h = 32, 16
+    frames = [_pattern_plane(w, h, k) for k in range(4)]
+    df = spark.createDataFrame(
+        [(1, bytearray(_y4m_plane_bytes(frames, w, h)))], "id long, media binary"
+    )
+    a = sorted(map(tuple, video_frame_hashes(df, every_n=1).collect()))
+    b = sorted(map(tuple, video_frame_hashes(df, every_n=1).collect()))
+    assert a == b and len(a) == 4
