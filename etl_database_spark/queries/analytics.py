@@ -892,3 +892,87 @@ def rollup_weekly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot CDC: the generalized form of the flagship event_changes —
+# given two versions of a keyed table, emit the change set
+# (insert / update / delete + the changed row's content hash) via one
+# full-outer join on the key. The reference computes added/removed
+# per entity with MIN/MAX appearance dates (SURVEY A1/W3); this is
+# the same question asked of whole rows, the way a warehouse diffs
+# snapshot loads. Update detection hashes the non-key payload with
+# md5(concat_ws) so the oracle replays it exactly.
+_CDC_CUT = "1997-06-01"
+
+_CDC_ORACLE = f"""
+    WITH old AS (
+      SELECT o_orderkey AS k,
+             md5(concat_ws('|', o_orderstatus, o_orderpriority)) AS h
+      FROM orders WHERE o_orderdate < DATE '{_CDC_CUT}'
+    ),
+    new AS (
+      SELECT o_orderkey AS k,
+             md5(concat_ws('|',
+                 CASE WHEN o_orderstatus = 'O' THEN 'F' ELSE o_orderstatus END,
+                 o_orderpriority)) AS h
+      FROM orders WHERE o_orderdate < DATE '{_CDC_CUT}' AND o_orderkey % 3 != 0
+      UNION ALL
+      SELECT o_orderkey AS k,
+             md5(concat_ws('|', o_orderstatus, o_orderpriority)) AS h
+      FROM orders WHERE o_orderdate >= DATE '{_CDC_CUT}' AND o_orderkey % 7 = 0
+    )
+    SELECT COALESCE(o.k, n.k) AS order_key,
+           CASE WHEN o.k IS NULL THEN 'I'
+                WHEN n.k IS NULL THEN 'D'
+                ELSE 'U' END AS op
+    FROM old o FULL OUTER JOIN new n ON o.k = n.k
+    WHERE o.k IS NULL OR n.k IS NULL OR o.h <> n.h
+    ORDER BY order_key
+    """
+
+
+@register("orders_snapshot_cdc", oracle=_CDC_ORACLE)
+def orders_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture diff between two synthesized order
+    snapshots (the new one drops every third key, flips open statuses
+    to filled, and adds a slice of later orders): one full-outer join
+    on the key, payload-hash comparison for updates."""
+    o = table(spark, sf_dir, "orders")
+    payload = F.md5(F.concat_ws("|", "o_orderstatus", "o_orderpriority"))
+    old = o.where(F.col("o_orderdate") < _CDC_CUT).select(
+        F.col("o_orderkey").alias("k"), payload.alias("h")
+    )
+    changed = F.md5(
+        F.concat_ws(
+            "|",
+            F.when(F.col("o_orderstatus") == "O", "F").otherwise(
+                F.col("o_orderstatus")
+            ),
+            F.col("o_orderpriority"),
+        )
+    )
+    new = (
+        o.where((F.col("o_orderdate") < _CDC_CUT) & (F.col("o_orderkey") % 3 != 0))
+        .select(F.col("o_orderkey").alias("k"), changed.alias("h"))
+        .unionByName(
+            o.where(
+                (F.col("o_orderdate") >= _CDC_CUT) & (F.col("o_orderkey") % 7 == 0)
+            ).select(F.col("o_orderkey").alias("k"), payload.alias("h"))
+        )
+    )
+    j = old.alias("o").join(new.alias("n"), F.col("o.k") == F.col("n.k"), "full_outer")
+    op = (
+        F.when(F.col("o.k").isNull(), "I")
+        .when(F.col("n.k").isNull(), "D")
+        .otherwise("U")
+    )
+    return (
+        j.where(
+            F.col("o.k").isNull()
+            | F.col("n.k").isNull()
+            | (F.col("o.h") != F.col("n.h"))
+        )
+        .select(F.coalesce("o.k", "n.k").alias("order_key"), op.alias("op"))
+        .orderBy("order_key")
+    )
