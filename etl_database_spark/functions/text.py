@@ -212,3 +212,58 @@ def fingerprint_xx64(col) -> Column:
     """64-bit fingerprint via xxhash64 of normalized text (cheaper than
     md5; Spark-specific)."""
     return F.xxhash64(normalize_text(col))
+
+
+def compression_ratios(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+):
+    """Per-document zlib compression ratio — the CCNet/RefinedWeb-style
+    quality signal: highly compressible text is repetitive/boilerplate,
+    incompressible text is noise; natural prose sits in between.
+
+    → (doc_id, n_bytes, n_compressed, ratio_permille) with
+    ratio_permille = ⌊1000·compressed/raw⌋ as an exact integer (zlib
+    output is deterministic for a fixed level, so the whole frame is
+    reproducible — but there is no SQL zlib, so the registry entry is
+    rows-only and the correctness gate is pytest against direct
+    ``zlib.compress``).
+
+    This is the documented Pandas slow path (like the multimodal
+    decoders): compression is genuinely inexpressible as a column
+    expression. Arrow streams batches; Python touches each payload
+    once; cost is one scan, no shuffle."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("n_bytes", T.LongType(), True),
+            T.StructField("n_compressed", T.LongType(), True),
+            T.StructField("ratio_permille", T.LongType(), True),
+        ]
+    )
+
+    def process(batches):
+        import zlib
+
+        for pdf in batches:
+            rows = []
+            for _id, text in zip(pdf[id_col], pdf[text_col]):
+                raw = (text or "").encode("utf-8")
+                comp = zlib.compress(raw, level)
+                n = len(raw)
+                rows.append(
+                    {
+                        "doc_id": int(_id),
+                        "n_bytes": n,
+                        "n_compressed": len(comp),
+                        "ratio_permille": (1000 * len(comp)) // n if n else 0,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.select(id_col, text_col).mapInPandas(process, schema)

@@ -2754,3 +2754,15 @@ def nations_active_both_years(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return active(1995).intersect(active(1996)).orderBy("n_name")
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal (functions/text.compression_ratios):
+# rows-only — no SQL zlib exists — verified in pytest against direct
+# zlib.compress on the same fixture rows; deterministic for the fixed
+# level, so row counts and values are stable across runs.
+@register("doc_compression_ratios")
+def doc_compression_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compressibility (boilerplate/noise signal)."""
+    d = table(spark, sf_dir, "documents")
+    return T.compression_ratios(d, "text", "doc_id").orderBy("doc_id")

@@ -114,3 +114,26 @@ def test_pii_patterns_sensitive_on_fixture(spark):
             FROM fixture ORDER BY doc_id"""
     ).fetchall()
     assert {r[0]: (r[1], r[2], r[3]) for r in dd} == out
+
+
+def test_compression_ratios_match_direct_zlib(spark):
+    import zlib
+
+    from etl_database_spark.functions.text import compression_ratios
+
+    rows = [
+        (1, "spam spam spam " * 40),          # repetitive -> low ratio
+        (2, "the quick brown fox jumps over the lazy dog and keeps going"),
+        (3, "9f8e7d6c5b4a" * 1 + "zqxjkvbwpm"),  # short, high-entropy
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in compression_ratios(df).collect()}
+    for i, text in rows:
+        raw = text.encode()
+        comp = zlib.compress(raw, 6)
+        assert got[i]["n_bytes"] == len(raw)
+        assert got[i]["n_compressed"] == len(comp)
+        assert got[i]["ratio_permille"] == ((1000 * len(comp)) // len(raw) if raw else 0)
+    assert got[1]["ratio_permille"] < 200        # boilerplate compresses hard
+    assert got[2]["ratio_permille"] > got[1]["ratio_permille"]
