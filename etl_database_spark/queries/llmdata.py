@@ -249,9 +249,61 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # ANN via random-hyperplane LSH — rows-only; recall vs brute force is
 # asserted in tests/test_similarity.py.
-@register("ann_topk_lsh")
+# Like embedding_near_dups_lsh below, the two-probe ANN is fully
+# oracle-checkable: its 12 hyperplanes are deterministic literals, so
+# the signature bits, both probe buckets, the candidate join, and the
+# in-bucket cosine ranking replay bit-for-bit in DuckDB.
+def _ann_lsh_oracle() -> str:
+    from etl_database_spark.functions.similarity import _hyperplane
+
+    def plane_sql(pid):
+        return "[" + ", ".join(
+            "1.0" if x > 0 else "-1.0" for x in _hyperplane(64, pid, 42)
+        ) + "]"
+
+    sig = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(list_zip(v, {plane_sql(j)}), "
+        f"x -> x[1] * x[2])) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(12)
+    )
+    cos = (
+        "list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))"
+        " / (SQRT(list_sum(list_transform(a.v, x -> x * x)))"
+        " * SQRT(list_sum(list_transform(b.v, x -> x * x))))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sig AS (SELECT vec_id, ({sig}) AS s FROM e),
+    keys AS (
+      SELECT vec_id, u['probe'] AS probe, u['bits'] AS bits
+      FROM sig, unnest([{{'probe': 0, 'bits': s % 64}},
+                        {{'probe': 1, 'bits': s // 64}}]) AS t(u)
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM keys q JOIN keys c
+        ON q.probe = c.probe AND q.bits = c.bits AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {_N_QUERIES}
+    ),
+    ranked AS (
+      SELECT cand.query_id, cand.neighbor_id, ROUND({cos}, 4) AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY cand.query_id
+               ORDER BY ROUND({cos}, 4) DESC, cand.neighbor_id) AS rn
+      FROM cand JOIN e a ON a.vec_id = cand.query_id
+                JOIN e b ON b.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim
+    FROM ranked WHERE rn <= {_TOPK_K}
+    ORDER BY query_id, cos_sim DESC, neighbor_id
+    """
+
+
+@register("ann_topk_lsh", oracle=_ann_lsh_oracle())
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via sign-bit LSH bucketing + in-bucket cosine."""
+    """Approximate top-k via sign-bit LSH bucketing + in-bucket cosine
+    (two-probe banding; the oracle carries the same literal planes, so
+    the whole ANN path is hash-verified cross-engine)."""
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < _N_QUERIES)
     return S.ann_topk(emb, queries, dim=64, k=_TOPK_K)
@@ -545,13 +597,76 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_near_dup_pairs(emb, threshold=_COS_DUP_THRESHOLD)
 
 
-@register("embedding_near_dups_lsh")
+# The sign-LSH pipeline is fully oracle-checkable — unlike the
+# minhash/simhash tiers (xxhash64), its hyperplanes are deterministic
+# ±1 literals from functions.similarity._hyperplane, so the SAME plane
+# constants are baked into both the Spark plan and the generated SQL:
+# band keys, the 500-vector bucket cap, the candidate join, and the
+# exact-cosine verify all replay bit-for-bit in DuckDB. A green hash
+# therefore verifies the LSH BLOCKING itself cross-engine, not just
+# the verified pairs.
+_LSH_BANDS, _LSH_ROWS = 16, 4
+
+
+def _lsh_oracle() -> str:
+    from etl_database_spark.functions.similarity import _hyperplane
+
+    def plane_sql(pid: int) -> str:
+        vals = _hyperplane(64, pid, 42)
+        return "[" + ", ".join("1.0" if x > 0 else "-1.0" for x in vals) + "]"
+
+    def dot_sql(pid: int) -> str:
+        return (
+            f"list_sum(list_transform(list_zip(v, {plane_sql(pid)}), "
+            "x -> x[1] * x[2]))"
+        )
+
+    band_structs = []
+    for bi in range(_LSH_BANDS):
+        bits = " + ".join(
+            f"(CASE WHEN {dot_sql(bi * _LSH_ROWS + j)} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(_LSH_ROWS)
+        )
+        band_structs.append(f"{{'band': {bi}, 'key': {bits}}}")
+    cos = (
+        "list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))"
+        " / (SQRT(list_sum(list_transform(a.v, x -> x * x)))"
+        " * SQRT(list_sum(list_transform(b.v, x -> x * x))))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    keys AS (
+      SELECT vec_id, u['band'] AS band, u['key'] AS band_key
+      FROM e, unnest([{", ".join(band_structs)}]) AS t(u)
+    ),
+    sizes AS (
+      SELECT band, band_key, COUNT(*) AS n FROM keys GROUP BY band, band_key
+    ),
+    capped AS (
+      SELECT k.vec_id, k.band, k.band_key
+      FROM keys k JOIN sizes s USING (band, band_key) WHERE s.n <= 500
+    ),
+    cands AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b, ROUND({cos}, 4) AS cos_sim
+    FROM cands c JOIN e a ON a.vec_id = c.id_a JOIN e b ON b.vec_id = c.id_b
+    WHERE ROUND({cos}, 4) >= {_COS_DUP_THRESHOLD}
+    ORDER BY id_a, id_b
+    """
+
+
+@register("embedding_near_dups_lsh", oracle=_lsh_oracle())
 def embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded sign-LSH blocking + exact-cosine verify: near-dup pairs
-    without the all-pairs scan (recall-tested against the exact op)."""
+    without the all-pairs scan (recall-tested against the exact op,
+    AND the blocking itself hash-verified cross-engine — the oracle
+    carries the same literal hyperplanes)."""
     emb = table(spark, sf_dir, "embeddings")
     return S.cosine_near_dup_lsh(
-        emb, dim=64, threshold=_COS_DUP_THRESHOLD, bands=16, rows_per_band=4
+        emb, dim=64, threshold=_COS_DUP_THRESHOLD, bands=_LSH_BANDS, rows_per_band=_LSH_ROWS
     )
 
 
