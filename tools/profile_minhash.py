@@ -2,8 +2,11 @@
 
 Usage: python tools/profile_minhash.py [sf_dir] [n_shingle]
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
