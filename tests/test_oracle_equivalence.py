@@ -114,3 +114,32 @@ def test_oracle_equivalence(spark, duck, name, rq):
         f"{name}: cols {sorted(sdf.columns)} vs oracle {sorted(odf.columns)}"
     )
     assert value_hash(sdf) == value_hash(odf), f"{name}: value-hash mismatch vs oracle"
+
+
+def _rows_only_queries():
+    from etl_database_spark.queries import load_all
+
+    registry = load_all()
+    return [(n, rq) for n, rq in registry.items() if rq.oracle is None]
+
+
+_ROWS_ONLY = _rows_only_queries() if os.path.isdir(SF_DIR) else []
+_SMOKE_SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize(
+    "name,rq", _ROWS_ONLY, ids=[n for n, _ in _ROWS_ONLY]
+)
+def test_rows_only_query_contract_smoke(spark, name, rq):
+    """Rows-only queries have no oracle row to turn red, and their
+    module tests exercise the underlying FUNCTIONS, not the registered
+    callables the driver invokes. This smoke drives each registry
+    entry exactly like the driver does (callable at a fixture sf_dir,
+    collectable, stable schema) and asserts run-to-run row-count
+    determinism — the weak signal the driver records must at least be
+    reproducible."""
+    df = rq.fn(spark, _SMOKE_SF)
+    first = df.toPandas()
+    again = rq.fn(spark, _SMOKE_SF).toPandas()
+    assert list(first.columns) == list(again.columns)
+    assert len(first) == len(again), f"{name}: row count not reproducible"
