@@ -2881,3 +2881,78 @@ def doc_compression_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document zlib compressibility (boilerplate/noise signal)."""
     d = table(spark, sf_dir, "documents")
     return T.compression_ratios(d, "text", "doc_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus data card: the one-frame dataset summary a training-data
+# release ships with (docs/tokens/sources/languages, duplicate and
+# length profile) — every metric an exact BIGINT so the card is
+# hash-stable. Long-form (metric, value) rows: adding a metric never
+# changes the schema.
+_DATACARD_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, source, lang,
+             CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                  ELSE LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1 END AS n_tokens,
+             md5({_NORM_SQL}) AS fp
+      FROM documents
+    ),
+    dups AS (
+      SELECT fp, COUNT(*) AS c FROM tok GROUP BY fp HAVING COUNT(*) > 1
+    )
+    SELECT 'n_docs' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM tok
+    UNION ALL SELECT 'total_tokens', CAST(SUM(n_tokens) AS BIGINT) FROM tok
+    UNION ALL SELECT 'n_sources', CAST(COUNT(DISTINCT source) AS BIGINT) FROM tok
+    UNION ALL SELECT 'n_langs', CAST(COUNT(DISTINCT lang) AS BIGINT) FROM tok
+    UNION ALL SELECT 'exact_dup_docs',
+              CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM dups
+    UNION ALL SELECT 'exact_dup_groups', CAST(COUNT(*) AS BIGINT) FROM dups
+    UNION ALL SELECT 'max_doc_tokens', CAST(MAX(n_tokens) AS BIGINT) FROM tok
+    UNION ALL SELECT 'min_doc_tokens', CAST(MIN(n_tokens) AS BIGINT) FROM tok
+    UNION ALL SELECT 'docs_over_50_tokens',
+              CAST(COUNT(*) AS BIGINT) FROM tok WHERE n_tokens > 50
+    ORDER BY metric
+    """
+
+
+@register("corpus_datacard", oracle=_DATACARD_ORACLE)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-frame dataset card: size, diversity, duplication, and
+    length profile as exact long-form (metric, value) rows."""
+    d = table(spark, sf_dir, "documents")
+    trimmed = F.trim(F.col("text"))
+    ntok = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.length(trimmed) - F.length(F.replace(trimmed, F.lit(" "), F.lit(""))) + 1
+    )
+    tok = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        ntok.alias("n_tokens"),
+        T.fingerprint_md5(F.col("text")).alias("fp"),
+    ).cache()
+    dups = tok.groupBy("fp").count().where(F.col("count") > 1)
+
+    def row(name, df_agg):
+        return df_agg.select(F.lit(name).alias("metric"), F.col("v").cast("long").alias("value"))
+
+    out = (
+        row("n_docs", tok.agg(F.count("*").alias("v")))
+        .unionByName(row("total_tokens", tok.agg(F.sum("n_tokens").alias("v"))))
+        .unionByName(row("n_sources", tok.agg(F.countDistinct("source").alias("v"))))
+        .unionByName(row("n_langs", tok.agg(F.countDistinct("lang").alias("v"))))
+        .unionByName(
+            row("exact_dup_docs", dups.agg(F.coalesce(F.sum("count"), F.lit(0)).alias("v")))
+        )
+        .unionByName(row("exact_dup_groups", dups.agg(F.count("*").alias("v"))))
+        .unionByName(row("max_doc_tokens", tok.agg(F.max("n_tokens").alias("v"))))
+        .unionByName(row("min_doc_tokens", tok.agg(F.min("n_tokens").alias("v"))))
+        .unionByName(
+            row(
+                "docs_over_50_tokens",
+                tok.where(F.col("n_tokens") > 50).agg(F.count("*").alias("v")),
+            )
+        )
+        .orderBy("metric")
+    )
+    return out
