@@ -2956,3 +2956,69 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("metric")
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Streaming Bloom seen-set, end to end: the first-ten-sources
+# fingerprints are delivered as a two-micro-batch stream, drained
+# through the checkpoint-bound BloomStore (streaming/bloom.py), and
+# the SERVED filter probes every document. Serving is deterministic,
+# so this entry carries the same one-shot oracle as
+# bloom_seen_fingerprints — DuckDB hash-verifies the STREAMED filter
+# down to the packed bits. The streaming machinery (foreachBatch,
+# binding, replay no-op) is covered in tests/test_bloomstore.py.
+@register("streaming_bloom_membership", oracle=_BLOOM_ORACLE)
+def streaming_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership served from a stream-maintained Bloom store; must
+    equal the one-shot filter bit-for-bit."""
+    import os
+    import shutil
+    import tempfile
+
+    from etl_database_spark.functions import bloom as B
+    from etl_database_spark.streaming.bloom import run_bloom_once
+
+    d = table(spark, sf_dir, "documents")
+    fp = T.fingerprint_md5(F.col("text"))
+    seen = d.where(F.col("source").isin([f"src{i}" for i in range(10)])).select(
+        "doc_id", fp.alias("fp")
+    )
+    work = tempfile.mkdtemp(prefix="spark_graft_stream_bloom_")
+    src = os.path.join(work, "src")
+    store_path = os.path.join(work, "store")
+    ckpt = os.path.join(work, "ckpt")
+    try:
+        seen.where(F.col("doc_id") % 2 == 0).select("fp").write.parquet(src)
+        run_bloom_once(
+            spark,
+            spark.readStream.schema("fp string").parquet(src),
+            "fp",
+            store_path,
+            ckpt,
+            m_bits=_BLOOM_M,
+        )
+        seen.where(F.col("doc_id") % 2 == 1).select("fp").write.mode("append").parquet(src)
+        store = run_bloom_once(
+            spark,
+            spark.readStream.schema("fp string").parquet(src),
+            "fp",
+            store_path,
+            ckpt,
+            m_bits=_BLOOM_M,
+        )
+        probes = d.select("doc_id", fp.alias("fp"))
+        hits = store.might_contain(probes, "fp", ["doc_id", "fp"])
+        exact = seen.select("fp").distinct().withColumn("em", F.lit(1))
+        out = (
+            hits.join(exact, "fp", "left")
+            .select(
+                "doc_id",
+                "bloom_hit",
+                F.coalesce(F.col("em"), F.lit(0)).cast("long").alias("exact_member"),
+            )
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
