@@ -3022,3 +3022,49 @@ def streaming_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Streaming substring-dedup state, end to end: documents delivered as
+# a two-micro-batch stream into the checkpoint-bound SpanStore
+# (streaming/spans.py), then the full corpus profiled from the
+# streamed counts. Counts are additive, so the served profile carries
+# the SAME one-shot oracle as duplicate_span_stats — the third
+# streamed store verified through the driver artifact (alongside
+# streaming_rollup_daily_stats and streaming_bloom_membership).
+@register("streaming_spanstore_stats", oracle=_SPAN_STATS_ORACLE)
+def streaming_spanstore_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc span profile served from a stream-maintained span
+    store; must equal the one-shot full-corpus computation."""
+    import os
+    import shutil
+    import tempfile
+
+    from etl_database_spark.streaming.spans import run_spans_once
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="spark_graft_stream_spans_")
+    src = os.path.join(work, "src")
+    store_path = os.path.join(work, "store")
+    ckpt = os.path.join(work, "ckpt")
+    try:
+        d.where(F.col("doc_id") % 2 == 0).write.parquet(src)
+        run_spans_once(
+            spark,
+            spark.readStream.schema(d.schema).parquet(src),
+            store_path,
+            ckpt,
+            w=_SPAN_W,
+        )
+        d.where(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+        store = run_spans_once(
+            spark,
+            spark.readStream.schema(d.schema).parquet(src),
+            store_path,
+            ckpt,
+            w=_SPAN_W,
+        )
+        out = store.profile(d).orderBy("doc_id").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
