@@ -2925,37 +2925,43 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(trimmed) - F.length(F.replace(trimmed, F.lit(" "), F.lit(""))) + 1
     )
     tok = d.select(
-        "doc_id",
         "source",
         "lang",
         ntok.alias("n_tokens"),
         T.fingerprint_md5(F.col("text")).alias("fp"),
-    ).cache()
-    dups = tok.groupBy("fp").count().where(F.col("count") > 1)
-
-    def row(name, df_agg):
-        return df_agg.select(F.lit(name).alias("metric"), F.col("v").cast("long").alias("value"))
-
-    out = (
-        row("n_docs", tok.agg(F.count("*").alias("v")))
-        .unionByName(row("total_tokens", tok.agg(F.sum("n_tokens").alias("v"))))
-        .unionByName(row("n_sources", tok.agg(F.countDistinct("source").alias("v"))))
-        .unionByName(row("n_langs", tok.agg(F.countDistinct("lang").alias("v"))))
-        .unionByName(
-            row("exact_dup_docs", dups.agg(F.coalesce(F.sum("count"), F.lit(0)).alias("v")))
+    )
+    # one aggregate pass for the scan metrics + one for the dup
+    # profile, stacked to long form — no per-metric scans, no cache to
+    # leak (leaked query caches were the round-1/2 bench variance)
+    m1 = tok.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.max("n_tokens").cast("long").alias("max_doc_tokens"),
+        F.min("n_tokens").cast("long").alias("min_doc_tokens"),
+        F.count(F.when(F.col("n_tokens") > 50, 1)).cast("long").alias("docs_over_50_tokens"),
+    )
+    m2 = (
+        tok.groupBy("fp")
+        .count()
+        .where(F.col("count") > 1)
+        .agg(
+            F.coalesce(F.sum("count"), F.lit(0)).cast("long").alias("exact_dup_docs"),
+            F.count("*").cast("long").alias("exact_dup_groups"),
         )
-        .unionByName(row("exact_dup_groups", dups.agg(F.count("*").alias("v"))))
-        .unionByName(row("max_doc_tokens", tok.agg(F.max("n_tokens").alias("v"))))
-        .unionByName(row("min_doc_tokens", tok.agg(F.min("n_tokens").alias("v"))))
-        .unionByName(
-            row(
-                "docs_over_50_tokens",
-                tok.where(F.col("n_tokens") > 50).agg(F.count("*").alias("v")),
-            )
-        )
+    )
+    metrics = [
+        "n_docs", "total_tokens", "n_sources", "n_langs", "max_doc_tokens",
+        "min_doc_tokens", "docs_over_50_tokens", "exact_dup_docs", "exact_dup_groups",
+    ]
+    stack_args = ", ".join(f"'{m}', {m}" for m in metrics)
+    return (
+        m1.crossJoin(m2)  # two 1-row frames
+        .select(F.expr(f"stack({len(metrics)}, {stack_args}) AS (metric, value)"))
+        .select("metric", F.col("value").cast("long").alias("value"))
         .orderBy("metric")
     )
-    return out
 
 
 # ---------------------------------------------------------------------------
