@@ -363,6 +363,12 @@ def ngram_jaccard_pairs(
     default)."""
     sh = shingles(df, text_col, id_col, n).cache()
     inv = sh.distinct()
+    # True set sizes are fixed BEFORE any max_df drop: the prefix
+    # length and the t·|A| ≤ |B| size filter must agree with the full
+    # sets that jaccard_verify scores, else max_df would add extra
+    # lossiness beyond its documented shingle drop (a pair pruned on
+    # filtered sizes can pass the threshold on true sizes).
+    sizes = inv.groupBy("_id").agg(F.count("*").alias("_sz"))
     if max_df is not None:
         rare = (
             inv.groupBy("shingle")
@@ -372,8 +378,10 @@ def ngram_jaccard_pairs(
         )
         inv = inv.join(rare, "shingle", "left_semi")
     if prefix_filter:
+        # df-asc ordering is a performance heuristic; any consistent
+        # global order keeps the pigeonhole argument, so computing it
+        # on the (possibly max_df-filtered) index is fine.
         dfreq = inv.groupBy("shingle").agg(F.count("*").alias("_df"))
-        sizes = inv.groupBy("_id").agg(F.count("*").alias("_sz"))
         ranked = inv.join(dfreq, "shingle").join(sizes, "_id")
         w = W.partitionBy("_id").orderBy("_df", "shingle")
         # prefix length |s| - ceil(t*|s|) + 1 (window is doc-sized)

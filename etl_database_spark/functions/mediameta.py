@@ -63,6 +63,17 @@ def _iter_boxes(buf: bytes, start: int, end: int):
 _MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
 
 
+def _need(btype: bytes, body: int, bend: int, extent: int) -> None:
+    """Require `extent` bytes of box body before a fixed-offset field
+    read. A box whose declared size passes _iter_boxes but is shorter
+    than its version-dependent header must fail loudly here, not
+    silently read bytes belonging to the next box."""
+    if bend - body < extent:
+        raise ValueError(
+            f"MP4 box {btype!r} body too short: {bend - body} < {extent}"
+        )
+
+
 def probe_mp4(payload: bytes) -> dict:
     """Metadata from an ISO BMFF file without touching sample data:
     {duration_ms, width, height, sample_rate, codec}. Codec is the
@@ -107,39 +118,49 @@ def probe_mp4(payload: bytes) -> dict:
             elif btype in _MP4_CONTAINERS:
                 walk(body, bend)
             elif btype == b"mvhd":
+                _need(btype, body, bend, 1)
                 version = payload[body]
                 if version == 1:
+                    _need(btype, body, bend, 32)
                     timescale = int.from_bytes(payload[body + 20 : body + 24], "big")
                     duration = int.from_bytes(payload[body + 24 : body + 32], "big")
                 else:
+                    _need(btype, body, bend, 20)
                     timescale = int.from_bytes(payload[body + 12 : body + 16], "big")
                     duration = int.from_bytes(payload[body + 16 : body + 20], "big")
                 if timescale:
                     out["duration_ms"] = int(round(duration * 1000 / timescale))
             elif btype == b"tkhd":
+                _need(btype, body, bend, 1)
                 version = payload[body]
                 # 4 (version/flags) + times/ids: 32 for v1, 20 for v0
                 off = body + 4 + (32 if version == 1 else 20)
                 # reserved (8) + layer/alt-group/volume/reserved (8)
                 # + matrix (36)
                 dims = off + 8 + 8 + 36
+                _need(btype, body, bend, dims + 8 - body)
                 w = int.from_bytes(payload[dims : dims + 4], "big") >> 16
                 h = int.from_bytes(payload[dims + 4 : dims + 8], "big") >> 16
                 if w and h:
                     trak_dims = (w, h)
             elif btype == b"hdlr":
+                _need(btype, body, bend, 12)
                 trak_handler = payload[body + 8 : body + 12]
             elif btype == b"mdhd":
+                _need(btype, body, bend, 1)
                 version = payload[body]
                 if version == 1:
+                    _need(btype, body, bend, 24)
                     trak_mdhd_timescale = int.from_bytes(
                         payload[body + 20 : body + 24], "big"
                     )
                 else:
+                    _need(btype, body, bend, 16)
                     trak_mdhd_timescale = int.from_bytes(
                         payload[body + 12 : body + 16], "big"
                     )
             elif btype == b"stsd":
+                _need(btype, body, bend, 8)
                 n = int.from_bytes(payload[body + 4 : body + 8], "big")
                 if n >= 1 and body + 16 <= bend:
                     trak_stsd_codec = (
@@ -270,16 +291,24 @@ PROBE_SCHEMA = T.StructType(
         T.StructField("id", T.LongType(), False),
         T.StructField("kind", T.StringType(), True),
         T.StructField("n_bytes", T.LongType(), True),
-        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("sample_rate", T.IntegerType(), True),
         T.StructField("codec", T.StringType(), True),
+        T.StructField("error", T.StringType(), True),
     ]
 )
 
+# width/height/sample_rate stay 32-bit columns; clamp so a corrupt
+# header produces a null, not an Arrow conversion failure mid-job
+_INT32_MAX = 2**31 - 1
+
 
 def _probe_one(payload: bytes) -> dict:
+    """Probe one payload, isolating failures: a corrupt/truncated file
+    yields its sniffed kind + an `error` message with null metadata,
+    so one bad file cannot abort a whole-lake probe scan."""
     kind = sniff_kind(payload)
     meta = {
         "kind": kind,
@@ -289,26 +318,42 @@ def _probe_one(payload: bytes) -> dict:
         "height": None,
         "sample_rate": None,
         "codec": None,
+        "error": None,
     }
-    if kind == "mp4":
-        meta.update(probe_mp4(payload))
-    elif kind == "mp3":
-        meta.update(probe_mp3(payload))
-    elif kind == "wav":
-        from etl_database_spark.functions.multimodal import _wav_fmt_and_data
+    try:
+        if kind == "mp4":
+            meta.update(probe_mp4(payload))
+        elif kind == "mp3":
+            meta.update(probe_mp3(payload))
+        elif kind == "wav":
+            from etl_database_spark.functions.multimodal import _wav_fmt_and_data
 
-        fmt, data = _wav_fmt_and_data(payload)
-        if fmt is not None and len(fmt) >= 16:
-            channels = int.from_bytes(fmt[2:4], "little") or 1
-            rate = int.from_bytes(fmt[4:8], "little")
-            bits = int.from_bytes(fmt[14:16], "little") or 8
-            meta["sample_rate"] = rate
-            meta["codec"] = {1: "pcm", 6: "g711-alaw", 7: "g711-ulaw"}.get(
-                int.from_bytes(fmt[0:2], "little"), "wav-other"
-            )
-            if data is not None and rate:
-                n = len(data) // max(channels * max(bits // 8, 1), 1)
-                meta["duration_ms"] = int(round(n * 1000 / rate))
+            fmt, data = _wav_fmt_and_data(payload)
+            if fmt is not None and len(fmt) >= 16:
+                channels = int.from_bytes(fmt[2:4], "little") or 1
+                rate = int.from_bytes(fmt[4:8], "little")
+                bits = int.from_bytes(fmt[14:16], "little") or 8
+                meta["sample_rate"] = rate
+                meta["codec"] = {1: "pcm", 6: "g711-alaw", 7: "g711-ulaw"}.get(
+                    int.from_bytes(fmt[0:2], "little"), "wav-other"
+                )
+                if data is not None and rate:
+                    n = len(data) // max(channels * max(bits // 8, 1), 1)
+                    meta["duration_ms"] = int(round(n * 1000 / rate))
+    except (ValueError, IndexError) as exc:
+        meta.update(
+            {
+                "duration_ms": None,
+                "width": None,
+                "height": None,
+                "sample_rate": None,
+                "codec": None,
+                "error": str(exc)[:200],
+            }
+        )
+    for col in ("width", "height", "sample_rate"):
+        if meta[col] is not None and not (0 <= meta[col] <= _INT32_MAX):
+            meta[col] = None
     return meta
 
 

@@ -81,6 +81,27 @@ def test_ngram_jaccard_is_exhaustive(spark, corpus):
     assert found == truth
 
 
+def test_ngram_max_df_sizes_use_true_sets(spark):
+    """max_df + prefix_filter: the prefix length and the t·|A| ≤ |B|
+    size filter must use TRUE shingle-set sizes (what jaccard_verify
+    scores), not max_df-filtered ones. Fixture: docs A/B share common
+    chars (df=7, dropped at max_df=2) plus rare 'p'; on filtered sizes
+    (5 vs 2) the size filter would wrongly prune the pair, which
+    passes on true sizes (11 vs 8, J=7/12≈0.583 ≥ 0.5)."""
+    rows = [(1, "abcdefpqrst"), (2, "abcdefpz")] + [
+        (10 + i, "abcdef") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    found = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(
+            df, "text", "doc_id", n=1, threshold=0.5, max_df=2, prefix_filter=True
+        ).collect()
+    }
+    assert (1, 2) in found
+    assert abs(found[(1, 2)] - 7 / 12) < 1e-9
+
+
 def test_simhash_near_duplicates(spark, corpus):
     fps = D.simhash_fingerprints(corpus, "text", "doc_id")
     assert fps.count() == corpus.count()

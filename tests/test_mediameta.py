@@ -209,6 +209,54 @@ def test_probe_media_mixed_batch(spark):
     assert got[3].n_bytes == len(b"not media at all")
 
 
+def test_probe_media_isolates_corrupt_payloads(spark):
+    """A truncated MP4 (or junk that sniffs as mp3) must not abort the
+    whole-lake scan: the row lands with its sniffed kind, null
+    metadata, and the parse error recorded."""
+    rows = [
+        (1, bytearray(_mp4_fixture())),
+        (2, bytearray(_mp4_fixture()[:-45])),  # truncated mid-moov
+        (3, bytearray(b"\xff\xe0junk that sniffs as mp3 but has no sync")),
+    ]
+    df = spark.createDataFrame(rows, "id long, media binary")
+    got = {r.id: r for r in probe_media(df).collect()}
+    assert got[1].duration_ms == 12_345 and got[1].error is None
+    assert got[2].kind == "mp4" and got[2].duration_ms is None
+    assert "truncated MP4 box" in got[2].error
+    assert got[3].kind == "mp3" and got[3].error is not None
+
+
+def test_probe_mp4_short_box_body_fails_loudly():
+    """A box whose declared size is valid but shorter than its
+    version-dependent field extent must raise, not read bytes of the
+    following box as field values."""
+    ftyp = _box(b"ftyp", b"isom" + (0).to_bytes(4, "big"))
+    # mvhd with only version byte + 8 body bytes: v0 needs 20
+    short_mvhd = _box(b"mvhd", _fullbox_body(0, b"\x00" * 5))
+    moov = _box(b"moov", short_mvhd)
+    with pytest.raises(ValueError, match="body too short"):
+        probe_mp4(ftyp + moov)
+
+
+def test_probe_media_long_duration_survives_arrow():
+    """A bogus tiny timescale yields a >2^31 ms duration — the long
+    column must carry it instead of failing Arrow conversion."""
+    ftyp = _box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isom")
+    moov = _box(b"moov", _mvhd(timescale=1, duration=2**32 - 1))
+    payload = ftyp + moov
+    meta = probe_mp4(payload)
+    assert meta["duration_ms"] == (2**32 - 1) * 1000
+    spark_df_rows = [(1, bytearray(payload))]
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    df = spark.createDataFrame(spark_df_rows, "id long, media binary")
+    row = probe_media(df).collect()[0]
+    assert row.duration_ms == (2**32 - 1) * 1000 and row.error is None
+
+
 def test_media_probe_stats_per_kind(spark):
     rows = [
         (1, bytearray(_mp4_fixture())),

@@ -295,12 +295,19 @@ def test_partitioned_day_slice_is_partition_pruned(spark, registry):
     assert "PartitionFilters" in plan and "day" in plan
 
     path = _partitioned_events(spark, SF)
-    n_day_dirs = sum(1 for d in os.listdir(path) if d.startswith("day="))
-    assert n_day_dirs >= 28  # fixture spans ~a month of days
+    day_dirs = sorted(d for d in os.listdir(path) if d.startswith("day="))
+    assert len(day_dirs) >= 28  # fixture spans ~a month of days
+    # derive the query's 7-day window (MIN(day)+7 .. +13) from the
+    # fixture itself, so regenerating it with a different epoch
+    # cannot break the test without a real pruning defect
+    import datetime as dt
+
+    d0 = dt.date.fromisoformat(day_dirs[0].split("=", 1)[1])
+    lo, hi = d0 + dt.timedelta(days=7), d0 + dt.timedelta(days=13)
     # rebuild the same pruned scan and record which files it reads
     scan = (
         spark.read.parquet(path)
-        .where(F.col("day").between("2024-01-08", "2024-01-14"))
+        .where(F.col("day").between(F.lit(lo), F.lit(hi)))
         .select(F.input_file_name().alias("_f"))
         .distinct()
     )
@@ -308,4 +315,6 @@ def test_partitioned_day_slice_is_partition_pruned(spark, registry):
         os.path.basename(os.path.dirname(r._f)) for r in scan.collect()
     }
     assert len(touched_days) == 7, touched_days
-    assert touched_days == {f"day=2024-01-{d:02d}" for d in range(8, 15)}
+    assert touched_days == {
+        f"day={(d0 + dt.timedelta(days=off)).isoformat()}" for off in range(7, 14)
+    }
