@@ -127,6 +127,14 @@ WINDOW_PROMOTED = (
     "rollup_daily_event_stats",  # incremental store == full recompute
     "rollup_daily_value_quantiles",  # store-served histogram quantiles
     "event_value_quantile_histogram",  # mergeable-sketch quantile math
+    # round-6: the incremental-dedup and CDC layers certified by the
+    # driver's own artifact (VERDICT r5 ask) — the token-level span
+    # cut (oracle replays the cut text), the batch-ingested span
+    # store (== one-shot oracle after ingest+compaction), and the
+    # keyed snapshot diff
+    "duplicate_span_stats",
+    "spanstore_incremental_stats",
+    "orders_snapshot_cdc",
 )
 WINDOW_DEMOTED = (
     "approx_distinct_parts",
@@ -140,4 +148,12 @@ WINDOW_DEMOTED = (
     "orders_cube_segment_priority",
     "order_value_window_ranks",
     "integrity_audit",
+    # round-6: yield three slots to the span/CDC promotions above.
+    # Redundant with window coverage that stays: A1/J2 aggregates-over-
+    # join (regional_revenue, shipping_priority), skew-salted variant
+    # of the same revenue aggregate, and DISTINCT via
+    # distinct_segment_status. All remain pytest-oracle-verified.
+    "salted_revenue_by_suppkey",
+    "returned_item_customers",
+    "nation_distinct_parts",
 )
