@@ -60,15 +60,30 @@ def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     return params
 
 
-def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFrame:
+def shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 5, portable: bool = False
+) -> DataFrame:
     """Distinct hashed character n-gram shingles per doc → (id, shingle).
 
     ``shingle`` is the xxhash64 of the n-gram, not the string: set
     semantics are preserved (64-bit collisions are negligible) while
     every downstream shuffle/join moves 8-byte longs instead of
     strings. Shingling via sequence+explode stays in codegen; the
-    distinct dedups repeats with map-side partial aggregation."""
+    distinct dedups repeats with map-side partial aggregation.
+
+    ``portable=True`` swaps the shingle hash to the first 32 md5 bits
+    (``conv(substr(md5(g),1,8),16,10)``) — identical in any engine
+    with md5 (DuckDB: ``('0x'||substr(md5(g),1,8))::BIGINT``), so the
+    whole minhash/LSH pipeline becomes cross-engine hash-checkable.
+    Same 32-bit input domain the permutations already use; slower
+    (md5 vs xxhash64) but still a codegen expression."""
     from etl_database_spark.functions.text import normalize_text
+
+    if portable:
+        def hash_fn(g):
+            return F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+    else:
+        hash_fn = F.xxhash64
 
     norm = normalize_text(F.col(text_col))
     return (
@@ -82,7 +97,7 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFrame
             F.explode(
                 F.transform(
                     F.sequence(F.lit(1), F.length("_norm") - F.lit(n - 1)),
-                    lambda i: F.xxhash64(F.col("_norm").substr(i, F.lit(n))),
+                    lambda i: hash_fn(F.col("_norm").substr(i, F.lit(n))),
                 )
             ).alias("shingle"),
         )
@@ -125,21 +140,30 @@ def minhash_signatures(
     return sh.select("_id", h.alias("h")).groupBy("_id").agg(*aggs)
 
 
-def band_table(sigs: DataFrame, num_perm: int, bands: int) -> DataFrame:
+def band_table(
+    sigs: DataFrame, num_perm: int, bands: int, portable: bool = False
+) -> DataFrame:
     """(_id, band_id, band_hash) — the banded LSH bucket keys of a
     signature frame. THE one construction of band hashes: batch
     (lsh_candidate_pairs) and streaming (streaming/near_dup.py) both
     build keys here, so their band_hash values can never drift apart
     (drift would make cross-batch matching silently return nothing).
-    """
+
+    ``portable=True`` uses the comma-joined signature values as the
+    band key instead of xxhash64 — no hash at all, so bucket identity
+    replays exactly in SQL (``concat_ws``). Wider shuffle keys
+    (strings vs 8-byte longs); the xxhash64 default is the scale
+    path."""
     rows_per_band = num_perm // bands
+
+    def band_key(j: int):
+        cols = [F.col(f"sig_{i}") for i in range(j * rows_per_band, (j + 1) * rows_per_band)]
+        if portable:
+            return F.concat_ws(",", *cols)
+        return F.xxhash64(*cols)
+
     band_structs = [
-        F.struct(
-            F.lit(j).alias("band_id"),
-            F.xxhash64(
-                *[F.col(f"sig_{i}") for i in range(j * rows_per_band, (j + 1) * rows_per_band)]
-            ).alias("band_hash"),
-        )
+        F.struct(F.lit(j).alias("band_id"), band_key(j).alias("band_hash"))
         for j in range(bands)
     ]
     return sigs.select(
@@ -148,7 +172,11 @@ def band_table(sigs: DataFrame, num_perm: int, bands: int) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, num_perm: int = 32, bands: int = 8, max_bucket: int = 200
+    sigs: DataFrame,
+    num_perm: int = 32,
+    bands: int = 8,
+    max_bucket: int = 200,
+    portable: bool = False,
 ) -> DataFrame:
     """Banded LSH: hash each band of signature columns, explode to
     (id, band_id, band_hash), self-join on (band_id, band_hash) →
@@ -159,7 +187,7 @@ def lsh_candidate_pairs(
     guard for LSH at scale; dropped buckets are exact-dup groups that
     the exact pass already catches.
     """
-    banded = band_table(sigs, num_perm, bands)
+    banded = band_table(sigs, num_perm, bands, portable=portable)
     bucket_sizes = banded.groupBy("band_id", "band_hash").agg(F.count("*").alias("bucket_n"))
     banded = banded.join(
         bucket_sizes.where(F.col("bucket_n") <= max_bucket), ["band_id", "band_hash"]
@@ -257,6 +285,7 @@ def minhash_near_duplicates(
     bands: int = 8,
     threshold: float = 0.5,
     sigs: DataFrame | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection → (id_a, id_b, jaccard).
 
@@ -276,13 +305,15 @@ def minhash_near_duplicates(
     """
     release = []
     if sigs is None:
-        sigs = minhash_signatures(shingles(df, text_col, id_col, n), num_perm)
+        sigs = minhash_signatures(
+            shingles(df, text_col, id_col, n, portable=portable), num_perm
+        )
     sigs = sigs.cache()
     release.append(sigs)
     # Candidate pairs fan into several plan branches below. Materialize
     # once (cache is lazy — branches inside a single action would
     # otherwise each recompute the whole LSH pipeline).
-    pairs = lsh_candidate_pairs(sigs, num_perm, bands).cache()
+    pairs = lsh_candidate_pairs(sigs, num_perm, bands, portable=portable).cache()
     release.append(pairs)
     pairs.count()
     # Cheap pre-filter before the exact verify: estimated Jaccard =
@@ -326,7 +357,7 @@ def minhash_near_duplicates(
     cand_docs = df.join(
         _maybe_broadcast(pair_ids, 2 * n_est, BROADCAST_MAX_ID_ROWS), id_col, "left_semi"
     )
-    sh_cand = shingles(cand_docs, text_col, id_col, n)
+    sh_cand = shingles(cand_docs, text_col, id_col, n, portable=portable)
     return jaccard_verify(est, sh_cand, threshold, n_pairs=n_est, release=release)
 
 
