@@ -53,6 +53,7 @@ class RollupStore:
     COMPACTED_FILE = "_compacted.json"
     COMMITTED_FILE = "_committed.json"
     RETRACTED_FILE = "_retracted.json"
+    RECOMPUTED_FILE = "_recomputed.json"
     BASE_BATCH = "base"
     # Sketch partials live under underscore-prefixed subdirs: Spark's
     # file index treats _-prefixed paths as hidden, so the main
@@ -61,6 +62,7 @@ class RollupStore:
     HLL_SUBDIR = "_hll"
     QHIST_SUBDIR = "_qhist"
     TDIGEST_SUBDIR = "_tdigest"
+    RAW_SUBDIR = "_raw"
 
     def __init__(
         self,
@@ -69,6 +71,7 @@ class RollupStore:
         distinct_col: str | None = None,
         quantile_spec: tuple | None = None,
         tdigest_col: str | None = None,
+        keep_raw: bool = False,
     ):
         """``distinct_col``: optionally maintain an HLL sketch of this
         column per (day, event_type) alongside the additive measures,
@@ -92,12 +95,22 @@ class RollupStore:
         negated (the merge's rank positioning breaks), so retraction
         does not touch the digest and wrong-data retractions leave
         ghosts until a rebuild. Rows-only verification (libm asin);
-        accuracy property-tested in tests/test_tdigest.py."""
+        accuracy property-tested in tests/test_tdigest.py.
+
+        ``keep_raw``: retain each batch's raw measure columns under
+        ``_raw/(batch, day)``. Enables :meth:`retract_batch` — EXACT
+        retraction of the non-additive measures (min/max, t-digest,
+        HLL) by recomputing only the affected day partitions from the
+        remaining raw, so "a (bad) day costs a day", never a rebuild.
+        The self-contained variant for the local store; at 100 TB the
+        raw slice is the data lake itself — point the recompute at the
+        day-partitioned event table instead of duplicating it here."""
         self.spark = spark
         self.path = path
         self.distinct_col = distinct_col
         self.quantile_spec = quantile_spec
         self.tdigest_col = tdigest_col
+        self.keep_raw = keep_raw
 
     # -- write path -------------------------------------------------------
 
@@ -106,8 +119,14 @@ class RollupStore:
         """One batch of raw events → mergeable per-(day, type) partials.
         This is the map-side-combine shape: the shuffle carries one row
         per (day, type), never raw events."""
-        return (
+        return RollupStore._partials_from_day(
             events.withColumn("day", F.to_date(ts_col))
+        )
+
+    @staticmethod
+    def _partials_from_day(ev_day: DataFrame) -> DataFrame:
+        return (
+            ev_day
             .groupBy("day", "event_type")
             .agg(
                 F.count("*").cast("long").alias("n_events"),
@@ -136,7 +155,40 @@ class RollupStore:
         os.makedirs(self.path, exist_ok=True)
         if self._read_json(self.COMMITTED_FILE) is None:
             self._write_json(self.COMMITTED_FILE, self.batches())
-        partials = self._partials(events, ts_col).withColumn("batch", F.lit(batch))
+        ev_day = events.withColumn("day", F.to_date(ts_col))
+        self._write_all_partials(ev_day, batch)
+        if self.keep_raw:
+            raw = ev_day.select(*self._raw_cols()).withColumn("batch", F.lit(batch))
+            (
+                raw.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch", "day")
+                .parquet(os.path.join(self.path, self.RAW_SUBDIR))
+            )
+        # commit LAST: a crash anywhere above leaves no manifest entry,
+        # so the retry rewrites the measures and every sketch
+        self._commit(batch)
+        return True
+
+    def _raw_cols(self) -> list[str]:
+        """Measure columns the recompute path needs — day, the group
+        key, and every configured value column (deduplicated)."""
+        cols = ["day", "event_type", "value"]
+        for c in (
+            self.distinct_col,
+            self.quantile_spec[0] if self.quantile_spec else None,
+            self.tdigest_col,
+        ):
+            if c is not None and c not in cols:
+                cols.append(c)
+        return cols
+
+    def _write_all_partials(self, ev_day: DataFrame, batch: str) -> None:
+        """Write one batch label's measure + sketch partials from an
+        event frame that already carries ``day``. Shared by ingest and
+        the day-recompute retraction — the ONE construction of store
+        rows, so the two paths can never drift."""
+        partials = self._partials_from_day(ev_day).withColumn("batch", F.lit(batch))
         (
             partials.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -147,9 +199,7 @@ class RollupStore:
             from etl_database_spark.functions.hll import hll_partials
 
             sketch = hll_partials(
-                events.withColumn("day", F.to_date(ts_col)),
-                self.distinct_col,
-                ["day", "event_type"],
+                ev_day, self.distinct_col, ["day", "event_type"]
             ).withColumn("batch", F.lit(batch))
             (
                 sketch.write.mode("overwrite")
@@ -157,14 +207,12 @@ class RollupStore:
                 .partitionBy("batch", "day")
                 .parquet(os.path.join(self.path, self.HLL_SUBDIR))
             )
-        self._write_qhist(events, batch, ts_col, sign=1)
+        self._write_qhist(ev_day, batch, sign=1)
         if self.tdigest_col is not None:
             from etl_database_spark.functions.tdigest import tdigest_partials
 
             cents = tdigest_partials(
-                events.withColumn("day", F.to_date(ts_col)),
-                self.tdigest_col,
-                ["day", "event_type"],
+                ev_day, self.tdigest_col, ["day", "event_type"]
             ).withColumn("batch", F.lit(batch))
             (
                 cents.write.mode("overwrite")
@@ -172,21 +220,15 @@ class RollupStore:
                 .partitionBy("batch", "day")
                 .parquet(os.path.join(self.path, self.TDIGEST_SUBDIR))
             )
-        # commit LAST: a crash anywhere above leaves no manifest entry,
-        # so the retry rewrites the measures and every sketch
-        self._commit(batch)
-        return True
 
-    def _write_qhist(
-        self, events: DataFrame, batch: str, ts_col: str, sign: int
-    ) -> None:
+    def _write_qhist(self, ev_day: DataFrame, batch: str, sign: int) -> None:
         if self.quantile_spec is None:
             return
         from etl_database_spark.functions.histogram import histogram_partials
 
         value_col, lo, hi, buckets = self.quantile_spec
         hist = histogram_partials(
-            events.withColumn("day", F.to_date(ts_col)),
+            ev_day,
             value_col,
             lo,
             hi,
@@ -253,7 +295,7 @@ class RollupStore:
         # histogram counters are additive → exactly retractable (unlike
         # MIN/MAX): write the negated counters so served quantiles stay
         # correct after the retraction
-        self._write_qhist(events, batch, ts_col, sign=-1)
+        self._write_qhist(events.withColumn("day", F.to_date(ts_col)), batch, sign=-1)
         # record the retraction BEFORE the commit: a crash in between
         # re-runs both (the batch is not committed yet), and recording
         # is a set union — idempotent
@@ -267,6 +309,94 @@ class RollupStore:
         """Retraction batch ids ever applied (persists across
         compaction — extrema stay unreliable until a rebuild)."""
         return self._read_json(self.RETRACTED_FILE) or []
+
+    def recomputations(self) -> list[str]:
+        """Batch ids exactly retracted via :meth:`retract_batch`
+        (audit trail; unlike :meth:`retractions` these leave every
+        measure exact, so they do not gate extrema serving)."""
+        return self._read_json(self.RECOMPUTED_FILE) or []
+
+    def retract_batch(self, batch: str) -> list[str]:
+        """EXACT retraction of a fully ingested batch — the
+        day-recompute path for the non-additive measures that negation
+        (:meth:`retract`) cannot fix: min/max, the t-digest centroids,
+        and the HLL registers.
+
+        Requires ``keep_raw=True``. Every day partition the batch
+        touched is rebuilt from the retained raw slice minus the
+        batch: the old (batch, day) partials are removed across the
+        measure store and every sketch subdir, and one fresh ``base``
+        partial per affected day is written through the same
+        ``_write_all_partials`` construction ingest uses. Afterward
+        ``serve``/``serve_distinct``/``serve_quantiles*`` are exact
+        again — "a bad day costs a day", never a store rebuild.
+
+        Refuses when negation retractions exist: those removed
+        contributions whose raw rows are still in the slice, so a raw
+        recompute would silently resurrect them — the two modes don't
+        compose; pick one per store lifetime (or rebuild).
+
+        Returns the affected day strings."""
+        if not self.keep_raw:
+            raise ValueError(
+                f"rollup store {self.path} was not built with "
+                "keep_raw=True — no raw slice to recompute from; use "
+                "retract() for additive measures or rebuild the store"
+            )
+        if batch == self.BASE_BATCH or batch not in self.batches():
+            raise ValueError(
+                f"batch {batch!r} is not an ingested batch of {self.path}"
+            )
+        if self.retractions():
+            raise ValueError(
+                f"rollup store {self.path} has negation retractions "
+                f"{self.retractions()} — their raw rows are still in "
+                "the slice, so a day recompute would resurrect the "
+                "retracted contributions; rebuild the store instead"
+            )
+        raw_path = os.path.join(self.path, self.RAW_SUBDIR)
+        raw = self.spark.read.parquet(raw_path)
+        days = [
+            r.day
+            for r in raw.where(F.col("batch") == batch).select("day").distinct().collect()
+        ]
+        if days:
+            survivors = raw.where(
+                F.col("day").isin(days) & (F.col("batch") != batch)
+            ).drop("batch")
+            # Materialize the surviving slice BEFORE deleting the day
+            # partitions it is read from — the recompute write below
+            # must not race its own input.
+            survivors = survivors.localCheckpoint(eager=True)
+            day_strs = {str(d) for d in days}
+            roots = [self.path] + [
+                os.path.join(self.path, sub)
+                for sub in (self.HLL_SUBDIR, self.QHIST_SUBDIR, self.TDIGEST_SUBDIR)
+            ]
+            for root in roots:
+                if not os.path.isdir(root):
+                    continue
+                for bdir in os.listdir(root):
+                    if not bdir.startswith("batch="):
+                        continue
+                    for ddir in os.listdir(os.path.join(root, bdir)):
+                        if ddir.startswith("day=") and ddir.split("=", 1)[1] in day_strs:
+                            shutil.rmtree(os.path.join(root, bdir, ddir))
+            self._write_all_partials(survivors, self.BASE_BATCH)
+        # drop the batch's raw slice everywhere (not just the affected
+        # days — the batch is gone)
+        for bdir in (
+            os.listdir(raw_path) if os.path.isdir(raw_path) else []
+        ):
+            if bdir == f"batch={batch}":
+                shutil.rmtree(os.path.join(raw_path, bdir))
+        # the batch stays in the committed manifest: a late replay of
+        # ingest(events, batch) must remain a no-op, not re-add the
+        # retracted contribution
+        self._write_json(
+            self.RECOMPUTED_FILE, sorted(set(self.recomputations()) | {batch})
+        )
+        return sorted(str(d) for d in days)
 
     # -- read path --------------------------------------------------------
 
@@ -492,6 +622,11 @@ class RollupStore:
             folded_qh.write.mode("overwrite").partitionBy("batch", "day").parquet(
                 os.path.join(tmp, self.QHIST_SUBDIR)
             )
+        raw_path = os.path.join(self.path, self.RAW_SUBDIR)
+        if os.path.isdir(raw_path):
+            # the raw slice is NOT folded — per-batch raw partitions
+            # are what retract_batch subtracts by; carry them verbatim
+            shutil.copytree(raw_path, os.path.join(tmp, self.RAW_SUBDIR))
         with open(os.path.join(tmp, self.COMPACTED_FILE), "w") as fh:
             json.dump([b for b in absorbed if b != self.BASE_BATCH], fh)
         with open(os.path.join(tmp, self.COMMITTED_FILE), "w") as fh:

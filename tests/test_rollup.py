@@ -423,3 +423,121 @@ def test_tdigest_requires_configuration(spark, events, tmp_path):
     store.ingest(events, batch="b1")
     with pytest.raises(ValueError, match="t-digest"):
         store.serve_quantiles_tdigest([0.5])
+
+
+def _rows_key(df):
+    return {
+        tuple(r[k] for k in ("day", "event_type")): r.asDict() for r in df.collect()
+    }
+
+
+def test_retract_batch_recomputes_nonadditive_exactly(spark, events, tmp_path):
+    """retract_batch on a keep_raw store: min/max, t-digest quantiles
+    and HLL distincts all come back EXACT after a bad batch is
+    removed — the day-recompute path negation retraction cannot
+    provide. Reference truth = a fresh store ingesting only the
+    surviving batches' union in one shot."""
+    store = RollupStore(
+        spark,
+        str(tmp_path / "store"),
+        distinct_col="user_id",
+        tdigest_col="value",
+        keep_raw=True,
+    )
+    b1 = events.where(F.col("event_id") < 100)
+    b2 = events.where((F.col("event_id") >= 100) & (F.col("event_id") < 200))
+    # plant a rogue extremum in the bad batch: it must vanish
+    b2 = b2.withColumn(
+        "value", F.when(F.col("event_id") == 150, F.lit(9999.0)).otherwise(F.col("value"))
+    )
+    b3 = events.where(F.col("event_id") >= 200)
+    store.ingest(b1, batch="b1")
+    store.ingest(b2, batch="b2")
+    store.ingest(b3, batch="b3")
+    assert any(r.max_value == 9999.0 for r in store.serve().collect())
+
+    days = store.retract_batch("b2")
+    assert days  # b2 touched at least one day
+
+    truth = RollupStore(
+        spark,
+        str(tmp_path / "truth"),
+        distinct_col="user_id",
+        tdigest_col="value",
+        keep_raw=False,
+    )
+    truth.ingest(b1.unionByName(b3), batch="all")
+
+    got, want = _rows_key(store.serve()), _rows_key(truth.serve())
+    assert set(got) == set(want)
+    for k in want:
+        for col in ("n_events", "sum_value", "min_value", "max_value", "avg_value"):
+            assert got[k][col] == want[k][col], (k, col, got[k], want[k])
+    assert not any(r["max_value"] == 9999.0 for r in got.values())
+
+    # HLL registers are content-determined → estimates match exactly
+    got_d, want_d = _rows_key(store.serve_distinct()), _rows_key(truth.serve_distinct())
+    assert got_d.keys() == want_d.keys()
+    for k in want_d:
+        assert got_d[k]["approx_distinct"] == want_d[k]["approx_distinct"], k
+
+    # t-digest: same union content, possibly different partial
+    # grouping → compare served medians within digest accuracy
+    got_q = _rows_key(store.serve_quantiles_tdigest([0.5]))
+    want_q = _rows_key(truth.serve_quantiles_tdigest([0.5]))
+    assert got_q.keys() == want_q.keys()
+    for k in want_q:
+        assert abs(got_q[k]["est"] - want_q[k]["est"]) <= 5.0, k
+
+    # replaying the retracted batch stays a no-op
+    assert store.ingest(b2, batch="b2") is False
+    assert store.recomputations() == ["b2"]
+
+
+def test_retract_batch_guards(spark, events, tmp_path):
+    """No raw slice → clear error; unknown batch → clear error; mixed
+    with negation retraction → refuses (raw recompute would resurrect
+    the negated contribution)."""
+    bare = RollupStore(spark, str(tmp_path / "bare"))
+    bare.ingest(events, batch="b1")
+    with pytest.raises(ValueError, match="keep_raw"):
+        bare.retract_batch("b1")
+
+    store = RollupStore(spark, str(tmp_path / "store"), keep_raw=True)
+    store.ingest(events, batch="b1")
+    with pytest.raises(ValueError, match="not an ingested batch"):
+        store.retract_batch("nope")
+    store.retract(events.limit(10), batch="neg1")
+    with pytest.raises(ValueError, match="negation retractions"):
+        store.retract_batch("b1")
+
+
+def test_retract_batch_after_compaction(spark, events, tmp_path):
+    """The per-batch raw slice survives compaction verbatim, so an
+    absorbed batch can still be exactly retracted afterwards."""
+    store = RollupStore(spark, str(tmp_path / "store"), keep_raw=True)
+    b1 = events.where(F.col("event_id") < 150)
+    b2 = events.where(F.col("event_id") >= 150)
+    store.ingest(b1, batch="b1")
+    store.ingest(b2, batch="b2")
+    store.compact()
+    store.retract_batch("b2")
+    got, want = _rows_key(store.serve()), _rows_key(_full_recompute(b1))
+    assert set(got) == set(want)
+    for k in want:
+        for col in ("n_events", "sum_value", "min_value", "max_value"):
+            assert got[k][col] == want[k][col], (k, col)
+
+
+def test_retract_sole_batch_empties_its_days(spark, events, tmp_path):
+    """Retracting the only batch covering a day leaves that day absent
+    (not zero-row ghosts)."""
+    store = RollupStore(spark, str(tmp_path / "store"), keep_raw=True)
+    d1 = events.where(F.dayofmonth("ts") == 1)
+    rest = events.where(F.dayofmonth("ts") != 1)
+    store.ingest(d1, batch="day1")
+    store.ingest(rest, batch="rest")
+    days = store.retract_batch("day1")
+    assert days == ["2024-03-01"]
+    served_days = {str(r.day) for r in store.serve().select("day").distinct().collect()}
+    assert "2024-03-01" not in served_days
