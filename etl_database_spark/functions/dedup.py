@@ -369,6 +369,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: int | None = None,
     prefix_filter: bool = True,
+    max_candidate_mass: int | None = 500_000_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs: prefix-filtered inverted-index join
     for candidates, then the array-based exact verify.
@@ -391,7 +392,16 @@ def ngram_jaccard_pairs(
     boilerplate-heavy corpora. ``max_df`` additionally drops shingles
     above the given document frequency from candidate generation
     (lossy for pairs sharing only ultra-common shingles; off by
-    default)."""
+    default).
+
+    ``max_candidate_mass``: scale guardrail. Before the candidate
+    join, the exact candidate-pair mass Σ df·(df−1)/2 over the
+    join-side posting lists is measured (one counter-sized
+    aggregation); past the bound the quadratic tier refuses with an
+    error naming :func:`minhash_near_duplicates` as the scale path,
+    so a 100× corpus cannot reach an all-pairs join by accident. The
+    default clears the sf0.1 fixture's prefix-filtered mass (~89M)
+    with ~5× headroom; pass ``None`` for a deliberate unbounded run."""
     sh = shingles(df, text_col, id_col, n).cache()
     inv = sh.distinct()
     # True set sizes are fixed BEFORE any max_df drop: the prefix
@@ -434,6 +444,26 @@ def ngram_jaccard_pairs(
         sa = inv.select(F.col("_id").alias("id_a"), "shingle")
         sb = inv.select(F.col("_id").alias("id_b"), "shingle")
         joined = sa.join(sb, "shingle").where(F.col("id_a") < F.col("id_b"))
+    if max_candidate_mass is not None:
+        # Exact pre-join mass of the self-join: Σ df·(df−1)/2 over the
+        # index actually joined (post prefix/max_df). Counter-sized
+        # work — far cheaper than discovering the blow-up mid-join.
+        mass = (
+            inv.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .agg(F.coalesce(F.sum(F.col("df") * (F.col("df") - 1) / 2), F.lit(0.0)))
+            .first()[0]
+        )
+        if mass > max_candidate_mass:
+            sh.unpersist()
+            raise ValueError(
+                f"ngram_jaccard_pairs candidate mass {int(mass):,} exceeds "
+                f"max_candidate_mass={max_candidate_mass:,}: this exact tier "
+                "is quadratic in posting-list sizes and would degenerate at "
+                "this scale. Use minhash_near_duplicates (the sub-linear "
+                "LSH tier) for corpora this large, tighten max_df, or pass "
+                "max_candidate_mass=None for a deliberate unbounded run."
+            )
     # Materialize candidates once: the verify fans them into several
     # plan branches, and the inverted-index join is the expensive part.
     cand = joined.select("id_a", "id_b").distinct().cache()

@@ -102,6 +102,21 @@ def test_ngram_max_df_sizes_use_true_sets(spark):
     assert abs(found[(1, 2)] - 7 / 12) < 1e-9
 
 
+def test_ngram_mass_gate_trips_on_pathological_corpus(spark):
+    """The quadratic exact tier must refuse — naming the scale-safe
+    alternative — when the measured candidate mass Σ df·(df−1)/2
+    exceeds the bound, so it cannot be reached by accident at 100×.
+    Fixture: 40 near-identical docs → every posting list is
+    corpus-wide and no prefix can bind."""
+    rows = [(i, f"the same boilerplate text everywhere {i % 2}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(ValueError, match="minhash_near_duplicates"):
+        D.ngram_jaccard_pairs(df, "text", "doc_id", max_candidate_mass=100)
+    # explicit opt-out still runs the unbounded tier
+    out = D.ngram_jaccard_pairs(df, "text", "doc_id", max_candidate_mass=None)
+    assert out.count() > 0
+
+
 def test_simhash_near_duplicates(spark, corpus):
     fps = D.simhash_fingerprints(corpus, "text", "doc_id")
     assert fps.count() == corpus.count()
