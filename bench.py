@@ -135,6 +135,42 @@ def main() -> None:
     except Exception as e:
         setup["partitioned_events_layout_error"] = str(e)[:200]
         print(f"# WARNING: partitioned-layout setup failed: {e}", file=sys.stderr)
+    try:
+        # Streaming-path overhead on the record: drain the corpus's
+        # document fingerprints through the Structured Streaming Bloom
+        # ingest (8 files -> 8 micro-batches via maxFilesPerTrigger=1,
+        # foreachBatch into the persisted store). The batch twins are
+        # equivalence-tested in pytest; this line times the stream
+        # engine + checkpoint + store-commit cost per micro-batch.
+        import shutil
+        import tempfile
+
+        from etl_database_spark.functions.text import fingerprint_md5
+        from etl_database_spark.queries import table as _table
+        from etl_database_spark.streaming.bloom import run_bloom_once
+
+        sdir = tempfile.mkdtemp(prefix="bench_stream_bloom_")
+        src, store_p, ckpt = (os.path.join(sdir, d) for d in ("src", "store", "ckpt"))
+        keys = _table(spark, sf_dir, "documents").select(
+            fingerprint_md5("text").alias("k")
+        )
+        keys.repartition(8).write.parquet(src)
+        stream = (
+            spark.readStream.schema("k string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        t0 = time.time()
+        store = run_bloom_once(spark, stream, "k", store_p, ckpt)
+        wall = time.time() - t0
+        n_batches = len(store.batches())
+        setup["streaming_bloom_ingest"] = round(wall, 3)
+        setup["streaming_bloom_batches"] = n_batches
+        setup["streaming_bloom_per_batch"] = round(wall / max(n_batches, 1), 3)
+        shutil.rmtree(sdir, ignore_errors=True)
+    except Exception as e:
+        setup["streaming_bloom_ingest_error"] = str(e)[:200]
+        print(f"# WARNING: streaming-bloom setup failed: {e}", file=sys.stderr)
 
     def pctl(xs: list[float], q: float) -> float:
         xs = sorted(xs)

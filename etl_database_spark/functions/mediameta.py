@@ -60,7 +60,7 @@ def _iter_boxes(buf: bytes, start: int, end: int):
         pos += size
 
 
-_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"mvex", b"moof"}
 
 
 def _need(btype: bytes, body: int, bend: int, extent: int) -> None:
@@ -78,7 +78,15 @@ def probe_mp4(payload: bytes) -> dict:
     """Metadata from an ISO BMFF file without touching sample data:
     {duration_ms, width, height, sample_rate, codec}. Codec is the
     video track's first stsd sample-entry fourcc when a video track
-    exists, else the audio track's."""
+    exists, else the audio track's.
+
+    Fragmented MP4 (fMP4 / DASH / CMAF segments) is handled: those
+    files carry ``mvhd`` duration 0 and spread the samples across
+    ``moof`` fragments. Duration then comes from ``mvex > mehd``
+    (declared fragment duration) when present, else by summing each
+    fragment's ``trun`` sample durations (falling back to the
+    ``tfhd``/``trex`` default sample duration × sample count) — still
+    a pure header walk, sample payloads (``mdat``) untouched."""
     out = {
         "duration_ms": None,
         "width": None,
@@ -93,9 +101,21 @@ def probe_mp4(payload: bytes) -> dict:
     trak_mdhd_timescale = None
     trak_stsd_codec = None
     trak_dims = None
+    # fMP4 state: movie timescale, declared/summed fragment durations
+    mvhd_timescale = None
+    mehd_duration = None
+    frag_duration = 0  # movie-timescale units summed over moof boxes
+    trex_default_dur = {}  # track_id -> trex default sample duration
+    traf_default_dur = None  # current traf's tfhd default (or trex fallback)
+    moof_track_dur = {}  # track_id -> summed duration within one moof
+
+    trak_id = None
+    media_timescale = {}  # track_id -> mdhd timescale (fMP4 duration units)
 
     def flush_trak():
         nonlocal video_codec, audio_codec
+        if trak_id is not None and trak_mdhd_timescale:
+            media_timescale[trak_id] = trak_mdhd_timescale
         if trak_handler == b"vide":
             if trak_dims and out["width"] is None:
                 out["width"], out["height"] = trak_dims
@@ -109,12 +129,16 @@ def probe_mp4(payload: bytes) -> dict:
 
     def walk(start: int, end: int) -> None:
         nonlocal trak_handler, trak_mdhd_timescale, trak_stsd_codec, trak_dims
+        nonlocal trak_id, mvhd_timescale, mehd_duration, traf_default_dur
         for btype, body, bend in _iter_boxes(payload, start, end):
             if btype == b"trak":
                 trak_handler = trak_mdhd_timescale = trak_stsd_codec = None
-                trak_dims = None
+                trak_dims = trak_id = None
                 walk(body, bend)
                 flush_trak()
+            elif btype == b"traf":
+                traf_default_dur = None
+                walk(body, bend)
             elif btype in _MP4_CONTAINERS:
                 walk(body, bend)
             elif btype == b"mvhd":
@@ -128,12 +152,71 @@ def probe_mp4(payload: bytes) -> dict:
                     _need(btype, body, bend, 20)
                     timescale = int.from_bytes(payload[body + 12 : body + 16], "big")
                     duration = int.from_bytes(payload[body + 16 : body + 20], "big")
-                if timescale:
+                mvhd_timescale = timescale or None
+                if timescale and duration:
                     out["duration_ms"] = int(round(duration * 1000 / timescale))
+            elif btype == b"mehd":
+                _need(btype, body, bend, 1)
+                version = payload[body]
+                if version == 1:
+                    _need(btype, body, bend, 12)
+                    mehd_duration = int.from_bytes(payload[body + 4 : body + 12], "big")
+                else:
+                    _need(btype, body, bend, 8)
+                    mehd_duration = int.from_bytes(payload[body + 4 : body + 8], "big")
+            elif btype == b"trex":
+                _need(btype, body, bend, 20)
+                tid = int.from_bytes(payload[body + 4 : body + 8], "big")
+                trex_default_dur[tid] = int.from_bytes(
+                    payload[body + 12 : body + 16], "big"
+                )
+            elif btype == b"tfhd":
+                _need(btype, body, bend, 8)
+                flags = int.from_bytes(payload[body + 1 : body + 4], "big")
+                tid = int.from_bytes(payload[body + 4 : body + 8], "big")
+                off = body + 8
+                if flags & 0x01:  # base-data-offset
+                    off += 8
+                if flags & 0x02:  # sample-description-index
+                    off += 4
+                default = None
+                if flags & 0x08:  # default-sample-duration present
+                    _need(btype, body, bend, off + 4 - body)
+                    default = int.from_bytes(payload[off : off + 4], "big")
+                traf_default_dur = (tid, default if default is not None
+                                    else trex_default_dur.get(tid))
+            elif btype == b"trun":
+                _need(btype, body, bend, 8)
+                flags = int.from_bytes(payload[body + 1 : body + 4], "big")
+                n_samples = int.from_bytes(payload[body + 4 : body + 8], "big")
+                pos = body + 8
+                if flags & 0x01:  # data-offset
+                    pos += 4
+                if flags & 0x04:  # first-sample-flags
+                    pos += 4
+                tid, default = traf_default_dur or (None, None)
+                stride = sum(
+                    4 for bit in (0x100, 0x200, 0x400, 0x800) if flags & bit
+                )
+                if flags & 0x100:  # per-sample durations
+                    _need(btype, body, bend, pos + n_samples * stride - body)
+                    dur = sum(
+                        int.from_bytes(payload[p : p + 4], "big")
+                        for p in range(pos, pos + n_samples * stride, stride)
+                    )
+                elif default is not None:
+                    dur = default * n_samples
+                else:
+                    dur = 0
+                if tid is not None and dur:
+                    moof_track_dur[tid] = moof_track_dur.get(tid, 0) + dur
             elif btype == b"tkhd":
                 _need(btype, body, bend, 1)
                 version = payload[body]
                 # 4 (version/flags) + times/ids: 32 for v1, 20 for v0
+                id_off = body + 4 + (16 if version == 1 else 8)
+                _need(btype, body, bend, id_off + 4 - body)
+                trak_id = int.from_bytes(payload[id_off : id_off + 4], "big")
                 off = body + 4 + (32 if version == 1 else 20)
                 # reserved (8) + layer/alt-group/volume/reserved (8)
                 # + matrix (36)
@@ -169,6 +252,20 @@ def probe_mp4(payload: bytes) -> dict:
 
     walk(0, len(payload))
     out["codec"] = video_codec or audio_codec
+    if not out["duration_ms"]:
+        # fMP4: mvhd carries 0 — prefer the declared mvex>mehd total
+        # (movie timescale), else sum the fragments' sample durations
+        # (media timescale per track, take the longest track)
+        if mehd_duration and mvhd_timescale:
+            out["duration_ms"] = int(round(mehd_duration * 1000 / mvhd_timescale))
+        elif moof_track_dur:
+            secs = [
+                d / media_timescale[tid]
+                for tid, d in moof_track_dur.items()
+                if media_timescale.get(tid)
+            ]
+            if secs:
+                out["duration_ms"] = int(round(max(secs) * 1000))
     return out
 
 
@@ -243,8 +340,21 @@ def probe_mp3(payload: bytes) -> dict:
         if flags & 0x1:  # frames field present
             n_frames = int.from_bytes(payload[tag_off + 8 : tag_off + 12], "big")
             duration_ms = int(round(n_frames * spf * 1000 / sample_rate))
+    # VBRI (Fraunhofer VBR) sits at a FIXED 32 bytes after the frame
+    # header regardless of side-info size; frame count at offset +14
+    # (version 2 + delay 2 + quality 2 + bytes 4 precede it)
+    vbri_off = pos + 4 + 32
+    if duration_ms is None and payload[vbri_off : vbri_off + 4] == b"VBRI":
+        n_frames = int.from_bytes(payload[vbri_off + 14 : vbri_off + 18], "big")
+        if n_frames:
+            duration_ms = int(round(n_frames * spf * 1000 / sample_rate))
     if duration_ms is None and bitrate:
-        duration_ms = int(round((len(payload) - pos) * 8000 / bitrate))
+        # CBR estimate over the audio bytes only: a trailing 128-byte
+        # ID3v1 "TAG" block is metadata, not frames
+        audio_end = len(payload)
+        if len(payload) >= pos + 128 and payload[-128:-125] == b"TAG":
+            audio_end -= 128
+        duration_ms = int(round((audio_end - pos) * 8000 / bitrate))
     return {
         "duration_ms": duration_ms,
         "width": None,

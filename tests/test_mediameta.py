@@ -209,6 +209,103 @@ def test_probe_media_mixed_batch(spark):
     assert got[3].n_bytes == len(b"not media at all")
 
 
+def _fullbox(btype: bytes, version: int, payload: bytes, flags: int = 0) -> bytes:
+    return _box(btype, bytes([version]) + flags.to_bytes(3, "big") + payload)
+
+
+def _fmp4_fixture(with_mehd: bool, n_frags: int = 3) -> bytes:
+    """Fragmented MP4: mvhd duration 0, mvex (trex [+ mehd]), then
+    moof fragments whose trun boxes carry the samples. One video
+    track (id=1, media timescale 30000, 1001/sample)."""
+    ftyp = _box(b"ftyp", b"iso5" + (512).to_bytes(4, "big") + b"iso5dash")
+    mvhd = _fullbox(
+        b"mvhd",
+        0,
+        (0).to_bytes(4, "big") * 2  # ctime, mtime
+        + (1000).to_bytes(4, "big")  # movie timescale
+        + (0).to_bytes(4, "big")  # duration 0: the fMP4 signature
+        + (0x00010000).to_bytes(4, "big")
+        + (0x0100).to_bytes(2, "big")
+        + b"\x00" * 10
+        + b"\x00" * 36
+        + b"\x00" * 24
+        + (2).to_bytes(4, "big"),
+    )
+    trex = _fullbox(
+        b"trex",
+        0,
+        (1).to_bytes(4, "big")  # track id
+        + (1).to_bytes(4, "big")  # default sample description idx
+        + (1001).to_bytes(4, "big")  # default sample duration
+        + (0).to_bytes(4, "big") * 2,
+    )
+    mvex_children = trex
+    if with_mehd:
+        # total fragment duration in MOVIE timescale: 2.5 s
+        mvex_children = _fullbox(b"mehd", 0, (2500).to_bytes(4, "big")) + trex
+    mvex = _box(b"mvex", mvex_children)
+    moov = _box(
+        b"moov",
+        mvhd
+        + mvex
+        + _trak(b"vide", dims=(1280, 720), mdhd_ts=30_000, fourcc=b"avc1"),
+    )
+    frags = b""
+    for i in range(n_frags):
+        mfhd = _fullbox(b"mfhd", 0, (i + 1).to_bytes(4, "big"))
+        # tfhd: default-sample-duration present (flag 0x08)
+        tfhd = _fullbox(
+            b"tfhd", 0, (1).to_bytes(4, "big") + (1001).to_bytes(4, "big"), flags=0x08
+        )
+        if i == 0:
+            # per-sample durations present (flag 0x100): 10 samples
+            trun = _fullbox(
+                b"trun",
+                0,
+                (10).to_bytes(4, "big") + (1001).to_bytes(4, "big") * 10,
+                flags=0x100,
+            )
+        else:
+            # count-only trun: duration = tfhd default x count
+            trun = _fullbox(b"trun", 0, (10).to_bytes(4, "big"), flags=0)
+        traf = _box(b"traf", tfhd + trun)
+        frags += _box(b"moof", mfhd + traf) + _box(b"mdat", b"\x00" * 16)
+    return ftyp + moov + frags
+
+
+def test_probe_fmp4_mehd_duration():
+    meta = probe_mp4(_fmp4_fixture(with_mehd=True))
+    # mehd 2500 / movie timescale 1000 -> 2500 ms, NOT the zero mvhd
+    assert meta["duration_ms"] == 2500
+    assert (meta["width"], meta["height"]) == (1280, 720)
+    assert meta["codec"] == "avc1"
+
+
+def test_probe_fmp4_summed_fragments():
+    meta = probe_mp4(_fmp4_fixture(with_mehd=False, n_frags=3))
+    # 3 fragments x 10 samples x 1001 ticks at media timescale 30000
+    want = int(round(3 * 10 * 1001 * 1000 / 30_000))
+    assert meta["duration_ms"] == want
+
+
+def test_probe_mp3_vbri_and_id3v1():
+    # VBRI header: fixed 32 bytes after the frame header
+    vbri = b"VBRI" + (1).to_bytes(2, "big") + (0).to_bytes(2, "big") + (
+        0
+    ).to_bytes(2, "big") + (4000).to_bytes(4, "big") + (77).to_bytes(4, "big")
+    first = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 32 + vbri
+    first += b"\x00" * (417 - len(first))
+    meta = probe_mp3(first + _mp3_frame() * 3)
+    assert meta["duration_ms"] == int(round(77 * 1152 * 1000 / 44_100))
+
+    # ID3v1 trailer excluded from the CBR byte count
+    bare = _mp3_frame() * 10
+    id3v1 = b"TAG" + b"\x00" * 125
+    with_tag = probe_mp3(bare + id3v1)
+    without = probe_mp3(bare)
+    assert with_tag["duration_ms"] == without["duration_ms"]
+
+
 def test_probe_media_isolates_corrupt_payloads(spark):
     """A truncated MP4 (or junk that sniffs as mp3) must not abort the
     whole-lake scan: the row lands with its sniffed kind, null
