@@ -429,11 +429,18 @@ class RollupStore:
         df = self.partials()
         if days is not None:
             df = df.where(F.col("day").isin(days))
-        agg = df.groupBy("day", "event_type").agg(
-            F.sum("n_events").cast("long").alias("n_events"),
-            F.sum("sum_value").alias("sum_dec"),
-            F.min("min_value").alias("min_value"),
-            F.max("max_value").alias("max_value"),
+        agg = (
+            df.groupBy("day", "event_type")
+            .agg(
+                F.sum("n_events").cast("long").alias("n_events"),
+                F.sum("sum_value").alias("sum_dec"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+            )
+            # a group whose every contribution was retracted cancels to
+            # count 0 — it has no live rows and must not be served (and
+            # its avg would divide by zero)
+            .where(F.col("n_events") > 0)
         )
         cols = [
             F.col("day"),

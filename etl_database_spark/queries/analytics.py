@@ -1060,3 +1060,118 @@ def rollup_nation_revenue_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     (with compaction and a forced replay in between) must equal the
     full three-way-join recompute."""
     return _ivm_store(spark, sf_dir).serve()
+
+
+# ---------------------------------------------------------------------------
+# CDC-driven rollup maintenance: the snapshot-diff layer
+# (orders_snapshot_cdc) feeding the incremental store. Inserts and the
+# new side of updates are one ingest batch; deletes and the old side
+# of updates are one negation-retraction batch — counts and decimal
+# sums are group-algebraic, so after applying a day of CDC the served
+# additive state equals a FULL recompute over the new snapshot. The
+# oracle does exactly that recompute, so green certifies the whole
+# CDC -> delta -> store -> serve path cross-engine. (Extrema are
+# excluded by the store's own retraction gate; RollupStore(keep_raw)
+# + retract_batch is the exact path when they must survive CDC.)
+_CDC_ROLLUP_CACHE: dict = {}
+
+
+def _cdc_snapshots(spark: SparkSession, sf_dir: str):
+    """(old, new) snapshot frames shaped as store events: deletes =
+    key%3==0 (dropped from new), updates = key%5==0 of the survivors
+    (+100.0 on the total — a single IEEE add, engine-portable),
+    inserts = post-cut keys %7==0."""
+    o = table(spark, sf_dir, "orders")
+    ev = lambda df, val: df.select(  # noqa: E731
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderpriority").alias("event_type"),
+        val.alias("value"),
+        F.col("o_orderkey").alias("k"),
+    )
+    pre = o.where(F.col("o_orderdate") < _CDC_CUT)
+    old = ev(pre, F.col("o_totalprice"))
+    surv = pre.where(F.col("o_orderkey") % 3 != 0)
+    new = ev(
+        surv,
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + F.lit(100.0)
+        ).otherwise(F.col("o_totalprice")),
+    ).unionByName(
+        ev(
+            o.where(
+                (F.col("o_orderdate") >= _CDC_CUT) & (F.col("o_orderkey") % 7 == 0)
+            ),
+            F.col("o_totalprice"),
+        )
+    )
+    return old, new
+
+
+def _cdc_rollup_store(spark: SparkSession, sf_dir: str):
+    import os
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    key = (sf_dir, os.path.getmtime(src) if os.path.exists(src) else None)
+    if key not in _CDC_ROLLUP_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        from etl_database_spark.operators.rollup import RollupStore
+
+        for old_key in [k for k in _CDC_ROLLUP_CACHE if k[0] == sf_dir and k != key]:
+            old_store = _CDC_ROLLUP_CACHE.pop(old_key)
+            shutil.rmtree(old_store.path, ignore_errors=True)
+        old, new = _cdc_snapshots(spark, sf_dir)
+        store = RollupStore(spark, tempfile.mkdtemp(prefix="spark_graft_cdcroll_"))
+        # day 0: the base snapshot, then compact (the steady state a
+        # long-lived store is in when CDC arrives)
+        store.ingest(old.drop("k"), batch="snap0")
+        store.compact()
+        # CDC application: retract (deletes + update-old), ingest
+        # (inserts + update-new). Keys classify ops exactly as the
+        # snapshot diff emits them.
+        is_del = F.col("k") % 3 == 0
+        is_upd = (F.col("k") % 3 != 0) & (F.col("k") % 5 == 0)
+        upd_or_ins = new.where(
+            (F.col("ts") >= _CDC_CUT) | is_upd
+        )  # inserts are the only post-cut rows in `new`
+        store.retract(old.where(is_del | is_upd).drop("k"), batch="cdc_del")
+        store.ingest(upd_or_ins.drop("k"), batch="cdc_ins")
+        if store.ingest(new.limit(1).drop("k"), batch="cdc_ins") is not False:
+            raise RuntimeError("CDC rollup store replayed an applied batch")
+        atexit.register(shutil.rmtree, store.path, ignore_errors=True)
+        _CDC_ROLLUP_CACHE[key] = store
+    return _CDC_ROLLUP_CACHE[key]
+
+
+@register(
+    "cdc_rollup_order_totals",
+    oracle=f"""
+    WITH new_snap AS (
+      SELECT o_orderdate AS d, o_orderpriority AS et,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 100.0
+                  ELSE o_totalprice END AS v
+      FROM orders
+      WHERE o_orderdate < DATE '{_CDC_CUT}' AND o_orderkey % 3 <> 0
+      UNION ALL
+      SELECT o_orderdate, o_orderpriority, o_totalprice
+      FROM orders
+      WHERE o_orderdate >= DATE '{_CDC_CUT}' AND o_orderkey % 7 = 0
+    )
+    SELECT CAST(d AS DATE) AS day, et AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM new_snap
+    GROUP BY day, event_type
+    ORDER BY day, event_type
+    """,
+)
+def cdc_rollup_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day x priority order totals served from a rollup store
+    maintained by CDC deltas (base snapshot ingest + compaction, then
+    delete/update retraction and insert/update ingest): the served
+    additive state must equal a full recompute over the new
+    snapshot — the oracle performs that recompute."""
+    return _cdc_rollup_store(spark, sf_dir).serve()

@@ -541,3 +541,18 @@ def test_retract_sole_batch_empties_its_days(spark, events, tmp_path):
     assert days == ["2024-03-01"]
     served_days = {str(r.day) for r in store.serve().select("day").distinct().collect()}
     assert "2024-03-01" not in served_days
+
+
+def test_fully_retracted_group_not_served(spark, events, tmp_path):
+    """A (day, type) group whose every contribution was retracted
+    cancels to count 0 — serve must drop it (not emit a zero row or
+    divide by zero computing the avg)."""
+    store = RollupStore(spark, str(tmp_path / "store"))
+    d1 = events.where(F.dayofmonth("ts") == 1)
+    rest = events.where(F.dayofmonth("ts") != 1)
+    store.ingest(d1, batch="b1")
+    store.ingest(rest, batch="b2")
+    store.retract(d1, batch="b1_retraction")
+    served = store.serve().collect()
+    assert all(r.n_events > 0 for r in served)
+    assert not any(str(r.day) == "2024-03-01" for r in served)
