@@ -926,6 +926,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
+    max_pair_mass: int | None = 500_000_000,
 ) -> DataFrame:
     """SemDeDup prune list → (cluster_id, pruned_id, kept_id, cos_sim).
 
@@ -942,6 +943,14 @@ def semantic_dedup(
     k is raised so clusters stay bounded (the paper's lever); a skewed
     giant cluster is an AQE skew-join case, same as the LSH buckets'
     MAX_BUCKET treatment in functions/dedup.py.
+
+    ``max_pair_mass``: the guardrail enforcing that lever (the r6
+    100× spot-bench showed fixed k=8 reading "linear" at 10× while a
+    quadratic cluster-size term was building — ~5×10⁹ pairs at 100×).
+    The exact intra-cluster pair mass Σ nc·(nc−1)/2 is measured from
+    the materialized assignment (counter-sized work) and the prune
+    refuses past the bound, telling the caller to raise k. ``None``
+    opts out for a deliberate unbounded run.
     """
     # The assignment fans out into both sides of the self-join; without
     # materialization the broadcast-join + argmin subtree runs twice
@@ -949,6 +958,22 @@ def semantic_dedup(
     # functions/dedup._finish_eager). Cache + count forces one pass.
     assigned = semantic_assign(df, centroids, id_col, vec_col).cache()
     assigned.count()
+    if max_pair_mass is not None:
+        mass = (
+            assigned.groupBy("cluster_id")
+            .agg(F.count("*").alias("nc"))
+            .agg(F.coalesce(F.sum(F.col("nc") * (F.col("nc") - 1) / 2), F.lit(0.0)))
+            .first()[0]
+        )
+        if mass > max_pair_mass:
+            assigned.unpersist()
+            raise ValueError(
+                f"semantic_dedup intra-cluster pair mass {int(mass):,} exceeds "
+                f"max_pair_mass={max_pair_mass:,}: the prune join is quadratic "
+                "in cluster size. Raise k so clusters stay bounded (the "
+                "SemDeDup scale lever — see semantic_dedup_kmeans(k=...)), or "
+                "pass max_pair_mass=None for a deliberate unbounded run."
+            )
     pairs = semantic_pairs(assigned, assigned, threshold, round_digits)
     # "lowest-id partner" as a lexicographic struct-min AGGREGATE, not
     # a row_number window: the hash agg partial-combines map-side (the
@@ -982,6 +1007,7 @@ def semantic_dedup_kmeans(
     threshold: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_pair_mass: int | None = 500_000_000,
 ) -> DataFrame:
     """SemDeDup with a k-means coarse quantizer (the paper's setup):
     fit deterministic Lloyd's k-means (seeds = k lowest-id vectors,
@@ -992,4 +1018,6 @@ def semantic_dedup_kmeans(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "cluster_id long, cvec array<double>",
     )
-    return semantic_dedup(df, cdf, threshold, id_col=id_col, vec_col=vec_col)
+    return semantic_dedup(
+        df, cdf, threshold, id_col=id_col, vec_col=vec_col, max_pair_mass=max_pair_mass
+    )

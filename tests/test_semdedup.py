@@ -203,3 +203,13 @@ def test_streaming_semdedup_matches_batch_pairs(spark, tmp_path):
         for r in S.semantic_dedup(df, cents, THRESHOLD).collect()
     }
     assert pruned_from_stream == batch_pruned
+
+
+def test_semdedup_pair_mass_gate(spark, vectors, seed_centroids):
+    """The prune join is quadratic in cluster size; past max_pair_mass
+    it must refuse with an error naming the k lever, and
+    max_pair_mass=None must opt out."""
+    with pytest.raises(ValueError, match="Raise k"):
+        S.semantic_dedup(vectors, seed_centroids, 0.35, max_pair_mass=10)
+    out = S.semantic_dedup(vectors, seed_centroids, 0.35, max_pair_mass=None)
+    assert out.count() >= 0
