@@ -52,6 +52,11 @@ from etl_database_spark.registry import STATUS_ID, DatasetRegistry
 DEFAULT_WIDTH = 1000  # generic_import.py:328
 WIDTH_CAP = 4000  # generic_import.py:191
 WIDTH_FACTOR = 1.5  # generic_import.py:191
+# Bound on distinct (label, datasetdate) snapshot keys one bulk load
+# may register: config-batch cardinality by design; a malformed
+# metadata pattern that extracts per-row keys must fail loudly, not
+# collect a data-sized list onto the driver.
+MAX_SNAPSHOT_KEYS = 100_000
 
 
 @dataclass
@@ -470,7 +475,25 @@ def load_directory(
     df = normalize_columns(df).withColumn("label", label_col).withColumn(
         "datasetdate", date_col
     )
-    keys = [(r["label"], r["datasetdate"]) for r in df.select("label", "datasetdate").distinct().collect()]
+    # Audited-scalar collect: (label, datasetdate) cardinality is
+    # config-batch-sized (files per run), not data-sized — but a
+    # malformed date pattern could explode it into per-row keys, so
+    # bound the collect explicitly (limit k+1, check, raise) instead
+    # of trusting the invariant silently.
+    key_rows = (
+        df.select("label", "datasetdate")
+        .distinct()
+        .limit(MAX_SNAPSHOT_KEYS + 1)
+        .collect()
+    )
+    if len(key_rows) > MAX_SNAPSHOT_KEYS:
+        raise ValueError(
+            f"load_directory derived more than {MAX_SNAPSHOT_KEYS} distinct "
+            "(label, datasetdate) snapshot keys in one batch — the metadata "
+            "pattern is extracting per-row values, not per-file ones; fix "
+            "the ImportConfig metadata spec"
+        )
+    keys = [(r["label"], r["datasetdate"]) for r in key_rows]
     type_id = registry.ensure_type(config.datasettype)
     source_id = registry.ensure_source(config.datasource)
     # One registry rewrite for all k keys (k separate register_snapshot

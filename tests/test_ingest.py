@@ -318,3 +318,20 @@ def test_load_directory_bulk(spark, tmp_path):
     for r in joined.collect():
         assert (r.label, str(r.datasetdate)) in ds
         assert ds[(r.label, str(r.datasetdate))] == r.datasetid
+
+
+def test_load_directory_snapshot_key_bound(spark, tmp_path, monkeypatch):
+    """A metadata spec that explodes into per-row snapshot keys must
+    fail loudly at the bounded collect, not pull a data-sized list
+    onto the driver."""
+    import etl_database_spark.ingest as ing
+    from etl_database_spark.ingest import load_directory
+
+    cfg = _config(tmp_path, target_table="tguard")
+    (tmp_path / "watch" / "20250301T120000_MeetMax_11.csv").write_text(
+        "Company Name,Ticker\n" + "\n".join(f"C{i},T{i}" for i in range(5)) + "\n"
+    )
+    reg = DatasetRegistry(spark, str(tmp_path / "registry"))
+    monkeypatch.setattr(ing, "MAX_SNAPSHOT_KEYS", 0)
+    with pytest.raises(ValueError, match="distinct .* snapshot keys"):
+        load_directory(spark, cfg, reg, str(tmp_path / "data"))
