@@ -471,7 +471,9 @@ def ngram_jaccard_pairs(
     return jaccard_verify(cand, sh, threshold, n_pairs=n_cand, release=[sh, cand])
 
 
-def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def simhash_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, portable: bool = False
+) -> DataFrame:
     """64-bit SimHash per document (Charikar 2002): xxhash64 each token,
     vote per bit, fingerprint = sign vector. → (id, simhash).
 
@@ -479,15 +481,28 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame
     ±1 array (codegen'd transform), then aggregate element-wise sums
     with a single groupBy using explode over (bit, vote) — one shuffle
     keyed by (doc, bit) with map-side combine.
+
+    ``portable=True`` swaps the token hash for the first 60 md5 bits
+    (15 hex chars — fits a signed long; same trick as the minhash
+    checkable twin) so the fingerprint, the bit votes, and the banded
+    near-dup blocking all replay exactly in SQL.
     """
     from etl_database_spark.functions.text import normalize_text
 
+    n_bits = 60 if portable else 64
+    tok_hash = (
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+        if portable
+        else F.xxhash64("tok")
+    )
     toks = (
         df.select(F.col(id_col).alias("_id"), normalize_text(F.col(text_col)).alias("_norm"))
         .select("_id", F.explode(F.split("_norm", " ")).alias("tok"))
         .where(F.length("tok") > 0)
-        .withColumn("h", F.xxhash64("tok"))
-        .select("_id", "h", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"))
+        .withColumn("h", tok_hash)
+        .select(
+            "_id", "h", F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("bit")
+        )
         .withColumn(
             "vote",
             F.when(F.expr("shiftright(h, bit) % 2 != 0"), F.lit(1)).otherwise(F.lit(-1)),
@@ -507,13 +522,15 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame
 
 
 def simhash_near_duplicates(
-    fps: DataFrame, max_hamming: int = 3
+    fps: DataFrame, max_hamming: int = 3, band_bits: int = 16
 ) -> DataFrame:
-    """Near-dup pairs among SimHash fingerprints: block on 4 16-bit
-    bands (any pair within Hamming ≤3 of 64 bits shares ≥1 exact band by
-    pigeonhole when distance <4), then popcount-verify.
+    """Near-dup pairs among SimHash fingerprints: block on 4
+    ``band_bits``-wide bands (any pair within Hamming ≤3 shares ≥1
+    exact band by pigeonhole when distance <4), then popcount-verify.
+    ``band_bits=15`` covers the 60-bit portable fingerprints.
 
     → (id_a, id_b, hamming)."""
+    mask = (1 << band_bits) - 1
     bands = fps.select(
         "_id",
         "simhash",
@@ -522,8 +539,8 @@ def simhash_near_duplicates(
                 *[
                     F.struct(
                         F.lit(i).alias("band_id"),
-                        F.shiftright("simhash", i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright("simhash", i * band_bits)
+                        .bitwiseAND(F.lit(mask))
                         .alias("band_val"),
                     )
                     for i in range(4)

@@ -504,6 +504,92 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SimHash, fully oracle-checkable twins — same portability move as
+# minhash_near_dups_checkable: the 64-bit xxhash64 token hash (the one
+# non-portable primitive) becomes the first 60 md5 bits (15 hex chars,
+# signed-long-safe), and everything else — bit votes, sign fingerprint,
+# 4×15-bit band blocking, XOR-popcount Hamming verify — is integer
+# algebra both engines evaluate identically.
+
+_SIMHASH_FP_CTES = f"""
+    WITH d AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    tok AS (
+      SELECT doc_id, u.tok
+      FROM d, unnest(string_split(t, ' ')) AS u(tok)
+      WHERE len(u.tok) > 0
+    ),
+    tokh AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok
+    ),
+    votes AS (
+      SELECT doc_id, b.bit,
+             SUM(CASE WHEN (h >> CAST(b.bit AS INT)) % 2 <> 0
+                      THEN 1 ELSE -1 END) AS v
+      FROM tokh, unnest(range(0, 60)) AS b(bit)
+      GROUP BY doc_id, b.bit
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0
+                           THEN (1::BIGINT << CAST(bit AS INT))
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "simhash_fingerprints_checkable",
+    oracle=_SIMHASH_FP_CTES + "SELECT doc_id, simhash FROM fp ORDER BY doc_id",
+)
+def simhash_fingerprints_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit portable SimHash per document — the fingerprint itself
+    hash-verified cross-engine (token hashing, bit votes, sign
+    packing all replayed in SQL)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        D.simhash_fingerprints(d, "text", "doc_id", portable=True)
+        .withColumnRenamed("_id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "simhash_near_dups_checkable",
+    oracle=_SIMHASH_FP_CTES
+    + """,
+    bands AS (
+      SELECT doc_id, simhash, b.j AS band_id,
+             (simhash >> CAST(15 * b.j AS INT)) & 32767 AS band_val
+      FROM fp, unnest(range(0, 4)) AS b(j)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def simhash_near_dups_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable-SimHash near-dup pairs at Hamming ≤ 3: the ENTIRE
+    pipeline — fingerprints, 4×15-bit pigeonhole band blocking,
+    XOR-popcount verify — replays bit-for-bit in the oracle."""
+    d = table(spark, sf_dir, "documents")
+    fps = D.simhash_fingerprints(d, "text", "doc_id", portable=True)
+    return (
+        D.simhash_near_duplicates(fps, max_hamming=3, band_bits=15)
+        .withColumn("hamming", F.col("hamming").cast("int"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup pairs (exact inverted-index form). The
 # operator is exact set arithmetic over string shingles, so it IS
 # SQL-portable: the oracle rebuilds the 5-gram sets with a DuckDB list
