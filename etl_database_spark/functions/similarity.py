@@ -189,6 +189,7 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
+    max_pairs: int | None = 100_000_000,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs: every (a, b) with
     ``id_a < id_b`` and rounded cosine ≥ threshold.
@@ -198,7 +199,25 @@ def cosine_near_dup_pairs(
     use :func:`cosine_near_dup_lsh`, which blocks candidates through
     banded sign-LSH before scoring. Scores round before the threshold
     compare so the cut is reproducible across engines.
+
+    ``max_pairs``: the guardrail making "bounded corpora" enforced
+    rather than advisory (the r6 family convention — see the n-gram
+    candidate-mass and semdedup pair-mass gates): n·(n−1)/2 past the
+    bound refuses with an error naming the LSH scale path, so the
+    nested-loop join cannot be reached by accident at 10×. ``None``
+    opts out for a deliberate unbounded run.
     """
+    if max_pairs is not None:
+        n = df.count()
+        if n * (n - 1) // 2 > max_pairs:
+            raise ValueError(
+                f"cosine_near_dup_pairs would score {n * (n - 1) // 2:,} "
+                f"pairs ({n:,} vectors), exceeding max_pairs={max_pairs:,}: "
+                "the exact tier is an all-pairs nested-loop join. Use "
+                "cosine_near_dup_lsh (banded sign-LSH blocking) at this "
+                "scale, or pass max_pairs=None for a deliberate unbounded "
+                "run."
+            )
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     return (

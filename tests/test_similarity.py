@@ -425,3 +425,13 @@ def test_ivf_compact_files_per_list_splits_lists(spark, tmp_path):
     # at files_per_list
     assert all(nf <= 3 for _, nf in stats.values())
     assert any(nf > 1 for n, nf in stats.values() if n >= 10)
+
+
+def test_cosine_pairs_gate(spark, vectors):
+    """The exact all-pairs tier refuses past max_pairs, naming the
+    LSH scale path; None opts out."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cosine_near_dup_lsh"):
+        S.cosine_near_dup_pairs(vectors, threshold=0.9, max_pairs=1)
+    assert S.cosine_near_dup_pairs(vectors, threshold=0.9, max_pairs=None).count() >= 0
