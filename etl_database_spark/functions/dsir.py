@@ -1,0 +1,177 @@
+"""DSIR — Data Selection with Importance Resampling (Xie et al.,
+arXiv:2302.03169), the standard recipe for selecting pretraining data
+that "looks like" a small target corpus.
+
+Model: hashed n-gram bag-of-features unigram LMs. Every token unigram
+and bigram hashes into one of ``n_buckets`` feature buckets; the
+target corpus T and the raw pool R each induce a multinomial over
+buckets (add-1 smoothed). A document's importance weight is its
+log-likelihood ratio
+
+    log w(x) = Σ_f c_f(x) · (log p_T(f) − log p_R(f))
+
+and selection takes the top-k by weight (the deterministic variant;
+the paper resamples ∝ w — a seeded Gumbel-top-k gives that without
+RNG state, keeping runs reproducible).
+
+Physical shape, 100 TB-safe:
+
+- one tokenize+hash pass per corpus → groupBy(bucket) count: the
+  shuffle carries ≤ n_buckets rows per corpus, with map-side combine;
+- the per-bucket log-ratio table is n_buckets rows (10k by default —
+  always broadcastable);
+- per-doc weights are one explode + broadcast-join + groupBy(doc):
+  one shuffle of (doc, bucket) pairs, map-side combinable.
+
+Verification: log() is libm (not bit-portable across engines), so the
+registered query is rows-only; exactness is covered by a pure-Python
+cross-check in tests/test_dsir.py (same hash, same smoothing, same
+floats to ~1e-9) plus invariance properties (a doc FROM the target
+distribution outranks one from the off-target distribution).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DSIR_BUCKETS_DEFAULT = 10_000
+
+
+def _doc_features(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """(doc, bucket, cnt): hashed unigram+bigram feature counts per
+    document. Tokenization = the repo-wide normalize + whitespace
+    split; hashing = xxhash64 mod buckets (JVM-side, vectorized).
+    ``portable_hash`` uses the first 32 md5 bits instead so an
+    engine-independent reference (hashlib) reproduces the buckets —
+    the cross-check lever, same move as the checkable dedup twins."""
+    from etl_database_spark.functions.text import normalize_text
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("ts"),
+    ).where(F.size("ts") > 0)
+    grams = toks.select(
+        "doc",
+        F.explode(
+            F.concat(
+                F.col("ts"),
+                F.when(
+                    F.size("ts") >= 2,
+                    F.transform(
+                        F.slice("ts", 1, F.size("ts") - 1),
+                        lambda x, i: F.concat_ws(" ", x, F.element_at("ts", i + 2)),
+                    ),
+                ).otherwise(F.array()),
+            )
+        ).alias("gram"),
+    )
+    gram_hash = (
+        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
+        if portable_hash
+        else F.xxhash64("gram")
+    )
+    return (
+        grams.withColumn("bucket", F.pmod(gram_hash, F.lit(n_buckets)))
+        .groupBy("doc", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def _bucket_log_probs(feats: DataFrame, n_buckets: int, name: str) -> DataFrame:
+    """(bucket, log_p_<name>): add-1-smoothed multinomial over buckets
+    from a (doc, bucket, cnt) frame. n_buckets rows — broadcastable."""
+    counts = feats.groupBy("bucket").agg(F.sum("cnt").alias("c"))
+    total = counts.agg(F.sum("c")).first()[0] or 0
+    # dense log-prob table over ALL buckets (unseen buckets get the
+    # smoothed floor, so the ratio is defined everywhere)
+    spark = feats.sparkSession
+    all_buckets = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    return all_buckets.join(counts, "bucket", "left").select(
+        "bucket",
+        F.log(
+            (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+            / F.lit(float(total + n_buckets))
+        ).alias(f"log_p_{name}"),
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS_DEFAULT,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Per-document DSIR log importance weights of ``raw`` against
+    ``target`` → (doc_id, n_grams, log_weight). Higher = more
+    target-like. Deterministic for fixed inputs."""
+    raw_feats = _doc_features(raw, text_col, id_col, n_buckets, portable_hash)
+    ratio = (
+        _bucket_log_probs(
+            _doc_features(target, text_col, id_col, n_buckets, portable_hash),
+            n_buckets, "t")
+        .join(_bucket_log_probs(raw_feats, n_buckets, "r"), "bucket")
+        .select("bucket", (F.col("log_p_t") - F.col("log_p_r")).alias("log_ratio"))
+    )
+    return (
+        raw_feats.join(F.broadcast(ratio), "bucket")
+        .groupBy(F.col("doc").alias(id_col))
+        .agg(
+            F.sum("cnt").cast("long").alias("n_grams"),
+            F.sum(F.col("cnt") * F.col("log_ratio")).alias("log_weight"),
+        )
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS_DEFAULT,
+    resample: bool = False,
+    seed: int = 42,
+) -> DataFrame:
+    """Select ``k`` documents from ``raw`` by DSIR weight →
+    (doc_id, n_grams, log_weight, dsir_rank).
+
+    ``resample=False``: deterministic top-k by log-weight (id
+    tie-break). ``resample=True``: the paper's importance resampling
+    via seeded Gumbel-top-k — rank by log_w + Gumbel(0,1) noise where
+    the noise derives from md5(seed, doc id) (reproducible, no RNG
+    state, still a one-pass rank)."""
+    from pyspark.sql import Window as W
+
+    w = dsir_weights(raw, target, text_col, id_col, n_buckets)
+    score = F.col("log_weight")
+    if resample:
+        # uniform in (0,1) from the top 8 md5 hex chars; Gumbel via
+        # -log(-log(u)) — standard reparameterized sampling
+        u = (
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col))), 1, 8),
+                    16,
+                    10,
+                ).cast("double")
+                + F.lit(0.5)
+            )
+            / F.lit(float(1 << 32))
+        )
+        score = F.col("log_weight") - F.log(-F.log(u))
+    # top-k via orderBy+limit: Catalyst plans TakeOrderedAndProject
+    # (per-partition heaps + driver merge of k rows), NOT a global
+    # sort; the rank window then runs over the k-row result only.
+    topk = w.withColumn("_s", score).orderBy(F.desc("_s"), F.asc(id_col)).limit(k)
+    order = W.orderBy(F.desc("_s"), F.asc(id_col))
+    return (
+        topk.withColumn("dsir_rank", F.row_number().over(order))
+        .select(id_col, "n_grams", "log_weight", "dsir_rank")
+        .orderBy("dsir_rank")
+    )

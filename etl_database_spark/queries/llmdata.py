@@ -1825,6 +1825,33 @@ def doc_similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DSIR data selection (Xie et al., arXiv:2302.03169): hashed-ngram
+# importance weights of the raw pool against a target slice, top-k
+# selection. Rows-only (log-likelihood ratios are libm); exactness is
+# cross-checked against an independent pure-Python reference in
+# tests/test_dsir.py, plus distribution-separation property tests.
+_DSIR_K = 200
+_DSIR_BUCKETS = 10_000
+
+
+@register("dsir_target_selection")
+def dsir_target_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-200 documents by DSIR importance weight against the
+    English slice as the target corpus: hashed unigram+bigram LMs
+    (10k buckets, add-1 smoothing), log-likelihood-ratio weights,
+    deterministic TakeOrdered top-k."""
+    from etl_database_spark.functions import dsir as DS
+
+    d = table(spark, sf_dir, "documents")
+    return DS.dsir_select(
+        d,
+        d.where(F.col("lang") == "en"),
+        k=_DSIR_K,
+        n_buckets=_DSIR_BUCKETS,
+    ).withColumn("log_weight", F.round("log_weight", 6))
+
+
+# ---------------------------------------------------------------------------
 # Semantic dedup (SemDeDup, arXiv:2303.09540): cluster embeddings,
 # prune cosine-near-duplicates within each cluster. Two tiers: the
 # seed-Voronoi variant is fully oracle-checked (assignment + pruning

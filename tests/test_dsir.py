@@ -1,0 +1,131 @@
+"""DSIR importance weights: exactness vs an independent pure-Python
+reference (shared math, independent implementation — hashlib md5
+buckets, dict counting, math.log), distribution-separation
+properties, and seeded-resample determinism."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_database_spark.functions import dsir as DS
+
+B = 64  # small bucket count so collisions actually occur in the test
+
+
+def _norm(t: str) -> str:
+    return re.sub(r"\s+", " ", t.lower()).strip()
+
+
+def _grams(t: str) -> list[str]:
+    ts = _norm(t).split(" ")
+    ts = [x for x in ts if True]
+    if ts == [""]:
+        return []
+    return ts + [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+
+
+def _bucket(g: str) -> int:
+    return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+
+def _py_weights(raw: list[tuple[int, str]], target: list[tuple[int, str]]):
+    def feats(corpus):
+        per_doc, totals = {}, {}
+        for i, t in corpus:
+            d = per_doc.setdefault(i, {})
+            for g in _grams(t):
+                b = _bucket(g)
+                d[b] = d.get(b, 0) + 1
+                totals[b] = totals.get(b, 0) + 1
+        return per_doc, totals
+
+    raw_docs, raw_tot = feats(raw)
+    _, tgt_tot = feats(target)
+    tn, rn = sum(tgt_tot.values()), sum(raw_tot.values())
+    out = {}
+    for i, d in raw_docs.items():
+        w = 0.0
+        for b, c in d.items():
+            lr = math.log((tgt_tot.get(b, 0) + 1.0) / (tn + B)) - math.log(
+                (raw_tot.get(b, 0) + 1.0) / (rn + B)
+            )
+            w += c * lr
+        out[i] = (sum(d.values()), w)
+    return out
+
+
+CORPUS = [
+    (1, "the cat sat on the mat"),
+    (2, "the dog ate the homework"),
+    (3, "stocks rallied as markets closed higher today"),
+    (4, "el gato se sento en la alfombra"),
+    (5, "the cat and the dog played on the mat"),
+    (6, "der hund und die katze spielten"),
+]
+TARGET = [
+    (101, "the cat sat quietly"),
+    (102, "the dog and the cat are friends"),
+]
+
+
+def test_weights_match_python_reference(spark):
+    raw = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    tgt = spark.createDataFrame(TARGET, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_grams, r.log_weight)
+        for r in DS.dsir_weights(raw, tgt, n_buckets=B, portable_hash=True).collect()
+    }
+    want = _py_weights(CORPUS, TARGET)
+    assert got.keys() == want.keys()
+    for i in want:
+        assert got[i][0] == want[i][0], (i, got[i], want[i])
+        assert got[i][1] == pytest.approx(want[i][1], rel=1e-9, abs=1e-9)
+
+
+def test_target_like_docs_outrank_off_target(spark):
+    """English stopword-heavy raw docs must all outrank the non-English
+    ones when the target is English text."""
+    raw = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    tgt = spark.createDataFrame(TARGET, "doc_id long, text string")
+    w = {
+        r.doc_id: r.log_weight / r.n_grams  # length-normalized
+        for r in DS.dsir_weights(raw, tgt, n_buckets=B, portable_hash=True).collect()
+    }
+    english, other = [1, 2, 5], [4, 6]
+    assert min(w[i] for i in english) > max(w[i] for i in other), w
+
+
+def test_select_topk_and_resample_determinism(spark):
+    raw = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    tgt = spark.createDataFrame(TARGET, "doc_id long, text string")
+    top = DS.dsir_select(raw, tgt, k=3, n_buckets=B).collect()
+    assert [r.dsir_rank for r in top] == [1, 2, 3]
+    assert len({r.doc_id for r in top}) == 3
+    # seeded Gumbel resample: deterministic across calls, differs from
+    # the pure top-k for at least one seed (noise actually applied)
+    a = [r.doc_id for r in DS.dsir_select(raw, tgt, k=3, n_buckets=B, resample=True, seed=7).collect()]
+    b = [r.doc_id for r in DS.dsir_select(raw, tgt, k=3, n_buckets=B, resample=True, seed=7).collect()]
+    assert a == b
+    seeds_differ = any(
+        [r.doc_id for r in DS.dsir_select(raw, tgt, k=3, n_buckets=B, resample=True, seed=s).collect()]
+        != [r.doc_id for r in top]
+        for s in range(5)
+    )
+    assert seeds_differ
+
+
+def test_registered_query_runs(spark):
+    from etl_database_spark.queries import load_all
+
+    fn = load_all()["dsir_target_selection"].fn
+    rows = fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 200
+    assert rows[0].dsir_rank == 1
+    # weights descend with rank
+    ws = [r.log_weight for r in rows]
+    assert all(a >= b for a, b in zip(ws, ws[1:]))
