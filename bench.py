@@ -49,6 +49,11 @@ HEADLINE = [
     "partitioned_day_slice_stats",
     "duplicate_span_stats",
     "bloom_gated_new_docs",
+    # round-6 additions: CDC-maintained rollup serving (store build is
+    # cached after the first repeat; best-of-N measures the serve) and
+    # DSIR hashed-ngram data selection
+    "cdc_rollup_order_totals",
+    "dsir_target_selection",
 ]
 
 

@@ -1080,10 +1080,15 @@ def _cdc_snapshots(spark: SparkSession, sf_dir: str):
     """(old, new) snapshot frames shaped as store events: deletes =
     key%3==0 (dropped from new), updates = key%5==0 of the survivors
     (+100.0 on the total — a single IEEE add, engine-portable),
-    inserts = post-cut keys %7==0."""
+    inserts = post-cut keys %7==0.
+
+    Aggregation grain is MONTH (ts truncated): a 7-year order history
+    at day grain would mean ~2400 tiny day partitions in the store —
+    metadata-bound serving. Partial grain must match the partition
+    cardinality budget; month keeps the store at ~84 partitions."""
     o = table(spark, sf_dir, "orders")
     ev = lambda df, val: df.select(  # noqa: E731
-        F.col("o_orderdate").alias("ts"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("ts"),
         F.col("o_orderpriority").alias("event_type"),
         val.alias("value"),
         F.col("o_orderkey").alias("k"),
@@ -1133,13 +1138,18 @@ def _cdc_rollup_store(spark: SparkSession, sf_dir: str):
         # snapshot diff emits them.
         is_del = F.col("k") % 3 == 0
         is_upd = (F.col("k") % 3 != 0) & (F.col("k") % 5 == 0)
-        upd_or_ins = new.where(
-            (F.col("ts") >= _CDC_CUT) | is_upd
-        )  # inserts are the only post-cut rows in `new`
+        # inserts are the only rows in `new` at/after the cut month
+        # (the cut is a month boundary, so truncation cannot move a
+        # pre-cut order across it)
+        upd_or_ins = new.where((F.col("ts") >= _CDC_CUT) | is_upd)
         store.retract(old.where(is_del | is_upd).drop("k"), batch="cdc_del")
         store.ingest(upd_or_ins.drop("k"), batch="cdc_ins")
         if store.ingest(new.limit(1).drop("k"), batch="cdc_ins") is not False:
             raise RuntimeError("CDC rollup store replayed an applied batch")
+        # fold the applied CDC into batch=base: serving then lists one
+        # batch directory per day instead of four (retraction
+        # negatives cancel away inside the fold)
+        store.compact()
         atexit.register(shutil.rmtree, store.path, ignore_errors=True)
         _CDC_ROLLUP_CACHE[key] = store
     return _CDC_ROLLUP_CACHE[key]
@@ -1149,13 +1159,13 @@ def _cdc_rollup_store(spark: SparkSession, sf_dir: str):
     "cdc_rollup_order_totals",
     oracle=f"""
     WITH new_snap AS (
-      SELECT o_orderdate AS d, o_orderpriority AS et,
+      SELECT DATE_TRUNC('month', o_orderdate) AS d, o_orderpriority AS et,
              CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 100.0
                   ELSE o_totalprice END AS v
       FROM orders
       WHERE o_orderdate < DATE '{_CDC_CUT}' AND o_orderkey % 3 <> 0
       UNION ALL
-      SELECT o_orderdate, o_orderpriority, o_totalprice
+      SELECT DATE_TRUNC('month', o_orderdate), o_orderpriority, o_totalprice
       FROM orders
       WHERE o_orderdate >= DATE '{_CDC_CUT}' AND o_orderkey % 7 = 0
     )
@@ -1169,7 +1179,7 @@ def _cdc_rollup_store(spark: SparkSession, sf_dir: str):
     """,
 )
 def cdc_rollup_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Day x priority order totals served from a rollup store
+    """Month x priority order totals served from a rollup store
     maintained by CDC deltas (base snapshot ingest + compaction, then
     delete/update retraction and insert/update ingest): the served
     additive state must equal a full recompute over the new
