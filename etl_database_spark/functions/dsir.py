@@ -146,9 +146,22 @@ def dsir_select(
     via seeded Gumbel-top-k — rank by log_w + Gumbel(0,1) noise where
     the noise derives from md5(seed, doc id) (reproducible, no RNG
     state, still a one-pass rank)."""
+    w = dsir_weights(raw, target, text_col, id_col, n_buckets)
+    return select_from_weights(w, k, id_col, resample, seed)
+
+
+def select_from_weights(
+    w: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    resample: bool = False,
+    seed: int = 42,
+) -> DataFrame:
+    """Rank a (id, n_grams, log_weight) frame to its top-k →
+    (id, n_grams, log_weight, dsir_rank). Shared by the one-shot
+    :func:`dsir_select` and the incremental DsirStore serve path."""
     from pyspark.sql import Window as W
 
-    w = dsir_weights(raw, target, text_col, id_col, n_buckets)
     score = F.col("log_weight")
     if resample:
         # uniform in (0,1) from the top 8 md5 hex chars; Gumbel via

@@ -1851,6 +1851,58 @@ def dsir_target_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("log_weight", F.round("log_weight", 6))
 
 
+_DSIR_STORE_CACHE: dict = {}
+
+
+def _dsir_store(spark: SparkSession, sf_dir: str):
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = (sf_dir, os.path.getmtime(src) if os.path.exists(src) else None)
+    if key not in _DSIR_STORE_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        from etl_database_spark.operators.dsirstore import DsirStore
+
+        for old_key in [k for k in _DSIR_STORE_CACHE if k[0] == sf_dir and k != key]:
+            old = _DSIR_STORE_CACHE.pop(old_key)
+            shutil.rmtree(old.path, ignore_errors=True)
+        d = table(spark, sf_dir, "documents")
+        store = DsirStore(
+            spark, tempfile.mkdtemp(prefix="spark_graft_dsir_"), n_buckets=_DSIR_BUCKETS
+        )
+        store.set_target(d.where(F.col("lang") == "en"))
+        # three modulo batches with a compaction and forced replay in
+        # between — the lifecycle the store exists for
+        store.ingest(d.where(F.col("doc_id") % 3 == 0), batch="b0")
+        store.ingest(d.where(F.col("doc_id") % 3 == 1), batch="b1")
+        store.compact()
+        store.ingest(d.where(F.col("doc_id") % 3 == 2), batch="b2")
+        if store.ingest(d.limit(1), batch="b0") is not False:
+            raise RuntimeError("DSIR store replayed an absorbed batch")
+        atexit.register(shutil.rmtree, store.path, ignore_errors=True)
+        _DSIR_STORE_CACHE[key] = store
+    return _DSIR_STORE_CACHE[key]
+
+
+@register("dsir_incremental_selection")
+def dsir_incremental_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same top-200 DSIR selection served from the persisted
+    incremental feature store (three batch ingests + compaction +
+    forced replay): a new batch costs tokenizing that batch only,
+    while weights still reflect the whole current pool.
+    Store == one-shot equivalence is pytest-proven
+    (tests/test_dsirstore.py)."""
+    from etl_database_spark.functions.dsir import select_from_weights
+
+    store = _dsir_store(spark, sf_dir)
+    return select_from_weights(store.serve_weights(), k=_DSIR_K).withColumn(
+        "log_weight", F.round("log_weight", 6)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Semantic dedup (SemDeDup, arXiv:2303.09540): cluster embeddings,
 # prune cosine-near-duplicates within each cluster. Two tiers: the
