@@ -54,6 +54,12 @@ HEADLINE = [
     # DSIR hashed-ngram data selection
     "cdc_rollup_order_totals",
     "dsir_target_selection",
+    # round-7 additions: PageRank on the LSH-verified pair graph (the
+    # exact-tier source refused past its mass gate at sf1 — this is
+    # the scale path) and the engine-portable DSIR twin (md5 buckets +
+    # exact-decimal weights — the oracle-checkable variant's cost)
+    "doc_similarity_pagerank",
+    "dsir_selection_checkable",
 ]
 
 
@@ -184,9 +190,15 @@ def main() -> None:
         return xs[lo] + (xs[hi] - xs[lo]) * (i - lo)
 
     repeats = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5")), 1)
+    forced_repeats = max(
+        int(os.environ.get("SPARK_GRAFT_BENCH_FORCED_REPEATS", "2")), 0
+    )
     timings: dict[str, float] = {}
     p50: dict[str, float] = {}
     p95: dict[str, float] = {}
+    forced: dict[str, float] = {}
+    from pyspark.sql import functions as F
+
     for name in HEADLINE:
         rq = registry.get(name)
         if rq is None:
@@ -200,14 +212,32 @@ def main() -> None:
             # Queries that cache intermediates would otherwise pollute
             # later timings (memory churn); each run is measured cold.
             spark.catalog.clearCache()
+        # Value-forced column: count() on a provably cardinality-
+        # preserving plan lets Catalyst prune whole subtrees (the r6
+        # simhash honesty note: 1.8s counted vs 6.4s value-forced at
+        # 100×). Hashing every column of every row defeats pruning, so
+        # this column is the no-asterisk absolute number; count()
+        # stays the round-over-round trend convention.
+        fruns = []
+        for _ in range(forced_repeats):
+            t0 = time.time()
+            df = rq.fn(spark, sf_dir)
+            df.agg(
+                F.sum(F.xxhash64(*[F.col(c) for c in df.columns]).cast("double"))
+            ).collect()
+            fruns.append(time.time() - t0)
+            spark.catalog.clearCache()
         import gc
 
         gc.collect()
         timings[name] = round(min(runs), 3)
         p50[name] = round(pctl(runs, 0.5), 3)
         p95[name] = round(pctl(runs, 0.95), 3)
+        if fruns:
+            forced[name] = round(min(fruns), 3)
         print(
             f"# {name}: {timings[name]:.2f}s (p50 {p50[name]:.2f}s, p95 {p95[name]:.2f}s, "
+            f"forced {forced.get(name, float('nan')):.2f}s, "
             f"{n} rows, best of {repeats})",
             file=sys.stderr,
         )
@@ -221,6 +251,7 @@ def main() -> None:
             "queries": timings,
             "queries_p50": p50,
             "queries_p95": p95,
+            "queries_value_forced": forced,
             "setup": setup,
             "sf": sf,
         }

@@ -33,7 +33,29 @@ DEFAULT_DEPTH = 4
 DEFAULT_WIDTH = 2048
 
 
-def _bucket(key_col, depth_idx: int, width: int):
+def _bucket(key_col, depth_idx: int, width: int, portable: bool = False):
+    """Counter coordinate for one hash row. ``portable=True`` derives
+    the bucket from the first 32 md5 bits of ``"<depth>|<key>"`` —
+    reproducible in any engine with md5 (the checkable-twin lever, same
+    move as the minhash/simhash/DSIR twins); the xxhash64 default is
+    the scale path (cheaper, seeded natively)."""
+    if portable:
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.lit(depth_idx), F.col(key_col).cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(width),
+        ).cast("int")
     return F.pmod(
         F.xxhash64(F.col(key_col).cast("string"), F.lit(depth_idx)), F.lit(width)
     ).cast("int")
@@ -46,10 +68,13 @@ def cms_partials(
     depth: int = DEFAULT_DEPTH,
     width: int = DEFAULT_WIDTH,
     weight_col: str | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """(group..., depth, bucket, cnt) counter rows for the keys in
     ``df`` (optionally weighted). One explode to d rows per input row,
-    then one partial-aggregated shuffle into ≤ d×w groups."""
+    then one partial-aggregated shuffle into ≤ d×w groups.
+    ``portable=True`` swaps the coordinate hash for md5 so the whole
+    sketch replays in SQL (see ``_bucket``)."""
     group_cols = group_cols or []
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     rows = df.select(
@@ -60,7 +85,7 @@ def cms_partials(
                 *[
                     F.struct(
                         F.lit(i).alias("depth"),
-                        _bucket(key_col, i, width).alias("bucket"),
+                        _bucket(key_col, i, width, portable).alias("bucket"),
                     )
                     for i in range(depth)
                 ]
@@ -90,6 +115,7 @@ def cms_point_estimate(
     group_cols: list[str] | None = None,
     depth: int = DEFAULT_DEPTH,
     width: int = DEFAULT_WIDTH,
+    portable: bool = False,
 ) -> DataFrame:
     """Estimated frequency for each key in ``keys`` (one row per key,
     plus group columns if the sketch is grouped): compute the key's d
@@ -104,7 +130,7 @@ def cms_point_estimate(
                 *[
                     F.struct(
                         F.lit(i).alias("depth"),
-                        _bucket(key_col, i, width).alias("bucket"),
+                        _bucket(key_col, i, width, portable).alias("bucket"),
                     )
                     for i in range(depth)
                 ]

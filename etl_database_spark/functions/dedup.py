@@ -286,6 +286,7 @@ def minhash_near_duplicates(
     threshold: float = 0.5,
     sigs: DataFrame | None = None,
     portable: bool = False,
+    est_margin: float | None = 0.2,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection → (id_a, id_b, jaccard).
 
@@ -293,6 +294,15 @@ def minhash_near_duplicates(
     verify. With num_perm=32/bands=8 (r=4), the LSH S-curve crosses 50%
     capture around J≈0.56 — pairs well above threshold are found with
     high probability; the verify step removes false positives entirely.
+
+    ``est_margin``: the estimated-Jaccard prefilter keeps candidates
+    with est ≥ threshold − est_margin before the exact verify. At
+    k=32 the estimator's σ ≈ 0.09, so margin 0.2 (the default) loses
+    ~nothing above threshold while pruning the candidate bulk.
+    ``None`` disables the prefilter entirely — the recall-critical
+    setting (e.g. the r=1-banded pagerank edge source, where a true
+    J≈threshold pair can estimate 2σ low and must still reach the
+    verify).
 
     ``sigs``: optional precomputed signature table (``_id``, ``sig_*``
     columns as produced by :func:`minhash_signatures`). At 100 TB the
@@ -325,23 +335,27 @@ def minhash_near_duplicates(
     # keeps estimator variance from dropping true positives
     # (σ ≈ sqrt(J(1-J)/k) ≈ 0.09 at k=32).
     n_docs = sigs.count()  # cheap: cache materialized by pairs.count()
-    agree = sum(
-        (F.col(f"a.sig_{i}") == F.col(f"b.sig_{i}")).cast("int") for i in range(num_perm)
-    )
-    est = (
-        pairs.join(
-            _maybe_broadcast(sigs.alias("a"), n_docs, BROADCAST_MAX_SIG_ROWS),
-            pairs.id_a == F.col("a._id"),
+    if est_margin is None:
+        est = pairs
+    else:
+        agree = sum(
+            (F.col(f"a.sig_{i}") == F.col(f"b.sig_{i}")).cast("int")
+            for i in range(num_perm)
         )
-        .join(
-            _maybe_broadcast(sigs.alias("b"), n_docs, BROADCAST_MAX_SIG_ROWS),
-            pairs.id_b == F.col("b._id"),
+        est = (
+            pairs.join(
+                _maybe_broadcast(sigs.alias("a"), n_docs, BROADCAST_MAX_SIG_ROWS),
+                pairs.id_a == F.col("a._id"),
+            )
+            .join(
+                _maybe_broadcast(sigs.alias("b"), n_docs, BROADCAST_MAX_SIG_ROWS),
+                pairs.id_b == F.col("b._id"),
+            )
+            .withColumn("est_j", agree / F.lit(num_perm))
+            .where(F.col("est_j") >= threshold - est_margin)
+            .select("id_a", "id_b")
+            .cache()
         )
-        .withColumn("est_j", agree / F.lit(num_perm))
-        .where(F.col("est_j") >= threshold - 0.2)
-        .select("id_a", "id_b")
-        .cache()
-    )
     release.append(est)
     n_est = est.count()  # materialize: verify fans this into 3 plan branches
     # Exact verify re-shingles ONLY the candidate documents: semi-join
@@ -495,8 +509,11 @@ def simhash_fingerprints(
         if portable
         else F.xxhash64("tok")
     )
+    from etl_database_spark.functions.partitioning import spread_scan
+
     toks = (
-        df.select(F.col(id_col).alias("_id"), normalize_text(F.col(text_col)).alias("_norm"))
+        spread_scan(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col).alias("_id"), normalize_text(F.col(text_col)).alias("_norm"))
         .select("_id", F.explode(F.split("_norm", " ")).alias("tok"))
         .where(F.length("tok") > 0)
         .withColumn("h", tok_hash)

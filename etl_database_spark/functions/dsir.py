@@ -48,9 +48,12 @@ def _doc_features(
     ``portable_hash`` uses the first 32 md5 bits instead so an
     engine-independent reference (hashlib) reproduces the buckets —
     the cross-check lever, same move as the checkable dedup twins."""
+    from etl_database_spark.functions.partitioning import spread_scan
     from etl_database_spark.functions.text import normalize_text
 
-    toks = df.select(
+    # tokenize is the CPU-dominant stage: make sure a single-row-group
+    # input doesn't serialize it (no-op on well-split inputs)
+    toks = spread_scan(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("doc"),
         F.split(normalize_text(F.col(text_col)), " ").alias("ts"),
     ).where(F.size("ts") > 0)
@@ -83,8 +86,19 @@ def _doc_features(
 
 def _bucket_log_probs(feats: DataFrame, n_buckets: int, name: str) -> DataFrame:
     """(bucket, log_p_<name>): add-1-smoothed multinomial over buckets
-    from a (doc, bucket, cnt) frame. n_buckets rows — broadcastable."""
-    counts = feats.groupBy("bucket").agg(F.sum("cnt").alias("c"))
+    from a (doc, bucket, cnt) frame. n_buckets rows — broadcastable.
+
+    The counter table is eagerly local-checkpointed: it is consumed by
+    two actions (the scalar total here, the ratio join downstream), and
+    without the checkpoint each one would replay the full
+    tokenize+explode lineage of ``feats`` — the round-6 verdict's
+    triple-tokenize finding. ≤ n_buckets rows, so the checkpoint is
+    counter-sized regardless of corpus size."""
+    counts = (
+        feats.groupBy("bucket")
+        .agg(F.sum("cnt").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     total = counts.agg(F.sum("c")).first()[0] or 0
     # dense log-prob table over ALL buckets (unseen buckets get the
     # smoothed floor, so the ratio is defined everywhere)
@@ -109,23 +123,42 @@ def dsir_weights(
 ) -> DataFrame:
     """Per-document DSIR log importance weights of ``raw`` against
     ``target`` → (doc_id, n_grams, log_weight). Higher = more
-    target-like. Deterministic for fixed inputs."""
-    raw_feats = _doc_features(raw, text_col, id_col, n_buckets, portable_hash)
-    ratio = (
-        _bucket_log_probs(
-            _doc_features(target, text_col, id_col, n_buckets, portable_hash),
-            n_buckets, "t")
-        .join(_bucket_log_probs(raw_feats, n_buckets, "r"), "bucket")
-        .select("bucket", (F.col("log_p_t") - F.col("log_p_r")).alias("log_ratio"))
-    )
-    return (
-        raw_feats.join(F.broadcast(ratio), "bucket")
-        .groupBy(F.col("doc").alias(id_col))
-        .agg(
-            F.sum("cnt").cast("long").alias("n_grams"),
-            F.sum(F.col("cnt") * F.col("log_ratio")).alias("log_weight"),
+    target-like. Deterministic for fixed inputs.
+
+    Each corpus is tokenized exactly once: ``raw_feats`` is persisted
+    across its two consumers (the raw-LM counter build and the final
+    per-doc join) and released once the weights are materialized; the
+    bucket counter tables inside :func:`_bucket_log_probs` are
+    checkpointed, so the target pool is read once as well. Before the
+    round-7 fix the three downstream actions each replayed the full
+    tokenize+explode lineage (~3× the dominant cost at sf1)."""
+    raw_feats = _doc_features(
+        raw, text_col, id_col, n_buckets, portable_hash
+    ).persist()
+    try:
+        ratio = (
+            _bucket_log_probs(
+                _doc_features(target, text_col, id_col, n_buckets, portable_hash),
+                n_buckets, "t")
+            .join(_bucket_log_probs(raw_feats, n_buckets, "r"), "bucket")
+            .select(
+                "bucket", (F.col("log_p_t") - F.col("log_p_r")).alias("log_ratio")
+            )
         )
-    )
+        return (
+            raw_feats.join(F.broadcast(ratio), "bucket")
+            .groupBy(F.col("doc").alias(id_col))
+            .agg(
+                F.sum("cnt").cast("long").alias("n_grams"),
+                F.sum(F.col("cnt") * F.col("log_ratio")).alias("log_weight"),
+            )
+            # weights are doc-count-sized; materializing them here lets
+            # raw_feats (the gram-count-sized intermediate) be released
+            # before the caller's top-k runs
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        raw_feats.unpersist()
 
 
 def dsir_select(
@@ -148,6 +181,96 @@ def dsir_select(
     state, still a one-pass rank)."""
     w = dsir_weights(raw, target, text_col, id_col, n_buckets)
     return select_from_weights(w, k, id_col, resample, seed)
+
+
+def dsir_select_portable(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS_DEFAULT,
+) -> DataFrame:
+    """Engine-portable DSIR twin → (doc_id, n_grams, log_weight,
+    dsir_rank): the same hashed-ngram importance-weight selection as
+    :func:`dsir_select`, with every non-portable primitive swapped for
+    a checkable one (the move that made the minhash/simhash tiers
+    oracle-verifiable):
+
+    - buckets from the first 32 md5 bits (``portable_hash``) instead
+      of xxhash64;
+    - the per-bucket log-ratio as FOUR logs of exact integer-valued
+      doubles — ln(c_t+1) − ln(T+B) − ln(c_r+1) + ln(R+B) — rounded
+      to 9 digits, so a last-ulp libm disagreement cannot reach the
+      kept digits;
+    - the per-doc weight as an exact DECIMAL(38,12) sum of the
+      cnt·ratio products (single IEEE multiply each), so summation
+      order cannot matter, and TOP-K SELECTION ORDERS ON THE EXACT
+      DECIMAL — the one place a float sum could silently flip ranks.
+
+    The emitted ``log_weight`` is the decimal cast back to double and
+    rounded to 6 digits. Same physical shape as the fast path (one
+    tokenize pass per corpus, counter-sized checkpoints, broadcast
+    ratio, one (doc,bucket) shuffle)."""
+    raw_feats = _doc_features(
+        raw, text_col, id_col, n_buckets, portable_hash=True
+    ).persist()
+    try:
+        spark = raw.sparkSession
+        tgt_feats = _doc_features(
+            target, text_col, id_col, n_buckets, portable_hash=True
+        )
+        tc = (
+            tgt_feats.groupBy("bucket").agg(F.sum("cnt").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        rc = (
+            raw_feats.groupBy("bucket").agg(F.sum("cnt").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        tot_t = tc.agg(F.sum("c")).first()[0] or 0
+        tot_r = rc.agg(F.sum("c")).first()[0] or 0
+        all_b = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+        lr = F.round(
+            F.log(F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+            - F.log(F.lit(float(tot_t + n_buckets)))
+            - F.log(F.coalesce(F.col("cr"), F.lit(0)) + F.lit(1.0))
+            + F.log(F.lit(float(tot_r + n_buckets))),
+            9,
+        )
+        ratio = (
+            all_b.join(tc.select("bucket", F.col("c").alias("ct")), "bucket", "left")
+            .join(rc.select("bucket", F.col("c").alias("cr")), "bucket", "left")
+            .select("bucket", lr.alias("lr"))
+        )
+        w = (
+            raw_feats.join(F.broadcast(ratio), "bucket")
+            .groupBy(F.col("doc").alias(id_col))
+            .agg(
+                F.sum("cnt").cast("long").alias("n_grams"),
+                F.sum(
+                    (F.col("cnt") * F.col("lr")).cast("decimal(38,12)")
+                ).alias("w_dec"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        raw_feats.unpersist()
+    from pyspark.sql import Window as W
+
+    order = W.orderBy(F.desc("w_dec"), F.asc(id_col))
+    return (
+        w.orderBy(F.desc("w_dec"), F.asc(id_col))
+        .limit(k)
+        .withColumn("dsir_rank", F.row_number().over(order))
+        .select(
+            id_col,
+            "n_grams",
+            F.round(F.col("w_dec").cast("double"), 6).alias("log_weight"),
+            "dsir_rank",
+        )
+        .orderBy("dsir_rank")
+    )
 
 
 def select_from_weights(

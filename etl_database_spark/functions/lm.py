@@ -40,8 +40,12 @@ from etl_database_spark.functions.text import exact_idiv as _idiv  # noqa: E402
 def _doc_token_arrays(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, _toks) — lowercase whitespace-token array per document
     (the single tokenize pass everything else derives from)."""
+    from etl_database_spark.functions.partitioning import spread_scan
+
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    return df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+    return spread_scan(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("_id"), toks.alias("_toks")
+    )
 
 
 def _doc_bigrams(arrays: DataFrame) -> DataFrame:

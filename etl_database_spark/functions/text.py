@@ -135,9 +135,13 @@ def with_language(df, text_col: str, out_col: str = "detected_lang"):
     pass via subexpression elimination), one running the greatest/when
     ladder over the score columns. Same results as ``detect_language``
     with far less expression work per row."""
+    from etl_database_spark.functions.partitioning import spread_scan
+
     langs = list(LANG_STOPWORDS)
     score_cols = {lang: f"_langscore_{lang}" for lang in langs}
-    scored = df.withColumns(
+    # the per-language stopword ladders tokenize every row — CPU-bound,
+    # so guard against a single-row-group scan serializing them
+    scored = spread_scan(df).withColumns(
         {name: stopword_score(F.col(text_col), lang) for lang, name in score_cols.items()}
     )
     best = F.greatest(*[F.col(c) for c in score_cols.values()])

@@ -135,6 +135,12 @@ WINDOW_PROMOTED = (
     "duplicate_span_stats",
     "spanstore_incremental_stats",
     "orders_snapshot_cdc",
+    # round-7: the flagship dedup math certified by the driver's own
+    # artifact (VERDICT r6 ask #3) — the MinHash LSH pipeline
+    # (shingle→permute→band→verify) and the SimHash Hamming-band
+    # blocking, both replayed end-to-end in portable SQL
+    "minhash_near_dups_checkable",
+    "simhash_near_dups_checkable",
 )
 WINDOW_DEMOTED = (
     "approx_distinct_parts",
@@ -156,4 +162,13 @@ WINDOW_DEMOTED = (
     "salted_revenue_by_suppkey",
     "returned_item_customers",
     "nation_distinct_parts",
+    # round-7: yield two slots to the checkable dedup twins above.
+    # Redundant with window coverage that stays: top_value_suppliers
+    # (HAVING vs global scalar — above_nation_avg_balance keeps the
+    # scalar-threshold family) and high_balance_inactive_customers
+    # (Q22 = IN-list + scalar average + anti-join, each covered by
+    # inlist_between_revenue / above_nation_avg_balance /
+    # customers_without_orders). Both remain pytest-oracle-verified.
+    "top_value_suppliers",
+    "high_balance_inactive_customers",
 )

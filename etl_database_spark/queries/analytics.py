@@ -1185,3 +1185,53 @@ def cdc_rollup_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     additive state must equal a full recompute over the new
     snapshot — the oracle performs that recompute."""
     return _cdc_rollup_store(spark, sf_dir).serve()
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count sketch (functions/kmv.py) — the checkable twin of
+# approx_distinct_parts: HLL++ registers are engine-internal (rows-only
+# forever), but KMV is DISTINCT + ROW_NUMBER + one divide over an
+# md5-derived 60-bit hash, so the whole distinct-count estimate replays
+# bit-for-bit in DuckDB. Same single (group, hash) distinct exchange
+# COUNT(DISTINCT) would need; per-group state is k hashes.
+_KMV_K = 256
+
+
+@register(
+    "approx_distinct_parts_kmv",
+    oracle=f"""
+    WITH dh AS (
+      SELECT DISTINCT l_returnflag,
+             ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM lineitem),
+    r AS (
+      SELECT l_returnflag, h,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rk
+      FROM dh),
+    s AS (
+      SELECT l_returnflag,
+             MAX(CASE WHEN rk = {_KMV_K} THEN h END) AS hk,
+             COUNT(*) AS nd
+      FROM r GROUP BY l_returnflag),
+    c AS (SELECT l_returnflag, COUNT(*) AS n_rows FROM lineitem GROUP BY l_returnflag)
+    SELECT s.l_returnflag,
+           CASE WHEN s.nd >= {_KMV_K}
+                THEN ROUND({float(_KMV_K - 1)} / (CAST(s.hk AS DOUBLE) / 1152921504606846976.0), 4)
+                ELSE CAST(s.nd AS DOUBLE) END AS kmv_distinct,
+           c.n_rows
+    FROM s JOIN c USING (l_returnflag)
+    ORDER BY l_returnflag
+    """,
+)
+def approx_distinct_parts_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV NDV-per-returnflag: the oracle-checkable twin of the HLL++
+    approx_distinct_parts query — n̂ = (k−1)/u_k over 60-bit md5
+    hashes (k=256, ≈6% rel. error), exact distinct count below k.
+    Every step is engine-portable, so DuckDB verifies the estimate
+    itself, not just its row count."""
+    from etl_database_spark.functions.kmv import kmv_distinct
+
+    li = table(spark, sf_dir, "lineitem")
+    est = kmv_distinct(li, "l_partkey", ["l_returnflag"], k=_KMV_K)
+    counts = li.groupBy("l_returnflag").agg(F.count("*").alias("n_rows"))
+    return est.join(counts, "l_returnflag").orderBy("l_returnflag")

@@ -1805,19 +1805,35 @@ def streaming_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# PageRank over the exact n-gram similarity graph — ranks canonical
-# docs inside near-dup neighborhoods (iterative algorithm family,
-# like near_dup_clusters; rows-only — float fixpoint iteration is not
+# PageRank over the n-gram similarity graph — ranks canonical docs
+# inside near-dup neighborhoods (iterative algorithm family, like
+# near_dup_clusters; rows-only — float fixpoint iteration is not
 # SQL-portable. Accuracy is property-tested against dense power
 # iteration in tests/test_graph.py).
+#
+# Pair source (round-7): MinHash LSH with single-row bands (r=1,
+# b=32) + exact-Jaccard verify, NOT the exact n-gram tier — the exact
+# tier's candidate mass is quadratic in duplicate-group size and its
+# gate correctly refuses at sf1+, which dead-ended this query at
+# scale (r6 verdict #4). r=1 banding is the low-threshold setting: a
+# J≥0.3 pair misses all 32 bands with probability (1-J)^32 ≤ 1.1e-5,
+# so after the exact verify the edge set equals the exact tier's for
+# all practical purposes (equality on the fixtures is asserted in
+# tests/test_graph.py); candidate mass stays bucket-bounded
+# (skew-capped) instead of df²-bounded.
 @register("doc_similarity_pagerank")
 def doc_similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (d=0.85) on the 5-gram Jaccard ≥ 0.3 pair graph;
-    rank rounded to 1e-6 for stable output."""
+    edges from MinHash LSH (r=1 banding, exact-Jaccard verified) so
+    the pair stage scales past the exact tier's mass gate; rank
+    rounded to 1e-6 for stable output."""
     from etl_database_spark.functions.graph import pagerank
 
     d = table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(d, "text", "doc_id", n=5, threshold=0.3)
+    pairs = D.minhash_near_duplicates(
+        d, "text", "doc_id", n=5, num_perm=32, bands=32, threshold=0.3,
+        est_margin=None,
+    )
     ranks = pagerank(pairs, damping=0.85, max_iter=20)
     return ranks.select(
         F.col("_id").alias("doc_id"), F.round("rank", 6).alias("rank")
@@ -1849,6 +1865,80 @@ def dsir_target_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_DSIR_K,
         n_buckets=_DSIR_BUCKETS,
     ).withColumn("log_weight", F.round("log_weight", 6))
+
+
+def _dsir_checkable_oracle() -> str:
+    """DuckDB replay of the full portable-DSIR pipeline: normalize →
+    unigram+bigram → md5 bucket → add-1 bucket LMs as four integer
+    logs rounded to 9 digits → exact decimal per-doc weight → top-k
+    ordered by the exact decimal. Mirrors functions/dsir.py
+    dsir_select_portable step for step."""
+    b = _DSIR_BUCKETS
+    return f"""
+    WITH dd AS (
+      SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS ts FROM documents),
+    g AS (
+      SELECT doc_id, lang, u.gram
+      FROM dd, unnest(
+        list_concat(ts, CASE WHEN len(ts) >= 2
+          THEN list_transform(ts[1:len(ts)-1], (x, i) -> x || ' ' || ts[i+1])
+          ELSE [] END)) AS u(gram)),
+    f AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(gram), 1, 8))::BIGINT % {b} AS bucket,
+             COUNT(*)::BIGINT AS cnt
+      FROM g GROUP BY doc_id, lang, bucket),
+    rc AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS cr FROM f GROUP BY bucket),
+    tc AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS ct FROM f
+           WHERE lang = 'en' GROUP BY bucket),
+    tots AS (
+      SELECT CAST((SELECT COALESCE(SUM(cr), 0) FROM rc) AS BIGINT) AS tot_r,
+             CAST((SELECT COALESCE(SUM(ct), 0) FROM tc) AS BIGINT) AS tot_t),
+    buckets AS (
+      SELECT CAST(u.i AS BIGINT) AS bucket FROM unnest(range(0, {b})) AS u(i)),
+    ratio AS (
+      SELECT bkt.bucket,
+             ROUND(LN(COALESCE(tc.ct, 0) + 1.0) - LN(t.tot_t + {b}.0)
+                   - LN(COALESCE(rc.cr, 0) + 1.0) + LN(t.tot_r + {b}.0),
+                   9) AS lr
+      FROM buckets bkt
+      LEFT JOIN tc ON tc.bucket = bkt.bucket
+      LEFT JOIN rc ON rc.bucket = bkt.bucket
+      CROSS JOIN tots t),
+    w AS (
+      SELECT f.doc_id, CAST(SUM(f.cnt) AS BIGINT) AS n_grams,
+             SUM(CAST(f.cnt * r.lr AS DECIMAL(38,12))) AS w_dec
+      FROM f JOIN ratio r USING (bucket)
+      GROUP BY f.doc_id)
+    SELECT doc_id, n_grams, log_weight, dsir_rank FROM (
+      SELECT doc_id, n_grams,
+             ROUND(CAST(w_dec AS DOUBLE), 6) AS log_weight,
+             ROW_NUMBER() OVER (ORDER BY w_dec DESC, doc_id) AS dsir_rank
+      FROM w) t
+    WHERE dsir_rank <= {_DSIR_K}
+    ORDER BY dsir_rank
+    """
+
+
+@register("dsir_selection_checkable", oracle=_dsir_checkable_oracle())
+def dsir_selection_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dsir_target_selection pipeline with every non-portable
+    primitive swapped for a checkable one (md5 buckets, 9-digit
+    rounded integer-log ratios, exact-decimal weight sums with top-k
+    ordered on the exact decimal) so DuckDB replays the WHOLE
+    importance-resampling selection — the same move that made the
+    minhash/simhash tiers hash-verifiable. The fast path stays
+    rows-only (xxhash64 + raw libm logs); this twin certifies the
+    shared math."""
+    from etl_database_spark.functions.dsir import dsir_select_portable
+
+    d = table(spark, sf_dir, "documents")
+    return dsir_select_portable(
+        d,
+        d.where(F.col("lang") == "en"),
+        k=_DSIR_K,
+        n_buckets=_DSIR_BUCKETS,
+    )
 
 
 _DSIR_STORE_CACHE: dict = {}
@@ -1910,14 +2000,19 @@ def dsir_incremental_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are plain double arithmetic, portable to DuckDB); the k-means
 # variant (the paper's setup) is rows-only — Lloyd iteration is not
 # SQL-portable — and is property-tested in tests/test_semdedup.py.
-_SEMDEDUP_K = 8
+# k auto-scales as max(8, ceil(sqrt(N))) — similarity.auto_semdedup_k
+# — in BOTH engines (sqrt/ceil of an exact integer are single IEEE
+# ops, bit-portable), so the oracle derives the same seed count.
 _SEMDEDUP_THRESHOLD = 0.35
 
 _SEMDEDUP_ORACLE = f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    kv AS (SELECT GREATEST(8, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k FROM e),
     seeds AS (
-        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster_id, v AS cv
-        FROM e ORDER BY vec_id LIMIT {_SEMDEDUP_K}),
+        SELECT cluster_id, cv FROM (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster_id, v AS cv
+            FROM e) s
+        WHERE s.cluster_id < (SELECT k FROM kv)),
     d AS (
         SELECT e.vec_id, e.v, s.cluster_id,
                list_sum(list_transform(list_zip(e.v, s.cv),
@@ -1947,40 +2042,46 @@ _SEMDEDUP_ORACLE = f"""
     """
 
 
-@register("semdedup_prune", oracle=_SEMDEDUP_ORACLE)
-def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic dedup prune list over seed-Voronoi clusters: the 8
-    lowest-id embeddings act as fixed centroids (deterministic, no
-    iteration), every vector is argmin-assigned by squared-L2, and
-    within each cluster any vector cosine-≥-0.35-similar to a lower-id
-    vector is pruned (greedy keep-first). The bounded seed collect
-    mirrors the IVF probe-centroid pattern; assignment is a broadcast
-    join with map-side argmin combine, pruning one cluster-local
-    self-join — no all-pairs scan."""
-    emb = table(spark, sf_dir, "embeddings")
-    seeds = (
-        emb.orderBy("vec_id")
-        .limit(_SEMDEDUP_K)
-        .select("embedding")
-        .collect()
-    )
-    cents = spark.createDataFrame(
+def _semdedup_seed_centroids(spark: SparkSession, emb: DataFrame):
+    """Auto-k seed-Voronoi centroids: k = max(8, ⌈√N⌉) from one cheap
+    count, seeds = the k lowest-id embeddings. The bounded seed collect
+    mirrors the IVF probe-centroid pattern; k growing with the corpus
+    keeps expected cluster size ≈ √N so the prune join's pair mass is
+    ~N^1.5 — the gate becomes a backstop, not the UX."""
+    k = S.auto_semdedup_k(emb.count())
+    seeds = emb.orderBy("vec_id").limit(k).select("embedding").collect()
+    return spark.createDataFrame(
         [(i, [float(x) for x in r.embedding]) for i, r in enumerate(seeds)],
         "cluster_id long, cvec array<double>",
     )
+
+
+@register("semdedup_prune", oracle=_SEMDEDUP_ORACLE)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup prune list over seed-Voronoi clusters: the
+    max(8, ⌈√N⌉) lowest-id embeddings act as fixed centroids
+    (deterministic, no iteration, k auto-scaled with the corpus),
+    every vector is argmin-assigned by squared-L2, and within each
+    cluster any vector cosine-≥-0.35-similar to a lower-id vector is
+    pruned (greedy keep-first). Assignment is a broadcast join with
+    map-side argmin combine, pruning one cluster-local self-join — no
+    all-pairs scan."""
+    emb = table(spark, sf_dir, "embeddings")
+    cents = _semdedup_seed_centroids(spark, emb)
     return S.semantic_dedup(emb, cents, _SEMDEDUP_THRESHOLD)
 
 
 @register("semdedup_kmeans_prune")
 def semdedup_kmeans_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup proper: deterministic Lloyd's k-means (k=8, 4
-    iterations, seeds = lowest-id vectors) as the coarse quantizer,
-    then the same intra-cluster cosine pruning. Rows-only (iterative
-    float fixpoint); assignment/pruning invariants are property-tested
-    against brute force in tests/test_semdedup.py."""
+    """SemDeDup proper: deterministic Lloyd's k-means (k auto-scaled
+    as max(8, ⌈√N⌉), 4 iterations, seeds = lowest-id vectors) as the
+    coarse quantizer, then the same intra-cluster cosine pruning.
+    Rows-only (iterative float fixpoint); assignment/pruning
+    invariants are property-tested against brute force in
+    tests/test_semdedup.py."""
     emb = table(spark, sf_dir, "embeddings")
     return S.semantic_dedup_kmeans(
-        emb, dim=64, k=_SEMDEDUP_K, max_iter=4, threshold=_SEMDEDUP_THRESHOLD
+        emb, dim=64, k=None, max_iter=4, threshold=_SEMDEDUP_THRESHOLD
     )
 
 
@@ -2004,11 +2105,7 @@ def streaming_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_database_spark.streaming.semdedup import run_semdedup_once
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    seeds = emb.orderBy("vec_id").limit(_SEMDEDUP_K).select("embedding").collect()
-    cents = spark.createDataFrame(
-        [(i, [float(x) for x in r.embedding]) for i, r in enumerate(seeds)],
-        "cluster_id long, cvec array<double>",
-    )
+    cents = _semdedup_seed_centroids(spark, emb)
     work = tempfile.mkdtemp(prefix="spark_graft_stream_sd_")
     src = os.path.join(work, "src")
     try:
@@ -2331,6 +2428,59 @@ def vocab_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token")
     )
     return cms_point_estimate(sketch, top, "token").orderBy("token")
+
+
+_CMS_CHECKABLE_ORACLE = """
+    WITH tok AS (
+      SELECT u.token
+      FROM documents, unnest(string_split_regex(LOWER(text), '\\s+')) AS u(token)
+      WHERE u.token <> ''),
+    top AS (
+      SELECT token FROM (SELECT token, COUNT(*) AS n FROM tok GROUP BY token) t
+      ORDER BY n DESC, token LIMIT 20),
+    cells AS (
+      SELECT d.i AS depth,
+             ('0x' || substr(md5(CAST(d.i AS VARCHAR) || '|' || t.token), 1, 8))::BIGINT
+               % 2048 AS bucket,
+             COUNT(*)::BIGINT AS cnt
+      FROM tok t CROSS JOIN (SELECT unnest(range(0, 4)) AS i) d
+      GROUP BY 1, 2),
+    coords AS (
+      SELECT q.token, d.i AS depth,
+             ('0x' || substr(md5(CAST(d.i AS VARCHAR) || '|' || q.token), 1, 8))::BIGINT
+               % 2048 AS bucket
+      FROM top q CROSS JOIN (SELECT unnest(range(0, 4)) AS i) d)
+    SELECT c.token, CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS approx_count
+    FROM coords c LEFT JOIN cells s USING (depth, bucket)
+    GROUP BY c.token
+    ORDER BY c.token
+    """
+
+
+@register("vocab_freq_cms_checkable", oracle=_CMS_CHECKABLE_ORACLE)
+def vocab_freq_cms_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vocab_freq_cms sketch with portable md5 coordinate hashes
+    (functions/cms.py ``_bucket(portable=True)``): DuckDB rebuilds the
+    full d×w counter table and replays the min-over-depths point
+    estimates, so the sketch MATH (bucketing, counter sums, the
+    one-sided min) is hash-verified cross-engine — the same move as
+    the minhash/simhash/DSIR twins. The xxhash64 fast path stays
+    rows-only."""
+    from etl_database_spark.functions.cms import cms_partials, cms_point_estimate
+
+    d = table(spark, sf_dir, "documents")
+    tokens = d.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    sketch = cms_partials(tokens, "token", portable=True)
+    top = (
+        tokens.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+        .select("token")
+    )
+    return cms_point_estimate(sketch, top, "token", portable=True).orderBy("token")
 
 
 # ---------------------------------------------------------------------------

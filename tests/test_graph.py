@@ -70,3 +70,31 @@ def test_pagerank_empty_graph(spark):
 
     empty = spark.createDataFrame([], "id_a long, id_b long")
     assert pagerank(empty).count() == 0
+
+
+def test_pagerank_lsh_edge_source_equals_exact_tier(spark):
+    """doc_similarity_pagerank's r=1-banded MinHash edge source (with
+    the est prefilter disabled — a true J≈threshold pair can estimate
+    2σ low) must produce exactly the exact-n-gram tier's verified pair
+    set on the fixture: same ids, same exact Jaccards. This is what
+    lets the query scale past the exact tier's candidate-mass gate
+    without changing the graph it ranks."""
+    from etl_database_spark.functions import dedup as D
+    from etl_database_spark.queries import table
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    exact = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in D.ngram_jaccard_pairs(
+            d, "text", "doc_id", n=5, threshold=0.3
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in D.minhash_near_duplicates(
+            d, "text", "doc_id", n=5, num_perm=32, bands=32,
+            threshold=0.3, est_margin=None,
+        ).collect()
+    }
+    assert exact, "fixture must produce J>=0.3 pairs"
+    assert lsh == exact

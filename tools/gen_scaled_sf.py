@@ -66,6 +66,20 @@ def _offset_copy(df: DataFrame, name: str, k: int) -> DataFrame:
     for c in df.columns:
         if c in keys:
             cols.append((F.col(c) + k * STRIDE).alias(c))
+        elif name == "supplier" and c == "s_name" and k > 0:
+            # Perturb names per copy: verbatim copies created K
+            # identical-name clusters (1.4M edges at K=10) that made
+            # the edit-distance-1 entity-resolution oracle quadratic
+            # in group size (r6 verdict ask #6). The doubled 3-digit
+            # copy token keeps every cross-copy name pair at edit
+            # distance >= 2 (two digit positions change between any
+            # two copies), while intra-copy distance-1 structure —
+            # the thing the query detects — is preserved exactly.
+            cols.append(
+                F.concat_ws(" ", F.col("s_name"), F.lit(f"{k:03d}{k:03d}")).alias(
+                    "s_name"
+                )
+            )
         elif name == "documents" and c == "text":
             rot = (alpha[k % 26 :] + alpha[: k % 26]) + (
                 digits[k % 10 :] + digits[: k % 10]
