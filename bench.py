@@ -182,6 +182,57 @@ def main() -> None:
     except Exception as e:
         setup["streaming_bloom_ingest_error"] = str(e)[:200]
         print(f"# WARNING: streaming-bloom setup failed: {e}", file=sys.stderr)
+    try:
+        # Incremental semantic dedup on the record (round-7): drain the
+        # embeddings through the streaming semdedup path in 4
+        # micro-batches (assign+pair cost per batch, cross-batch pairs
+        # via the persisted embedding store), then time the corpus-wide
+        # prune-list SERVE from the accumulated match store —
+        # per-day-batch maintenance vs the batch operator's full
+        # recompute. Stream == batch is pytest-proven
+        # (tests/test_semdedup.py).
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as SF
+
+        from etl_database_spark.functions.similarity import auto_semdedup_k
+        from etl_database_spark.queries import table as _table
+        from etl_database_spark.streaming.semdedup import (
+            prune_from_matches,
+            run_semdedup_once,
+        )
+
+        sdir = tempfile.mkdtemp(prefix="bench_stream_sd_")
+        src, store_p, match_p, ckpt = (
+            os.path.join(sdir, d) for d in ("src", "store", "matches", "ckpt")
+        )
+        emb = _table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        k = auto_semdedup_k(emb.count())
+        seeds = emb.orderBy("vec_id").limit(k).select("embedding").collect()
+        cents = spark.createDataFrame(
+            [(i, [float(x) for x in r.embedding]) for i, r in enumerate(seeds)],
+            "cluster_id long, cvec array<double>",
+        )
+        emb.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        t0 = time.time()
+        run_semdedup_once(spark, stream, store_p, match_p, ckpt, cents)
+        wall = time.time() - t0
+        setup["streaming_semdedup_ingest"] = round(wall, 3)
+        setup["streaming_semdedup_per_batch"] = round(wall / 4, 3)
+        t0 = time.time()
+        n_pruned = prune_from_matches(spark.read.parquet(match_p)).count()
+        setup["streaming_semdedup_serve"] = round(time.time() - t0, 3)
+        setup["streaming_semdedup_pruned"] = int(n_pruned)
+        shutil.rmtree(sdir, ignore_errors=True)
+    except Exception as e:
+        setup["streaming_semdedup_error"] = str(e)[:200]
+        print(f"# WARNING: streaming-semdedup setup failed: {e}", file=sys.stderr)
 
     def pctl(xs: list[float], q: float) -> float:
         xs = sorted(xs)

@@ -120,3 +120,34 @@ def run_semdedup_once(
         .start()
         .awaitTermination()
     )
+
+
+def prune_from_matches(matches: DataFrame) -> DataFrame:
+    """The prune list served from the ACCUMULATED match stream →
+    (cluster_id, pruned_id, kept_id, cos_sim), keep-lowest-id rule —
+    identical semantics (and identical aggregate shape: a
+    lexicographic struct-min, partial-combined map-side) to the batch
+    operator's final stage (functions/similarity.semantic_dedup), so
+    serve(stream store) == batch prune list whenever the accumulated
+    pairs equal the batch pair stage (which the store construction
+    guarantees and tests/test_semdedup.py asserts).
+
+    This is the day-keyed incremental serve: each day's micro-batch
+    ingest costs assign+pair for THAT day only (cross-day pairs via
+    the cluster-partitioned store read), and the corpus-wide prune
+    list is this counter-shaped aggregation — never a recompute over
+    the corpus.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        matches.groupBy("cluster_id", F.col("id_b").alias("pruned_id"))
+        .agg(F.min(F.struct("id_a", "cos_sim")).alias("_keep"))
+        .select(
+            "cluster_id",
+            "pruned_id",
+            F.col("_keep.id_a").alias("kept_id"),
+            F.col("_keep.cos_sim").alias("cos_sim"),
+        )
+        .orderBy("cluster_id", "pruned_id")
+    )

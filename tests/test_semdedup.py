@@ -203,6 +203,19 @@ def test_streaming_semdedup_matches_batch_pairs(spark, tmp_path):
         for r in S.semantic_dedup(df, cents, THRESHOLD).collect()
     }
     assert pruned_from_stream == batch_pruned
+    # the day-keyed incremental SERVE (prune_from_matches over the
+    # persisted match store) must equal the batch prune list too —
+    # this is the store's whole point: corpus prune state maintained
+    # at per-batch cost
+    from etl_database_spark.streaming.semdedup import prune_from_matches
+
+    served = {
+        r.pruned_id: (r.cluster_id, r.kept_id, r.cos_sim)
+        for r in prune_from_matches(
+            spark.read.parquet(str(tmp_path / "matches"))
+        ).collect()
+    }
+    assert served == batch_pruned
 
 
 def test_semdedup_pair_mass_gate(spark, vectors, seed_centroids):
