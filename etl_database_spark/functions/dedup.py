@@ -141,7 +141,11 @@ def minhash_signatures(
 
 
 def band_table(
-    sigs: DataFrame, num_perm: int, bands: int, portable: bool = False
+    sigs: DataFrame,
+    num_perm: int,
+    bands: int,
+    portable: bool = False,
+    keep_sigs: bool = False,
 ) -> DataFrame:
     """(_id, band_id, band_hash) — the banded LSH bucket keys of a
     signature frame. THE one construction of band hashes: batch
@@ -153,7 +157,11 @@ def band_table(
     band key instead of xxhash64 — no hash at all, so bucket identity
     replays exactly in SQL (``concat_ws``). Wider shuffle keys
     (strings vs 8-byte longs); the xxhash64 default is the scale
-    path."""
+    path.
+
+    ``keep_sigs=True`` carries the sig_* columns on every banded row
+    (for the in-join agreement filter in ``lsh_candidate_pairs`` —
+    wider shuffle, no extra join)."""
     rows_per_band = num_perm // bands
 
     def band_key(j: int):
@@ -166,9 +174,15 @@ def band_table(
         F.struct(F.lit(j).alias("band_id"), band_key(j).alias("band_hash"))
         for j in range(bands)
     ]
+    extra = [f"sig_{i}" for i in range(num_perm)] if keep_sigs else []
     return sigs.select(
-        "_id", F.explode(F.array(*band_structs)).alias("b")
-    ).select("_id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash"))
+        "_id", F.explode(F.array(*band_structs)).alias("b"), *extra
+    ).select(
+        "_id",
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_hash").alias("band_hash"),
+        *extra,
+    )
 
 
 def lsh_candidate_pairs(
@@ -177,6 +191,7 @@ def lsh_candidate_pairs(
     bands: int = 8,
     max_bucket: int = 200,
     portable: bool = False,
+    min_agree: int = 1,
 ) -> DataFrame:
     """Banded LSH: hash each band of signature columns, explode to
     (id, band_id, band_hash), self-join on (band_id, band_hash) →
@@ -186,22 +201,44 @@ def lsh_candidate_pairs(
     skewed key cannot quadratically explode the join — the standard
     guard for LSH at scale; dropped buckets are exact-dup groups that
     the exact pass already catches.
+
+    ``min_agree``: keep only pairs whose signatures agree on at least
+    this many components (estimated Jaccard ≥ min_agree/num_perm),
+    computed IN the bucket join by carrying the sig columns on the
+    banded rows — a map-side filter on the joined rows, no signature
+    re-join over the (large) candidate set, and immune to the bucket
+    cap (a pair found through any one uncapped band is scored on its
+    FULL signature; counting surviving band collisions instead
+    undercounts exactly the pairs that live near boilerplate buckets
+    — measured on the sf0.001 fixture, where true J=0.30 pairs agree
+    on 12+ perms but sit in 270+-member capped buckets). This is the
+    low-threshold candidate filter: r=1/b=32 admits any pair agreeing
+    on ONE permutation (15M pairs at sf1); min_agree=3 drops the
+    accidental single-collision bulk while a true J=0.30 pair fails
+    with p ≈ 1.2e-3 (Binomial(32, 0.3) ≤ 2).
     """
-    banded = band_table(sigs, num_perm, bands, portable=portable)
+    keep_sigs = min_agree > 1
+    banded = band_table(sigs, num_perm, bands, portable=portable, keep_sigs=keep_sigs)
     bucket_sizes = banded.groupBy("band_id", "band_hash").agg(F.count("*").alias("bucket_n"))
     banded = banded.join(
         bucket_sizes.where(F.col("bucket_n") <= max_bucket), ["band_id", "band_hash"]
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a._id") < F.col("b._id")),
+    joined = a.join(
+        b,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a._id") < F.col("b._id")),
+    )
+    if keep_sigs:
+        agree = sum(
+            (F.col(f"a.sig_{i}") == F.col(f"b.sig_{i}")).cast("int")
+            for i in range(num_perm)
         )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        joined = joined.where(agree >= min_agree)
+    return (
+        joined.select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
 
@@ -287,6 +324,7 @@ def minhash_near_duplicates(
     sigs: DataFrame | None = None,
     portable: bool = False,
     est_margin: float | None = 0.2,
+    min_agree: int = 1,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection → (id_a, id_b, jaccard).
 
@@ -323,7 +361,9 @@ def minhash_near_duplicates(
     # Candidate pairs fan into several plan branches below. Materialize
     # once (cache is lazy — branches inside a single action would
     # otherwise each recompute the whole LSH pipeline).
-    pairs = lsh_candidate_pairs(sigs, num_perm, bands, portable=portable).cache()
+    pairs = lsh_candidate_pairs(
+        sigs, num_perm, bands, portable=portable, min_agree=min_agree
+    ).cache()
     release.append(pairs)
     pairs.count()
     # Cheap pre-filter before the exact verify: estimated Jaccard =

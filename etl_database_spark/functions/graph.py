@@ -37,6 +37,7 @@ def pagerank(
     max_iter: int = 20,
     tol: float = 1e-6,
     check_every: int = 5,
+    max_edges_local: int | None = 1_000_000,
 ) -> DataFrame:
     """PageRank over an undirected pair list (id_a, id_b) → (_id, rank).
 
@@ -50,6 +51,15 @@ def pagerank(
     iteration for a check that rarely fires early. The returned frame
     is localCheckpoint'd; callers holding many results across a long
     session should ``unpersist()`` ones they are done with.
+
+    ``max_edges_local``: graphs at or under this edge count run the
+    SAME power iteration driver-locally (numpy) instead of paying
+    ~20 × (join+aggregate+checkpoint) of per-job scheduling overhead
+    for kilobytes of state — the exact gate
+    ``dedup.connected_components`` already uses for union-find. The
+    distributed loop below is the >bound path and stays the shape
+    that scales (per-round cost ∝ edges, lineage truncated each
+    round). ``None`` forces the distributed loop.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -57,6 +67,12 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if max_edges_local is not None and edges.count() <= max_edges_local:
+        out = _pagerank_local(
+            pairs.sparkSession, edges, damping, max_iter, tol, check_every
+        )
+        edges.unpersist()
+        return out
     degrees = edges.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(
         eager=True
     )
@@ -102,3 +118,41 @@ def pagerank(
     edges.unpersist()
     degrees.unpersist()
     return ranks
+
+
+def _pagerank_local(
+    spark,
+    edges: DataFrame,
+    damping: float,
+    max_iter: int,
+    tol: float,
+    check_every: int,
+) -> DataFrame:
+    """The gated small-graph path: identical update rule and
+    convergence schedule to the distributed loop, run as one numpy
+    power iteration on the driver. Bounded by ``max_edges_local``
+    rows collected (the connected_components union-find precedent)."""
+    import numpy as np
+
+    rows = edges.collect()
+    if not rows:
+        return spark.createDataFrame([], "_id long, rank double")
+    ids = sorted({r.src for r in rows})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    src = np.fromiter((idx[r.src] for r in rows), dtype=np.int64, count=len(rows))
+    dst = np.fromiter((idx[r.dst] for r in rows), dtype=np.int64, count=len(rows))
+    deg = np.bincount(src, minlength=n).astype(np.float64)
+    ranks = np.ones(n, dtype=np.float64)
+    for it in range(max_iter):
+        contrib = ranks / deg
+        incoming = np.bincount(dst, weights=contrib[src], minlength=n)
+        new_ranks = (1.0 - damping) + damping * incoming
+        check = (it + 1) % check_every == 0 or it == max_iter - 1
+        done = check and float(np.abs(new_ranks - ranks).sum()) < tol * n
+        ranks = new_ranks
+        if done:
+            break
+    return spark.createDataFrame(
+        [(int(v), float(ranks[idx[v]])) for v in ids], "_id long, rank double"
+    )

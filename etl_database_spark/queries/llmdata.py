@@ -1821,18 +1821,32 @@ def streaming_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # all practical purposes (equality on the fixtures is asserted in
 # tests/test_graph.py); candidate mass stays bucket-bounded
 # (skew-capped) instead of df²-bounded.
+#
+# min_agree=3 (keep pairs whose signatures agree on ≥3 of 32
+# components, scored IN the bucket join by carrying sig columns on
+# the banded rows): r=1 banding admits any pair agreeing on ONE
+# permutation (15M candidates at sf1) and the exact verify on all of
+# them cost 30-60s; a sig-table re-join est filter was nearly as
+# expensive as the verify it saved, and counting surviving band
+# collisions undercounts pairs living in capped boilerplate buckets
+# (measured: true J=0.30 fixture pairs agree on 12+ perms but 270+-
+# member buckets were capped away). A true J=0.30 pair fails the ≥3
+# cut with p ≈ 1.2e-3 (Binomial(32, .3) ≤ 2) — and the default est
+# margin 0.2 got exactly this arithmetic wrong at threshold 0.3 (its
+# 0.1 cut sits above 3/32 and dropped a real fixture pair).
 @register("doc_similarity_pagerank")
 def doc_similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (d=0.85) on the 5-gram Jaccard ≥ 0.3 pair graph;
-    edges from MinHash LSH (r=1 banding, exact-Jaccard verified) so
-    the pair stage scales past the exact tier's mass gate; rank
-    rounded to 1e-6 for stable output."""
+    edges from MinHash LSH (r=1 banding, in-join ≥3/32 signature-
+    agreement cut, exact-Jaccard verified) so the pair stage scales
+    past the exact tier's mass gate; rank rounded to 1e-6 for stable
+    output."""
     from etl_database_spark.functions.graph import pagerank
 
     d = table(spark, sf_dir, "documents")
     pairs = D.minhash_near_duplicates(
         d, "text", "doc_id", n=5, num_perm=32, bands=32, threshold=0.3,
-        est_margin=None,
+        est_margin=None, min_agree=3,
     )
     ranks = pagerank(pairs, damping=0.85, max_iter=20)
     return ranks.select(

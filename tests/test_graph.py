@@ -45,6 +45,24 @@ def test_pagerank_matches_power_iteration(spark, pair_df):
         assert abs(got[k] - want[k]) < 1e-6, (k, got[k], want[k])
 
 
+def test_pagerank_distributed_path_matches_local(spark, pair_df):
+    """The gated small-graph fast path (numpy power iteration on the
+    driver, connected_components-precedent) and the distributed
+    join+aggregate loop (max_edges_local=None forces it) must agree to
+    float tolerance — same update rule, same convergence schedule."""
+    from etl_database_spark.functions.graph import pagerank
+
+    df, _ = pair_df
+    local = {r._id: r.rank for r in pagerank(df, max_iter=25).collect()}
+    dist = {
+        r._id: r.rank
+        for r in pagerank(df, max_iter=25, max_edges_local=None).collect()
+    }
+    assert set(local) == set(dist)
+    for k in local:
+        assert abs(local[k] - dist[k]) < 1e-9, (k, local[k], dist[k])
+
+
 def test_pagerank_sums_to_node_count(spark, pair_df):
     from etl_database_spark.functions.graph import pagerank
 
@@ -73,12 +91,15 @@ def test_pagerank_empty_graph(spark):
 
 
 def test_pagerank_lsh_edge_source_equals_exact_tier(spark):
-    """doc_similarity_pagerank's r=1-banded MinHash edge source (with
-    the est prefilter disabled — a true J≈threshold pair can estimate
-    2σ low) must produce exactly the exact-n-gram tier's verified pair
-    set on the fixture: same ids, same exact Jaccards. This is what
-    lets the query scale past the exact tier's candidate-mass gate
-    without changing the graph it ranks."""
+    """doc_similarity_pagerank's r=1-banded MinHash edge source
+    (min_agree=3: keep pairs whose sigs agree on ≥3/32 components,
+    scored in the bucket join — the
+    default 0.2 est margin cut at 0.1 and dropped a true J=0.333
+    fixture pair that estimated 3/32) must produce exactly the
+    exact-n-gram tier's
+    verified pair set on the fixture: same ids, same exact Jaccards.
+    This is what lets the query scale past the exact tier's
+    candidate-mass gate without changing the graph it ranks."""
     from etl_database_spark.functions import dedup as D
     from etl_database_spark.queries import table
 
@@ -93,7 +114,7 @@ def test_pagerank_lsh_edge_source_equals_exact_tier(spark):
         (r.id_a, r.id_b, round(r.jaccard, 6))
         for r in D.minhash_near_duplicates(
             d, "text", "doc_id", n=5, num_perm=32, bands=32,
-            threshold=0.3, est_margin=None,
+            threshold=0.3, est_margin=None, min_agree=3,
         ).collect()
     }
     assert exact, "fixture must produce J>=0.3 pairs"
