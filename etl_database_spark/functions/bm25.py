@@ -1,0 +1,95 @@
+"""BM25 document scoring (Robertson & Zaragoza 2009, "The
+Probabilistic Relevance Framework: BM25 and Beyond") — rank documents
+against a term set. The retrieval primitive a training-data pipeline
+uses to pull target-domain-like documents out of a 100 TB pool when
+all it has is a handful of query terms (the keyword-seeded cousin of
+DSIR's distribution matching).
+
+    score(d, Q) = Σ_{t∈Q} idf(t) · tf(t,d)·(k1+1)
+                           / (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+    idf(t) = ln((N − df(t) + 0.5)/(df(t) + 0.5) + 1)
+
+Scale shape: ONE tokenize pass; the term filter lands BEFORE the tf
+aggregation, so only query-term rows shuffle (|Q| is tiny); df/idf is
+a |Q|-row broadcast; per-doc scores partial-aggregate map-side. No
+corpus-wide state beyond two scalars (N, total tokens).
+
+Engine portability (the DSIR-twin recipe): idf's ln of exact
+rationals is rounded to 9 digits; every other factor is a fixed
+left-to-right chain of single IEEE ops over exact integers; per-doc
+sums go through DECIMAL(28,10) so term order can't matter; top-k
+orders on the exact decimal. The whole score therefore replays
+bit-for-bit in DuckDB (see the registered oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(id, bm25_dec) — exact-decimal BM25 of every document matching
+    ≥1 query term. Callers rank/limit on ``bm25_dec`` (exact) and
+    render a rounded double for output."""
+    from etl_database_spark.functions.partitioning import spread_scan
+
+    toks = (
+        spread_scan(df.select(F.col(id_col), F.col(text_col)))
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        # dl (and avgdl) count ALL tokens, so the doc-length table is
+        # built before the query-term filter
+    )
+    dl = toks.groupBy("_id").agg(F.count("*").alias("dl")).localCheckpoint(eager=True)
+    stats = dl.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("t")
+    ).first()
+    n_docs, total_toks = int(stats["n"]), int(stats["t"] or 0)
+    qt = toks.where(F.col("tok").isin(list(query_terms)))
+    tf = qt.groupBy("_id", "tok").agg(F.count("*").alias("tf"))
+    dfr = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = dfr.select(
+        "tok",
+        F.round(
+            F.log(
+                (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+            9,
+        ).alias("idf"),
+    )
+    # fixed left-to-right chain, mirrored verbatim in the SQL oracle:
+    # idf * ((tf * (k1+1)) / (tf + k1 * (1 - b + b * dl * N / T)))
+    sterm = F.col("idf") * (
+        (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col("dl") * F.lit(float(n_docs)) / F.lit(float(total_toks))
+            )
+        )
+    )
+    return (
+        tf.join(F.broadcast(idf), "tok")
+        .join(dl, "_id")
+        .select("_id", sterm.cast("decimal(28,10)").alias("_s"))
+        .groupBy("_id")
+        .agg(F.sum("_s").alias("bm25_dec"))
+    )

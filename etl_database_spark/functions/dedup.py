@@ -807,3 +807,72 @@ def contamination_check(
             ),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every character k-gram,
+    slide a window of w consecutive hashes, keep each window's
+    minimum; the distinct selected values are the fingerprint set.
+    Guarantees every shared substring of length ≥ k+w−1 contributes a
+    shared fingerprint, with expected density 2/(w+1) — position-
+    robust dedup evidence at a fraction of full shingling's volume.
+
+    → (id, n_fps, fp_sum): fingerprint-set size and exact BIGINT sum
+    (the order-free set checksum the oracle compares). We keep the
+    VALUE set, not (value, position) pairs, so the rightmost-min
+    tie-break of the paper is irrelevant to the output.
+
+    Shape: entirely per-row codegen array expressions (k-gram hash
+    array → window-min array → distinct → fold) after a spread_scan —
+    ONE pass, zero shuffles, no per-document state off the row. The
+    md5-32 hash makes every step replay in SQL (checkable-twin
+    family)."""
+    from etl_database_spark.functions.partitioning import spread_scan
+    from etl_database_spark.functions.text import normalize_text
+
+    return winnow_fingerprint_sets(df, text_col, id_col, k, w).select(
+        "_id",
+        F.size("_fps").cast("long").alias("n_fps"),
+        F.aggregate("_fps", F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "fp_sum"
+        ),
+    )
+
+
+def winnow_fingerprint_sets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """(_id, _fps array<long>) — the distinct winnowing fingerprint
+    values per document (see :func:`winnow_fingerprints`). The set
+    form feeds blocking joins (explode + self-join on fingerprint)
+    and the coverage property tests."""
+    from etl_database_spark.functions.partitioning import spread_scan
+    from etl_database_spark.functions.text import normalize_text
+
+    base = spread_scan(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("_id"),
+        normalize_text(F.col(text_col)).alias("_norm"),
+    )
+    hs = F.transform(
+        F.sequence(F.lit(1), F.length("_norm") - F.lit(k - 1)),
+        lambda i: F.conv(
+            F.substring(F.md5(F.col("_norm").substr(i, F.lit(k))), 1, 8), 16, 10
+        ).cast("long"),
+    )
+    with_h = base.where(F.length("_norm") >= k + w - 1).select("_id", hs.alias("_hs"))
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size("_hs") - F.lit(w - 1)),
+        lambda j: F.array_min(F.slice("_hs", j, F.lit(w))),
+    )
+    return with_h.select("_id", F.array_distinct(wins).alias("_fps"))

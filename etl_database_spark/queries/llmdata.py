@@ -1955,6 +1955,138 @@ def dsir_selection_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer et al., SIGMOD 2003 — MOSS): the
+# guaranteed-coverage document fingerprinting scheme (every shared
+# substring of length >= k+w-1 shares a fingerprint at ~2/(w+1)
+# density). Pure per-row codegen array math over md5-32 k-gram
+# hashes, so the whole selection replays in SQL.
+_WINNOW_K = 8
+_WINNOW_W = 4
+
+_WINNOW_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, {_NORM_SQL} AS t FROM documents
+      WHERE len({_NORM_SQL}) >= {_WINNOW_K + _WINNOW_W - 1}),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t) - {_WINNOW_K - 2}),
+                 i -> ('0x' || substr(md5(substr(t, CAST(i AS INT), {_WINNOW_K})), 1, 8))::BIGINT
+             ) AS hs
+      FROM d),
+    wmin AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(hs) - {_WINNOW_W - 2}),
+                 j -> list_aggregate(hs[CAST(j AS INT):CAST(j AS INT) + {_WINNOW_W - 1}], 'min')
+             )) AS fps
+      FROM h)
+    SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+           CAST(list_sum(fps) AS BIGINT) AS fp_sum
+    FROM wmin
+    ORDER BY doc_id
+    """
+
+
+@register("doc_winnow_fingerprints", oracle=_WINNOW_ORACLE)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint stats per document (k=8-gram md5-32
+    hashes, window w=4, min-per-window, distinct): (doc_id, n_fps,
+    fp_sum) where fp_sum is the exact BIGINT set checksum. One pass,
+    zero shuffles; the DuckDB oracle replays hash, window-min,
+    distinct and checksum exactly."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        D.winnow_fingerprints(d, "text", "doc_id", k=_WINNOW_K, w=_WINNOW_W)
+        .select(F.col("_id").alias("doc_id"), "n_fps", "fp_sum")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring (functions/bm25.py) — keyword-seeded document
+# ranking, the retrieval-side complement of DSIR's distribution
+# matching. Query = the corpus's 5 most common tokens (deterministic,
+# replayed identically in SQL); fully oracle-checked via the DSIR-twin
+# recipe (ln of exact rationals ROUND 9, fixed IEEE chains,
+# DECIMAL(28,10) sums, top-k ordered on the exact decimal).
+_BM25_TOP_TERMS = 5
+_BM25_TOP_DOCS = 100
+
+_BM25_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, u.token
+      FROM documents, unnest(string_split_regex(TRIM(LOWER(text)), '\\s+')) AS u(token)
+      WHERE u.token <> ''),
+    dl AS (SELECT doc_id, COUNT(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM dl),
+    q AS (
+      SELECT token FROM (SELECT token, COUNT(*) AS c FROM tok GROUP BY token) z
+      ORDER BY c DESC, token LIMIT {_BM25_TOP_TERMS}),
+    tf AS (
+      SELECT t.doc_id, t.token, COUNT(*)::BIGINT AS tf
+      FROM tok t JOIN q USING (token) GROUP BY 1, 2),
+    dfr AS (SELECT token, COUNT(*)::BIGINT AS df FROM tf GROUP BY token),
+    idf AS (
+      SELECT token,
+             ROUND(LN((CAST(s.n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0), 9) AS idf
+      FROM dfr CROSS JOIN s),
+    sc AS (
+      SELECT tf.doc_id,
+             CAST(idf.idf * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25
+                 + 0.75 * dl.dl * CAST(s.n AS DOUBLE) / CAST(s.t AS DOUBLE))))
+               AS DECIMAL(28,10)) AS sterm
+      FROM tf JOIN idf USING (token) JOIN dl USING (doc_id) CROSS JOIN s),
+    w AS (SELECT doc_id, SUM(sterm) AS s_dec FROM sc GROUP BY doc_id)
+    SELECT doc_id, ROUND(CAST(s_dec AS DOUBLE), 4) AS bm25, bm25_rank
+    FROM (
+      SELECT doc_id, s_dec,
+             ROW_NUMBER() OVER (ORDER BY s_dec DESC, doc_id) AS bm25_rank
+      FROM w) z
+    WHERE bm25_rank <= {_BM25_TOP_DOCS}
+    ORDER BY bm25_rank
+    """
+
+
+@register("doc_bm25_scores", oracle=_BM25_ORACLE)
+def doc_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 documents by BM25 (k1=1.2, b=0.75) against the
+    corpus's 5 most common tokens: one tokenize pass, query-term
+    filter BEFORE the tf shuffle, |Q|-row broadcast idf,
+    exact-decimal per-doc sums with the top-k ordered on the exact
+    decimal — the whole score replays bit-for-bit in the DuckDB
+    oracle."""
+    from pyspark.sql import Window as W
+
+    from etl_database_spark.functions.bm25 import bm25_scores
+
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+        ).where(F.col("tok") != "")
+    )
+    top = [
+        r.tok
+        for r in toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(_BM25_TOP_TERMS)
+        .collect()
+    ]
+    scored = bm25_scores(d, top)
+    order = W.orderBy(F.desc("bm25_dec"), F.asc("_id"))
+    return (
+        scored.withColumn("bm25_rank", F.row_number().over(order))
+        .where(F.col("bm25_rank") <= _BM25_TOP_DOCS)
+        .select(
+            F.col("_id").alias("doc_id"),
+            F.round(F.col("bm25_dec").cast("double"), 4).alias("bm25"),
+            "bm25_rank",
+        )
+        .orderBy("bm25_rank")
+    )
+
+
 _DSIR_STORE_CACHE: dict = {}
 
 
