@@ -1697,15 +1697,24 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative instead of the doc id, so no near-duplicate pair
     ever straddles two splits (train/test leakage hygiene).
 
-    Scale shape: exact pair generation is the verification-grade
-    operator here; at 100 TB the same composition runs with the
-    minhash signature store as the pair source. The component join is
-    a broadcast at any realistic cluster-count, and the split itself
+    Pair source (round-7): MinHash LSH, r=1 bands with the in-join
+    ≥7/32 signature-agreement cut, exact-Jaccard verified — the same
+    scale move as doc_similarity_pagerank, sized for threshold 0.5
+    (a true J=0.50 pair fails ≥7/32 with p ≈ 6e-4; banding miss
+    (1-J)^32 ≤ 2.4e-10). The verified pair set equals the exact
+    tier's on the fixtures (tests/test_graph.py twin assertion), so
+    the unchanged exact-SQL oracle still certifies the whole split,
+    while at sf1+ the query now runs instead of refusing at the
+    exact tier's candidate-mass gate. The component join is a
+    broadcast at any realistic cluster-count, and the split itself
     is one codegen projection."""
     from etl_database_spark.functions import sampling as SMP
 
     d = table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(d, "text", "doc_id", n=5, threshold=0.5)
+    pairs = D.minhash_near_duplicates(
+        d, "text", "doc_id", n=5, num_perm=32, bands=32, threshold=0.5,
+        est_margin=None, min_agree=7,
+    )
     comps = D.connected_components(pairs).withColumnRenamed("_id", "doc_id")
     # The component map exits an iterative localCheckpoint, so Catalyst
     # has no size stats — broadcast it explicitly under a measured-row

@@ -119,3 +119,30 @@ def test_pagerank_lsh_edge_source_equals_exact_tier(spark):
     }
     assert exact, "fixture must produce J>=0.3 pairs"
     assert lsh == exact
+
+
+def test_leakage_splits_lsh_pair_source_equals_exact_tier(spark):
+    """leakage_safe_splits' LSH pair source at threshold 0.5 (r=1
+    bands, in-join >=7/32 agreement cut) must equal the exact n-gram
+    tier's verified pair set on the fixture — same guarantee that
+    keeps its exact-SQL oracle valid while the query scales past the
+    exact tier's mass gate."""
+    from etl_database_spark.functions import dedup as D
+    from etl_database_spark.queries import table
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    exact = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in D.ngram_jaccard_pairs(
+            d, "text", "doc_id", n=5, threshold=0.5
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in D.minhash_near_duplicates(
+            d, "text", "doc_id", n=5, num_perm=32, bands=32,
+            threshold=0.5, est_margin=None, min_agree=7,
+        ).collect()
+    }
+    assert exact, "fixture must produce J>=0.5 pairs"
+    assert lsh == exact
