@@ -876,3 +876,60 @@ def winnow_fingerprint_sets(
         lambda j: F.array_min(F.slice("_hs", j, F.lit(w))),
     )
     return with_h.select("_id", F.array_distinct(wins).alias("_fps"))
+
+
+def winnow_similarity_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    min_containment_bp: int = 5000,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """MOSS-style similarity report from winnowing fingerprints →
+    (id_a, id_b, n_shared, containment_bp): pairs sharing ≥
+    ``min_shared`` fingerprints whose containment — shared
+    fingerprints over the SMALLER document's fingerprint-set size, in
+    exact basis points — clears ``min_containment_bp``.
+
+    Shape: fingerprint sets (one pass, zero shuffles) → explode →
+    fingerprint-bucket self-join, skew-capped at ``max_bucket`` like
+    the LSH buckets (a fingerprint shared by half the corpus is
+    boilerplate, and the exact-dedup tier already owns identical
+    text) → shared-count aggregate with map-side combine →
+    containment in integer basis points via the canonical exact_idiv
+    (bit-identical in every engine). Everything replays in SQL."""
+    from etl_database_spark.functions.text import exact_idiv
+
+    sets = winnow_fingerprint_sets(df, text_col, id_col, k, w).cache()
+    sizes = sets.select("_id", F.size("_fps").cast("long").alias("n_fps"))
+    fp = sets.select("_id", F.explode("_fps").alias("fp"))
+    bucket_sizes = fp.groupBy("fp").agg(F.count("*").alias("bn"))
+    fp = fp.join(bucket_sizes.where(F.col("bn") <= max_bucket), "fp").select(
+        "_id", "fp"
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    out = (
+        shared.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("n_fps", "na"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("n_fps", "nb"), "id_b")
+        .withColumn(
+            "containment_bp",
+            exact_idiv(F.col("n_shared") * 10_000, F.least("na", "nb")),
+        )
+        .where(F.col("containment_bp") >= min_containment_bp)
+        .select("id_a", "id_b", "n_shared", "containment_bp")
+    )
+    out = out.localCheckpoint(eager=True)
+    sets.unpersist()
+    return out

@@ -266,7 +266,16 @@ def dsir_select_portable(
         .select(
             id_col,
             "n_grams",
-            F.round(F.col("w_dec").cast("double"), 6).alias("log_weight"),
+            # round in DECIMAL space, not on the double: the exact sum
+            # of 12-digit decimals lands on the 6-digit grid often
+            # (a real sf0.1 doc summed to exactly -0.5005175), and
+            # engines disagree on double-rounding such ties (Spark
+            # rounds the shortest decimal rendering, DuckDB the binary
+            # value). ROUND on the DECIMAL is exact half-away-from-
+            # zero in both engines (DuckDB's decimal CAST truncates —
+            # measured — so it must be ROUND, not a narrowing cast);
+            # the final double cast is then lossless.
+            F.round(F.col("w_dec"), 6).cast("double").alias("log_weight"),
             "dsir_rank",
         )
         .orderBy("dsir_rank")

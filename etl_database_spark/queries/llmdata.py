@@ -1935,7 +1935,7 @@ def _dsir_checkable_oracle() -> str:
       GROUP BY f.doc_id)
     SELECT doc_id, n_grams, log_weight, dsir_rank FROM (
       SELECT doc_id, n_grams,
-             ROUND(CAST(w_dec AS DOUBLE), 6) AS log_weight,
+             CAST(ROUND(w_dec, 6) AS DOUBLE) AS log_weight,
              ROW_NUMBER() OVER (ORDER BY w_dec DESC, doc_id) AS dsir_rank
       FROM w) t
     WHERE dsir_rank <= {_DSIR_K}
@@ -1996,6 +1996,60 @@ _WINNOW_ORACLE = f"""
     """
 
 
+_WINNOW_PAIRS_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, {_NORM_SQL} AS t FROM documents
+      WHERE len({_NORM_SQL}) >= {_WINNOW_K + _WINNOW_W - 1}),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t) - {_WINNOW_K - 2}),
+                 i -> ('0x' || substr(md5(substr(t, CAST(i AS INT), {_WINNOW_K})), 1, 8))::BIGINT
+             ) AS hs
+      FROM d),
+    wmin AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(hs) - {_WINNOW_W - 2}),
+                 j -> list_aggregate(hs[CAST(j AS INT):CAST(j AS INT) + {_WINNOW_W - 1}], 'min')
+             )) AS fps
+      FROM h),
+    sizes AS (SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps FROM wmin),
+    fp AS (SELECT doc_id, u.fp FROM wmin, unnest(fps) AS u(fp)),
+    bs AS (SELECT fp, COUNT(*) AS bn FROM fp GROUP BY fp),
+    fpc AS (SELECT f.doc_id, f.fp FROM fp f JOIN bs USING (fp) WHERE bs.bn <= 200),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS n_shared
+      FROM fpc a JOIN fpc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2)
+    SELECT s.id_a, s.id_b, s.n_shared,
+           CAST(s.n_shared * 10000 // LEAST(sa.n_fps, sb.n_fps) AS BIGINT)
+             AS containment_bp
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.id_a
+    JOIN sizes sb ON sb.doc_id = s.id_b
+    WHERE s.n_shared * 10000 // LEAST(sa.n_fps, sb.n_fps) >= 5000
+    ORDER BY id_a, id_b
+    """
+
+
+@register("winnow_near_dup_pairs", oracle=_WINNOW_PAIRS_ORACLE)
+def winnow_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style similarity report: document pairs sharing ≥2
+    winnowing fingerprints at ≥50% containment (shared over the
+    smaller set, exact basis points). Fingerprint-bucket blocking
+    with the same skew cap as the LSH buckets — never an all-pairs
+    scan — and every step (md5 hashes, window-min, bucket join,
+    integer containment) replays in the DuckDB oracle."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        D.winnow_similarity_pairs(
+            d, "text", "doc_id", k=_WINNOW_K, w=_WINNOW_W,
+            min_shared=2, min_containment_bp=5000,
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 @register("doc_winnow_fingerprints", oracle=_WINNOW_ORACLE)
 def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint stats per document (k=8-gram md5-32
@@ -2046,7 +2100,7 @@ _BM25_ORACLE = f"""
                AS DECIMAL(28,10)) AS sterm
       FROM tf JOIN idf USING (token) JOIN dl USING (doc_id) CROSS JOIN s),
     w AS (SELECT doc_id, SUM(sterm) AS s_dec FROM sc GROUP BY doc_id)
-    SELECT doc_id, ROUND(CAST(s_dec AS DOUBLE), 4) AS bm25, bm25_rank
+    SELECT doc_id, CAST(ROUND(s_dec, 4) AS DOUBLE) AS bm25, bm25_rank
     FROM (
       SELECT doc_id, s_dec,
              ROW_NUMBER() OVER (ORDER BY s_dec DESC, doc_id) AS bm25_rank
@@ -2089,7 +2143,10 @@ def doc_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("bm25_rank") <= _BM25_TOP_DOCS)
         .select(
             F.col("_id").alias("doc_id"),
-            F.round(F.col("bm25_dec").cast("double"), 4).alias("bm25"),
+            # decimal-space rounding: exact-decimal sums tie on the
+            # 4-digit grid, and double-rounding ties diverge across
+            # engines (see dsir_select_portable's log_weight note)
+            F.round(F.col("bm25_dec"), 4).cast("double").alias("bm25"),
             "bm25_rank",
         )
         .orderBy("bm25_rank")
