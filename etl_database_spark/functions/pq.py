@@ -1,0 +1,278 @@
+"""Product quantization for ANN at memory scale (Jégou, Douze &
+Schmid, TPAMI 2011, "Product Quantization for Nearest Neighbor
+Search").
+
+IVF (functions/similarity.py) prunes WHICH vectors a query scans; PQ
+shrinks WHAT each scanned vector costs. Split the d-dim space into m
+subspaces, k-means each subspace to ``ksub`` centroids, and store
+every vector as m single-byte-ish codes: a 64-dim float32 vector
+(256 B) becomes m=8 codes (8 B) — the 32× memory lever that makes a
+100 TB embedding corpus scannable from RAM. Search uses asymmetric
+distance computation (ADC): per query, precompute an m×ksub table of
+exact subspace distances, then every candidate's distance is m table
+lookups — no float math per candidate at all.
+
+Spark-first shape:
+
+- **train**: per-subspace Lloyd's k-means reusing ``kmeans_fit`` (the
+  engine's one quantizer trainer: deterministic lowest-id seeds) on a
+  deterministic hash-mod sample (the semantic_dedup_kmeans
+  precedent) — m small driver-side codebooks.
+- **encode**: one projection; each subspace's argmin over its
+  codebook is a codegen expression over literal centroid arrays
+  (constant plan size in corpus, linear in m·ksub).
+- **search**: the query-side distance tables are literal arrays baked
+  into the plan (queries are few by construction); scoring is
+  ``element_at`` lookups summed — whole-stage codegen, zero shuffles
+  until the per-query top-k.
+
+Verification: rows-only (Lloyd iteration is not SQL-portable);
+tests/test_pq.py pins encode/ADC exactness against a pure-Python
+reference, the reconstruction-error ordering in ksub, and recall@k
+against exact search on clustered fixtures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PQ_TRAIN_SAMPLE_MAX = 100_000
+
+
+def pq_train(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 32,
+    max_iter: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_max: int = PQ_TRAIN_SAMPLE_MAX,
+) -> list[list[list[float]]]:
+    """Train the m per-subspace codebooks → [m][ksub][dim/m] floats.
+
+    Codebooks are driver-side small (m·ksub·dsub doubles); training
+    runs one ``kmeans_fit`` per subspace over the sliced subvector
+    column, on a deterministic hash-mod sample past ``sample_max``.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    fit_df = df
+    n = df.count()
+    if n > sample_max:
+        mod = -(-n // sample_max)
+        fit_df = df.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0)
+    fit_df = fit_df.select(id_col, vec_col).cache()
+    fit_df.count()
+    # seeds: the ksub lowest-id vectors' subvectors, per subspace —
+    # the same deterministic rule as kmeans_fit, one collect for ALL
+    # m codebooks
+    seed_rows = fit_df.orderBy(id_col).limit(ksub).collect()
+    books = [
+        [
+            [float(x) for x in r[vec_col][j * dsub : (j + 1) * dsub]]
+            for r in seed_rows
+        ]
+        for j in range(m)
+    ]
+    # joint Lloyd iteration: every round is ONE job that argmin-codes
+    # all m subspaces and aggregates all m×ksub×dsub centroid means —
+    # not m separate kmeans runs with m× the driver round-trips. The
+    # current codebooks enter as a BROADCAST FRAME, not plan literals:
+    # a literal-codebook expression (m·ksub·dsub constants) forces a
+    # whole-stage-codegen recompile every iteration, which dominated
+    # wall clock; the join plan is iteration-invariant, so codegen is
+    # compiled once. Assignment is the assign_nearest shape
+    # (min(struct(dist, code)) partial-combines map-side); update rows
+    # are codebook-sized, never corpus-sized.
+    spark = df.sparkSession
+    subs = (
+        fit_df.select(
+            F.col(id_col).alias("_vid"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            F.slice(F.col(vec_col), j * dsub + 1, dsub)
+                            .cast("array<double>")
+                            .alias("sub"),
+                        )
+                        for j in range(m)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("_vid", F.col("s.j").alias("j"), F.col("s.sub").alias("sub"))
+        .cache()
+    )
+    subs.count()
+    dist = F.aggregate(
+        F.zip_with(F.col("sub"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    for _ in range(max_iter):
+        cb = spark.createDataFrame(
+            [
+                (j, code, books[j][code])
+                for j in range(m)
+                for code in range(len(books[j]))
+            ],
+            "j int, code int, cvec array<double>",
+        )
+        upd = (
+            subs.join(F.broadcast(cb), "j")
+            # min over (dist, code, sub): one row per (vector,
+            # subspace) survives the partial agg — exact duplicate
+            # subvectors keep their per-point weight in the mean
+            .select(
+                "_vid", "j",
+                F.struct(dist.alias("d"), "code", "sub").alias("dc"),
+            )
+            .groupBy("_vid", "j")
+            .agg(F.min("dc").alias("m"))
+            .select(
+                "j", F.col("m.code").alias("code"),
+                F.posexplode("m.sub").alias("pos", "val"),
+            )
+            .groupBy("j", "code", "pos")
+            .agg(F.avg("val").alias("mean"))
+            .collect()
+        )
+        new_books = [[list(c) for c in book] for book in books]
+        for r in upd:
+            new_books[r.j][r.code][r.pos] = r.mean
+        if all(
+            abs(a - b) < 1e-9
+            for nb, ob in zip(new_books, books)
+            for nc, oc in zip(nb, ob)
+            for a, b in zip(nc, oc)
+        ):
+            books = new_books
+            break
+        books = new_books
+    subs.unpersist()
+    fit_df.unpersist()
+    return books
+
+
+def _sub_sqdist(sub_col, centroid: list[float]):
+    """Σ (x_i − c_i)² of a subvector column against a literal centroid
+    — the one distance expression train/encode/search all share (same
+    left-to-right double fold, so assignments can never disagree)."""
+    c_lit = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(
+            sub_col.cast("array<double>"), c_lit, lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — each subspace's nearest-codeword index
+    (ties → lowest code, matching kmeans assignment). One projection,
+    zero shuffles; plan size is m·ksub literals, constant in corpus
+    size."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    code_cols = []
+    for j, book in enumerate(codebooks):
+        sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
+        dists = F.array(*[_sub_sqdist(sub, c) for c in book])
+        # array_position returns the FIRST index of the min → the
+        # lowest code on ties, same rule as argmin assignment
+        code_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return df.select(
+        F.col(id_col).alias("_id"), F.array(*code_cols).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    query_vectors: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    round_digits: int = 4,
+) -> DataFrame:
+    """ADC search over an encoded corpus → (query_id, neighbor_id,
+    adc_dist), k rows per query, ascending approximate L2².
+
+    ``query_vectors``: bounded (query_id, vector) list — queries are
+    few by construction (this is the serve path, not a join). Per
+    query the m×ksub distance table is computed driver-side in Python
+    floats (identical IEEE ops to the JVM) and baked into the plan as
+    literal arrays; each candidate costs m ``element_at`` lookups and
+    an m-term sum — no per-candidate float math, the PQ promise."""
+    from pyspark.sql import Window as W
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    per_query = []
+    for qid, qv in query_vectors:
+        tables = []
+        for j, book in enumerate(codebooks):
+            qsub = qv[j * dsub : (j + 1) * dsub]
+            row = []
+            for c in book:
+                acc = 0.0
+                for a, b in zip(qsub, c):
+                    diff = float(a) - float(b)
+                    acc = acc + diff * diff
+                row.append(acc)
+            tables.append(row)
+        dist = None
+        for j in range(m):
+            t_lit = F.array(*[F.lit(v) for v in tables[j]])
+            term = F.element_at(t_lit, F.element_at("codes", j + 1) + 1)
+            dist = term if dist is None else dist + term
+        per_query.append(
+            codes.select(
+                F.lit(qid).alias("query_id"),
+                F.col("_id").alias("neighbor_id"),
+                F.round(dist, round_digits).alias("adc_dist"),
+            ).where(F.col("neighbor_id") != qid)
+        )
+    scored = per_query[0]
+    for p in per_query[1:]:
+        scored = scored.unionByName(p)
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "adc_dist")
+        .orderBy("query_id", "adc_dist", "neighbor_id")
+    )
+
+
+def pq_reconstruction_sse(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Total squared reconstruction error of the codebooks over a
+    corpus — the train-quality diagnostic (must not increase with
+    ksub). One pass: encode distances are re-derived per subspace and
+    summed; nothing is collected but the scalar."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    total = None
+    for j, book in enumerate(codebooks):
+        sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
+        dists = F.array(*[_sub_sqdist(sub, c) for c in book])
+        term = F.array_min(dists)
+        total = term if total is None else total + term
+    out = df.select(total.alias("_e")).agg(F.sum("_e")).first()[0]
+    return float(out or 0.0)

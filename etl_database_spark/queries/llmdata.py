@@ -1965,6 +1965,39 @@ def dsir_selection_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Product-quantized ANN (Jégou et al., TPAMI 2011): the memory-side
+# scale lever next to IVF's scan-side one — a 64-dim float vector
+# becomes m=8 codes, and ADC search costs m table lookups per
+# candidate. Rows-only (Lloyd); encode/ADC exactness and recall are
+# pinned by tests/test_pq.py.
+_PQ_M = 8
+_PQ_KSUB = 32
+_PQ_QUERIES = 5
+_PQ_TOPK = 10
+
+
+@register("pq_ann_topk")
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC top-10 per query (5 lowest-id vectors as queries):
+    per-subspace codebooks trained with the engine's deterministic
+    k-means on a hash-mod sample, corpus encoded to m=8 codes in one
+    projection, search = m table lookups per candidate + per-query
+    top-k. The 32× compression is what keeps a 100 TB embedding
+    corpus scannable; IVF (ivf_topk_ann) prunes which lists to scan,
+    PQ shrinks what each scanned vector costs."""
+    from etl_database_spark.functions import pq as PQ
+
+    emb = table(spark, sf_dir, "embeddings")
+    books = PQ.pq_train(emb, dim=64, m=_PQ_M, ksub=_PQ_KSUB)
+    codes = PQ.pq_encode(emb, books)
+    qs = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.orderBy("vec_id").limit(_PQ_QUERIES).collect()
+    ]
+    return PQ.pq_adc_topk(codes, qs, books, k=_PQ_TOPK)
+
+
+# ---------------------------------------------------------------------------
 # Winnowing fingerprints (Schleimer et al., SIGMOD 2003 — MOSS): the
 # guaranteed-coverage document fingerprinting scheme (every shared
 # substring of length >= k+w-1 shares a fingerprint at ~2/(w+1)
