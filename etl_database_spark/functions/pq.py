@@ -178,11 +178,13 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, codes array<int>) — each subspace's nearest-codeword index
-    (ties → lowest code, matching kmeans assignment). One projection,
-    zero shuffles; plan size is m·ksub literals, constant in corpus
-    size."""
+    """(id, codes array<int>[, extra...]) — each subspace's
+    nearest-codeword index (ties → lowest code, matching kmeans
+    assignment). One projection, zero shuffles; plan size is m·ksub
+    literals, constant in corpus size. ``extra_cols`` pass through
+    unchanged (e.g. the coarse-centroid column in IVFPQ)."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     code_cols = []
@@ -195,7 +197,9 @@ def pq_encode(
             (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
         )
     return df.select(
-        F.col(id_col).alias("_id"), F.array(*code_cols).alias("codes")
+        F.col(id_col).alias("_id"),
+        F.array(*code_cols).alias("codes"),
+        *(extra_cols or []),
     )
 
 
@@ -276,3 +280,122 @@ def pq_reconstruction_sse(
         total = term if total is None else total + term
     out = df.select(total.alias("_e")).agg(F.sum("_e")).first()[0]
     return float(out or 0.0)
+
+
+def _adc_tables(qres: list[float], codebooks: list[list[list[float]]]) -> list[list[float]]:
+    """Per-subspace exact distance tables of a (residual) query vector
+    against the codebooks — driver-side floats, m×ksub values."""
+    dsub = len(codebooks[0][0])
+    tables = []
+    for j, book in enumerate(codebooks):
+        qsub = qres[j * dsub : (j + 1) * dsub]
+        row = []
+        for c in book:
+            acc = 0.0
+            for a, b in zip(qsub, c):
+                diff = float(a) - float(b)
+                acc = acc + diff * diff
+            row.append(acc)
+        tables.append(row)
+    return tables
+
+
+def ivfpq_build(
+    df: DataFrame,
+    dim: int,
+    coarse_k: int = 16,
+    m: int = 8,
+    ksub: int = 32,
+    max_iter: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[list[list[float]]], DataFrame]:
+    """IVFADC index build (Jégou et al. 2011, the billion-scale FAISS
+    architecture): coarse-quantize the corpus into ``coarse_k``
+    inverted lists, then product-quantize each vector's RESIDUAL
+    (v − coarse centroid) — residuals concentrate near zero, so the
+    same ksub buys far finer cells than raw-vector PQ.
+
+    → (coarse_centroids, residual_codebooks, codes) where ``codes``
+    is (_id, codes array<int>, centroid). At scale ``codes`` is the
+    thing you persist, written partitioned by ``centroid`` (the
+    IvfIndex layout) — coarse_k·m bytes of driver-side model plus
+    m bytes per vector is the entire serving state.
+    """
+    from etl_database_spark.functions.similarity import ivf_assign, kmeans_fit
+
+    spark = df.sparkSession
+    coarse = kmeans_fit(df, dim, k=coarse_k, max_iter=max_iter, id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assign(df, coarse, id_col, vec_col)
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(coarse)], "centroid int, cvec array<double>"
+    )
+    res = (
+        assigned.join(F.broadcast(cdf), "centroid")
+        .select(
+            "_id",
+            "centroid",
+            F.zip_with(F.col("v"), F.col("cvec"), lambda a, b: a - b).alias("res"),
+        )
+        .cache()
+    )
+    res.count()
+    books = pq_train(res, dim, m=m, ksub=ksub, max_iter=max_iter, id_col="_id", vec_col="res")
+    codes = pq_encode(res, books, id_col="_id", vec_col="res", extra_cols=["centroid"])
+    codes = codes.localCheckpoint(eager=True)
+    res.unpersist()
+    return coarse, books, codes
+
+
+def ivfpq_topk(
+    codes: DataFrame,
+    coarse: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query_vectors: list[tuple[int, list[float]]],
+    n_probe: int = 4,
+    k: int = 10,
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVFADC search → (query_id, neighbor_id, adc_dist): each query
+    probes its ``n_probe`` nearest coarse centroids and ADC-scans ONLY
+    those inverted lists, with a residual distance table per probed
+    list (q − centroid vs the residual codebooks). Per candidate the
+    cost is m table lookups; the scan is 1/coarse_k·n_probe of the
+    corpus — both ANN levers composed."""
+    from pyspark.sql import Window as W
+
+    m = len(codebooks)
+    branches = []
+    for qid, qv in query_vectors:
+        order = sorted(
+            range(len(coarse)),
+            key=lambda i: (
+                sum((float(a) - float(b)) ** 2 for a, b in zip(qv, coarse[i])),
+                i,
+            ),
+        )
+        for cidx in order[:n_probe]:
+            qres = [float(a) - float(b) for a, b in zip(qv, coarse[cidx])]
+            tables = _adc_tables(qres, codebooks)
+            dist = None
+            for j in range(m):
+                t_lit = F.array(*[F.lit(v) for v in tables[j]])
+                term = F.element_at(t_lit, F.element_at("codes", j + 1) + 1)
+                dist = term if dist is None else dist + term
+            branches.append(
+                codes.where(F.col("centroid") == cidx).select(
+                    F.lit(qid).alias("query_id"),
+                    F.col("_id").alias("neighbor_id"),
+                    F.round(dist, round_digits).alias("adc_dist"),
+                ).where(F.col("neighbor_id") != qid)
+            )
+    scored = branches[0]
+    for b in branches[1:]:
+        scored = scored.unionByName(b)
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "adc_dist")
+        .orderBy("query_id", "adc_dist", "neighbor_id")
+    )

@@ -1976,6 +1976,28 @@ _PQ_QUERIES = 5
 _PQ_TOPK = 10
 
 
+@register("ivfpq_ann_topk")
+def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — both ANN levers composed (the billion-scale FAISS
+    architecture): 16 coarse inverted lists prune WHICH vectors each
+    query scans (n_probe=4 → ~1/4 of the corpus), residual PQ codes
+    shrink WHAT each scanned vector costs (m=8 table lookups, no
+    float math). Rows-only (two Lloyd quantizers); residual-ADC
+    exactness and planted-twin recall are pinned in
+    tests/test_pq.py."""
+    from etl_database_spark.functions import pq as PQ
+
+    emb = table(spark, sf_dir, "embeddings")
+    coarse, books, codes = PQ.ivfpq_build(
+        emb, dim=64, coarse_k=16, m=_PQ_M, ksub=_PQ_KSUB
+    )
+    qs = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.orderBy("vec_id").limit(_PQ_QUERIES).collect()
+    ]
+    return PQ.ivfpq_topk(codes, coarse, books, qs, n_probe=4, k=_PQ_TOPK)
+
+
 @register("pq_ann_topk")
 def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-ADC top-10 per query (5 lowest-id vectors as queries):

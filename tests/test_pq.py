@@ -108,3 +108,47 @@ def test_pq_recall_of_planted_twins(spark, vectors):
 def test_pq_train_rejects_bad_m(spark, vectors):
     with pytest.raises(ValueError, match="not divisible"):
         PQ.pq_train(vectors, DIM, m=5)
+
+
+def test_ivfpq_residual_adc_matches_python(spark, vectors):
+    """IVFADC distances must equal the python replay: residual encode
+    against the same codebooks, table lookups summed."""
+    coarse, books, codes = PQ.ivfpq_build(vectors, DIM, coarse_k=3, m=M, ksub=8, max_iter=3)
+    rows = {r.vec_id: list(r.embedding) for r in vectors.collect()}
+    cents = {r._id: (list(r.codes), r.centroid) for r in codes.collect()}
+    out = PQ.ivfpq_topk(codes, coarse, books, [(0, rows[0])], n_probe=3, k=30)
+    got = {r.neighbor_id: r.adc_dist for r in out.collect()}
+    assert got, "probing all lists must score candidates"
+    dsub = DIM // M
+    for nid, got_d in got.items():
+        cds, cidx = cents[nid]
+        qres = [float(a) - float(b) for a, b in zip(rows[0], coarse[cidx])]
+        want = 0.0
+        for j in range(M):
+            qsub = qres[j * dsub : (j + 1) * dsub]
+            c = books[j][cds[j]]
+            acc = 0.0
+            for a, b in zip(qsub, c):
+                d = float(a) - float(b)
+                acc = acc + d * d
+            want = want + acc
+        assert abs(got_d - round(want, 4)) < 1e-9, nid
+
+
+def test_ivfpq_recall_of_planted_twins(spark, vectors):
+    coarse, books, codes = PQ.ivfpq_build(vectors, DIM, coarse_k=4, m=M, ksub=16, max_iter=3)
+    rows = {r.vec_id: list(r.embedding) for r in vectors.collect()}
+    queries = [(i, rows[i]) for i in rows if i % 4 == 3]
+    out = PQ.ivfpq_topk(codes, coarse, books, queries, n_probe=2, k=5).collect()
+    top = {}
+    for r in out:
+        top.setdefault(r.query_id, []).append(r.neighbor_id)
+    hits = sum(1 for qid, ns in top.items() if qid - 1 in ns)
+    assert hits / len(queries) >= 0.8, (hits, len(queries))
+
+
+def test_ivfpq_codes_carry_centroid(spark, vectors):
+    coarse, books, codes = PQ.ivfpq_build(vectors, DIM, coarse_k=3, m=M, ksub=8, max_iter=2)
+    assert set(codes.columns) == {"_id", "codes", "centroid"}
+    cvals = {r.centroid for r in codes.select("centroid").distinct().collect()}
+    assert cvals <= set(range(3)) and len(cvals) >= 2
