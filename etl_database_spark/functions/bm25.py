@@ -9,10 +9,15 @@ DSIR's distribution matching).
                            / (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
     idf(t) = ln((N − df(t) + 0.5)/(df(t) + 0.5) + 1)
 
-Scale shape: ONE tokenize pass; the term filter lands BEFORE the tf
-aggregation, so only query-term rows shuffle (|Q| is tiny); df/idf is
-a |Q|-row broadcast; per-doc scores partial-aggregate map-side. No
-corpus-wide state beyond two scalars (N, total tokens).
+Scale shape: ONE tokenize pass — :func:`tokenize_docs` materializes
+per-doc token ARRAYS (localCheckpoint), and every consumer (doc
+lengths via ``size()``, query-term tf via an in-array filter before
+the explode, the registered query's top-term discovery) reads those
+arrays instead of re-splitting the text. The term filter lands
+BEFORE the tf aggregation, so only query-term rows shuffle (|Q| is
+tiny); df/idf is a |Q|-row broadcast; per-doc scores
+partial-aggregate map-side. No corpus-wide state beyond two scalars
+(N, total tokens).
 
 Engine portability (the DSIR-twin recipe): idf's ln of exact
 rationals is rounded to 9 digits; every other factor is a fixed
@@ -31,35 +36,56 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
+def tokenize_docs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(_id, _toks) — the single whitespace-tokenize pass over the
+    corpus, materialized with localCheckpoint so every downstream
+    consumer (doc lengths, query-term tf, top-term discovery) reuses
+    the arrays instead of re-splitting the text (the tokenize-once
+    lesson from DSIR: lineage replay re-tokenizes silently)."""
+    from etl_database_spark.functions.partitioning import spread_scan
+
+    arr = spread_scan(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("_id"),
+        F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+            lambda t: t != "",
+        ).alias("_toks"),
+    )
+    return arr.localCheckpoint(eager=True)
+
+
 def bm25_scores(
-    df: DataFrame,
+    df: DataFrame | None,
     query_terms: list[str],
     text_col: str = "text",
     id_col: str = "doc_id",
     k1: float = BM25_K1,
     b: float = BM25_B,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """(id, bm25_dec) — exact-decimal BM25 of every document matching
     ≥1 query term. Callers rank/limit on ``bm25_dec`` (exact) and
-    render a rounded double for output."""
-    from etl_database_spark.functions.partitioning import spread_scan
-
-    toks = (
-        spread_scan(df.select(F.col(id_col), F.col(text_col)))
-        .select(
-            F.col(id_col).alias("_id"),
-            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
-        )
-        .where(F.col("tok") != "")
-        # dl (and avgdl) count ALL tokens, so the doc-length table is
-        # built before the query-term filter
-    )
-    dl = toks.groupBy("_id").agg(F.count("*").alias("dl")).localCheckpoint(eager=True)
+    render a rounded double for output. Pass ``toks`` (a
+    :func:`tokenize_docs` frame) to share the tokenize pass with
+    other consumers; otherwise one is built from ``df``."""
+    if toks is None:
+        toks = tokenize_docs(df, text_col=text_col, id_col=id_col)
+    # dl (and avgdl) count ALL tokens — size() over the persisted
+    # arrays, no explode and no shuffle
+    dl = toks.select("_id", F.size("_toks").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n"), F.sum("dl").alias("t")
     ).first()
     n_docs, total_toks = int(stats["n"]), int(stats["t"] or 0)
-    qt = toks.where(F.col("tok").isin(list(query_terms)))
+    # query-term filter INSIDE the array, before the explode: only
+    # |Q|-matching tokens ever become rows
+    qs = list(query_terms)
+    qt = toks.select(
+        "_id",
+        F.explode(F.filter("_toks", lambda t: t.isin(qs))).alias("tok"),
+    )
     tf = qt.groupBy("_id", "tok").agg(F.count("*").alias("tf"))
     dfr = tf.groupBy("tok").agg(F.count("*").alias("df"))
     idf = dfr.select(

@@ -22,6 +22,8 @@ results are deterministic across runs and cluster sizes.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -243,6 +245,33 @@ def lsh_candidate_pairs(
     )
 
 
+def capped_bucket_ids(
+    sigs: DataFrame,
+    num_perm: int = 32,
+    bands: int = 8,
+    max_bucket: int = 200,
+    portable: bool = False,
+) -> DataFrame:
+    """(_id) — documents that occur in at least one over-cap LSH
+    bucket. These are exactly the documents whose pairs
+    :func:`lsh_candidate_pairs` can silently lose to the skew cap (a
+    pair colliding ONLY inside capped buckets is never joined), so
+    recall-critical callers route them through the exact tier
+    (``minhash_near_duplicates(capped_route_exact=True)``)."""
+    banded = band_table(sigs, num_perm, bands, portable=portable)
+    bucket_sizes = banded.groupBy("band_id", "band_hash").agg(
+        F.count("*").alias("bucket_n")
+    )
+    return (
+        banded.join(
+            bucket_sizes.where(F.col("bucket_n") > max_bucket),
+            ["band_id", "band_hash"],
+        )
+        .select("_id")
+        .distinct()
+    )
+
+
 def _finish_eager(result: DataFrame, caches: list[DataFrame]) -> DataFrame:
     """Materialize a (small, post-threshold) result and release every
     intermediate cache. Without this, each call of a dedup pipeline
@@ -325,6 +354,8 @@ def minhash_near_duplicates(
     portable: bool = False,
     est_margin: float | None = 0.2,
     min_agree: int = 1,
+    max_bucket: int = 200,
+    capped_route_exact: bool = False,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection → (id_a, id_b, jaccard).
 
@@ -350,6 +381,26 @@ def minhash_near_duplicates(
     bucket join plus an exact-verify re-shingle of the candidate
     documents (a scan-and-filter of the doc table, not an explode of
     the whole corpus).
+
+    ``capped_route_exact``: close the skew-cap miss mode. The
+    ``max_bucket`` guard drops over-cap buckets from the candidate
+    join, so a pair that collides ONLY inside capped buckets is
+    silently lost. A cap-lost pair's agreeing bucket contains BOTH
+    endpoints, so with this flag every document that touches an
+    over-cap bucket is routed through :func:`ngram_jaccard_pairs`
+    (the exact prefix-filtered tier) and the union is returned —
+    TOTAL recall for the miss mode, at the cost of an exact pass
+    over just that slice. When the routed slice itself exceeds the
+    exact tier's candidate-mass gate (possible only past the tested
+    fixture scales, on template-saturated corpora where the capped
+    slice approaches the corpus), the routing degrades to LSH-only
+    with a loud log warning instead of refusing: the residual miss
+    is then the all-agreeing-buckets-capped mode only, whose
+    probability falls geometrically in the number of r=1 bands
+    (each agreeing band's bucket keys a uniformly-random SHARED
+    shingle; all ~J·bands of them must be boilerplate-hot at once).
+    Requires ``df`` (the raw document frame) even when ``sigs`` is
+    passed.
     """
     release = []
     if sigs is None:
@@ -361,8 +412,18 @@ def minhash_near_duplicates(
     # Candidate pairs fan into several plan branches below. Materialize
     # once (cache is lazy — branches inside a single action would
     # otherwise each recompute the whole LSH pipeline).
+    capped = None
+    n_capped = 0
+    if capped_route_exact:
+        # Materialize before jaccard_verify releases the sig cache —
+        # the capped-id frame must not replay the signature build.
+        capped = capped_bucket_ids(
+            sigs, num_perm, bands, max_bucket, portable=portable
+        ).localCheckpoint(eager=True)
+        n_capped = capped.count()
     pairs = lsh_candidate_pairs(
-        sigs, num_perm, bands, portable=portable, min_agree=min_agree
+        sigs, num_perm, bands, max_bucket=max_bucket, portable=portable,
+        min_agree=min_agree,
     ).cache()
     release.append(pairs)
     pairs.count()
@@ -412,7 +473,32 @@ def minhash_near_duplicates(
         _maybe_broadcast(pair_ids, 2 * n_est, BROADCAST_MAX_ID_ROWS), id_col, "left_semi"
     )
     sh_cand = shingles(cand_docs, text_col, id_col, n, portable=portable)
-    return jaccard_verify(est, sh_cand, threshold, n_pairs=n_est, release=release)
+    verified = jaccard_verify(est, sh_cand, threshold, n_pairs=n_est, release=release)
+    if not n_capped:
+        return verified
+    # Exact tier over just the capped-bucket slice: both endpoints of
+    # any cap-lost pair are, by definition, members of an over-cap
+    # bucket, so this union restores total recall for the miss mode.
+    capped_docs = df.join(
+        _maybe_broadcast(
+            capped.withColumnRenamed("_id", id_col), n_capped, BROADCAST_MAX_ID_ROWS
+        ),
+        id_col,
+        "left_semi",
+    )
+    try:
+        extra = ngram_jaccard_pairs(capped_docs, text_col, id_col, n, threshold)
+    except ValueError as e:
+        # Past tested scales only: the capped slice itself is
+        # quadratic-infeasible. Degrade to LSH-only, loudly — the
+        # residual miss mode (pair colliding only in capped buckets)
+        # is documented above and on the recall-critical callers.
+        logging.getLogger(__name__).warning(
+            "capped_route_exact: exact tier refused on the %d-doc capped "
+            "slice (%s); continuing with LSH-only recall for it", n_capped, e
+        )
+        return verified
+    return verified.union(extra).dropDuplicates(["id_a", "id_b"])
 
 
 def ngram_jaccard_pairs(

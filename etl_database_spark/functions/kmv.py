@@ -16,11 +16,17 @@ in any SQL engine, which makes the distinct-count *family*
 oracle-verifiable (the checkable-twin move).
 
 Scale shape: one distinct shuffle on (group, hash) — the same
-exchange COUNT(DISTINCT) needs — then a per-group top-k. State per
-group is k hashes (the window's top-k under TakeOrdered-style
-pruning), versus the full key set for exact distinct. The sketch is
-also mergeable (union the hash sets, keep the k smallest), which is
-what a per-batch incremental store would exploit.
+exchange COUNT(DISTINCT) needs — then a per-group bottom-k. The
+window carries an explicit ``_rk <= k`` rank predicate, which is
+what lets Spark's WindowGroupLimit rewrite keep only k hashes of
+per-group state instead of numbering every distinct hash (without
+the predicate the window sorts and numbers the full distinct set,
+costing at least as much as exact COUNT(DISTINCT)). Because the
+filtered side's row count is exactly ``min(nd, k)``, the "exact
+below k / estimate at k" split needs no second exact-count pass.
+The sketch is also mergeable (union the hash sets, keep the k
+smallest), which is what a per-batch incremental store would
+exploit.
 """
 
 from __future__ import annotations
@@ -58,7 +64,12 @@ def kmv_distinct(
     group_cols = group_cols or []
     dh = df.select(*group_cols, kmv_hash(key_col).alias("_h")).distinct()
     w = W.partitionBy(*group_cols).orderBy("_h") if group_cols else W.orderBy("_h")
-    ranked = dh.withColumn("_rk", F.row_number().over(w))
+    # The rank predicate (not just the k-th-row CASE in the agg) is
+    # load-bearing: it is the pattern WindowGroupLimit matches, turning
+    # full-group sort+number into a bounded top-k. count(*) of the
+    # survivors is min(nd, k), so `_nd >= k` below still means "the
+    # group had at least k distinct hashes".
+    ranked = dh.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") <= k)
     stats = ranked.groupBy(*group_cols).agg(
         F.max(F.when(F.col("_rk") == k, F.col("_h"))).alias("_hk"),
         F.count("*").alias("_nd"),

@@ -23,6 +23,7 @@ extra exchange never happens on a big cluster.
 from __future__ import annotations
 
 import os
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame
 
@@ -63,7 +64,10 @@ def spread_scan(
         return df
     total = 0
     for f in files:
-        path = f[7:] if f.startswith("file:") else f
+        # inputFiles() renders local paths as file:///p here, but other
+        # Hadoop code paths emit file:/p or file://host/p — urlparse
+        # handles all three (plain paths pass through as .path).
+        path = unquote(urlparse(f).path) if ":" in f else f
         try:
             total += os.path.getsize(path)
         except OSError:

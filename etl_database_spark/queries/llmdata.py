@@ -1697,23 +1697,37 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative instead of the doc id, so no near-duplicate pair
     ever straddles two splits (train/test leakage hygiene).
 
-    Pair source (round-7): MinHash LSH, r=1 bands with the in-join
-    ≥7/32 signature-agreement cut, exact-Jaccard verified — the same
-    scale move as doc_similarity_pagerank, sized for threshold 0.5
-    (a true J=0.50 pair fails ≥7/32 with p ≈ 6e-4; banding miss
-    (1-J)^32 ≤ 2.4e-10). The verified pair set equals the exact
-    tier's on the fixtures (tests/test_graph.py twin assertion), so
-    the unchanged exact-SQL oracle still certifies the whole split,
-    while at sf1+ the query now runs instead of refusing at the
-    exact tier's candidate-mass gate. The component join is a
-    broadcast at any realistic cluster-count, and the split itself
-    is one codegen projection."""
+    Pair source (round-8 hardening of the round-7 LSH move): MinHash
+    LSH with num_perm=64, r=1 bands, in-join ≥13/64 signature-
+    agreement cut, exact-Jaccard verified. Sized for the safety-
+    critical threshold 0.5: a true J=0.50 pair fails ≥13/64 with
+    p = P(Binom(64, .5) ≤ 12) ≈ 2.3e-7 (the round-7 ≥7/32 cut missed
+    with p ≈ 2.7e-4 — fixed hashes, so not re-rollable); banding miss
+    (1-J)^64 ≈ 5.4e-20. The second miss mode — a pair colliding ONLY
+    inside max_bucket-capped boilerplate buckets — is closed
+    structurally: ``capped_route_exact=True`` routes every
+    capped-bucket member through the exact prefix-filtered n-gram
+    tier and unions the result, so capped pairs are found exactly
+    rather than dropped wherever that tier's candidate-mass gate
+    admits the slice. Past the gate (template-saturated corpora
+    beyond the tested scales, e.g. the sf1 fixture where the capped
+    slice approaches the corpus), the routing degrades to LSH-only
+    with a loud log warning, and the residual miss is the
+    all-agreeing-buckets-capped mode — every one of a pair's ~32
+    agreeing buckets (each keyed by a uniformly-random SHARED
+    shingle) must be boilerplate-hot at once. The exact-SQL oracle
+    certifies equality at the TESTED scales only (sf0.001–sf0.1
+    fixtures + the tests/test_graph.py twin assertion, including a
+    forced-cap test); beyond them the documented residual is the
+    ≈2.3e-7 agreement-cut tail plus the capped mode above. The component join is a broadcast at
+    any realistic cluster-count, and the split itself is one codegen
+    projection."""
     from etl_database_spark.functions import sampling as SMP
 
     d = table(spark, sf_dir, "documents")
     pairs = D.minhash_near_duplicates(
-        d, "text", "doc_id", n=5, num_perm=32, bands=32, threshold=0.5,
-        est_margin=None, min_agree=7,
+        d, "text", "doc_id", n=5, num_perm=64, bands=64, threshold=0.5,
+        est_margin=None, min_agree=13, capped_route_exact=True,
     )
     comps = D.connected_components(pairs).withColumnRenamed("_id", "doc_id")
     # The component map exits an iterative localCheckpoint, so Catalyst
@@ -2175,23 +2189,22 @@ def doc_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle."""
     from pyspark.sql import Window as W
 
-    from etl_database_spark.functions.bm25 import bm25_scores
+    from etl_database_spark.functions.bm25 import bm25_scores, tokenize_docs
 
     d = table(spark, sf_dir, "documents")
-    toks = (
-        d.select(
-            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
-        ).where(F.col("tok") != "")
-    )
+    # ONE tokenize pass: top-term discovery explodes the persisted
+    # arrays, and bm25_scores consumes the same frame (toks=...)
+    tok_arr = tokenize_docs(d)
     top = [
         r.tok
-        for r in toks.groupBy("tok")
+        for r in tok_arr.select(F.explode("_toks").alias("tok"))
+        .groupBy("tok")
         .agg(F.count("*").alias("c"))
         .orderBy(F.desc("c"), "tok")
         .limit(_BM25_TOP_TERMS)
         .collect()
     ]
-    scored = bm25_scores(d, top)
+    scored = bm25_scores(None, top, toks=tok_arr)
     order = W.orderBy(F.desc("bm25_dec"), F.asc("_id"))
     return (
         scored.withColumn("bm25_rank", F.row_number().over(order))

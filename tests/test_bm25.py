@@ -72,5 +72,5 @@ def test_bm25_registered_query_shape(spark):
     ranks = [r.bm25_rank for r in rows]
     assert ranks == sorted(ranks) and ranks[0] == 1
     scores = [r.bm25 for r in rows]
-    assert scores == sorted(scores, reverse=True) or True  # ties broken by id
+    assert all(a >= b for a, b in zip(scores, scores[1:]))
     assert all(r.bm25 > 0 for r in rows)

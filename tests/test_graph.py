@@ -123,10 +123,11 @@ def test_pagerank_lsh_edge_source_equals_exact_tier(spark):
 
 def test_leakage_splits_lsh_pair_source_equals_exact_tier(spark):
     """leakage_safe_splits' LSH pair source at threshold 0.5 (r=1
-    bands, in-join >=7/32 agreement cut) must equal the exact n-gram
-    tier's verified pair set on the fixture — same guarantee that
-    keeps its exact-SQL oracle valid while the query scales past the
-    exact tier's mass gate."""
+    bands over 64 perms, in-join >=13/64 agreement cut, capped
+    buckets routed through the exact tier) must equal the exact
+    n-gram tier's verified pair set on the fixture — same guarantee
+    that keeps its exact-SQL oracle valid while the query scales
+    past the exact tier's mass gate."""
     from etl_database_spark.functions import dedup as D
     from etl_database_spark.queries import table
 
@@ -140,9 +141,43 @@ def test_leakage_splits_lsh_pair_source_equals_exact_tier(spark):
     lsh = {
         (r.id_a, r.id_b, round(r.jaccard, 6))
         for r in D.minhash_near_duplicates(
-            d, "text", "doc_id", n=5, num_perm=32, bands=32,
-            threshold=0.5, est_margin=None, min_agree=7,
+            d, "text", "doc_id", n=5, num_perm=64, bands=64,
+            threshold=0.5, est_margin=None, min_agree=13,
+            capped_route_exact=True,
         ).collect()
     }
     assert exact, "fixture must produce J>=0.5 pairs"
     assert lsh == exact
+
+
+def test_capped_route_exact_restores_cap_lost_pairs(spark):
+    """A near-dup pair whose band collisions all land in over-cap
+    buckets is dropped by the plain LSH tier but restored by
+    capped_route_exact: force max_bucket below the fixture's
+    boilerplate bucket sizes and assert the routed tier still equals
+    the exact tier while the unrouted tier has lost pairs."""
+    from etl_database_spark.functions import dedup as D
+    from etl_database_spark.queries import table
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(
+            d, "text", "doc_id", n=5, threshold=0.5
+        ).collect()
+    }
+    kw = dict(n=5, num_perm=64, bands=64, threshold=0.5,
+              est_margin=None, min_agree=13, max_bucket=1)
+    plain = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_near_duplicates(d, "text", "doc_id", **kw).collect()
+    }
+    routed = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_near_duplicates(
+            d, "text", "doc_id", capped_route_exact=True, **kw
+        ).collect()
+    }
+    assert exact, "fixture must produce J>=0.5 pairs"
+    assert plain < exact  # the cap really loses pairs at max_bucket=1
+    assert routed == exact
