@@ -321,5 +321,45 @@ def main() -> None:
     print(line)
 
 
+def _wrapper() -> int:
+    """Run the real bench in a child process and print its one-line
+    JSON summary as the PARENT's very first stdout bytes. The round
+    driver's output capture is head-bounded, and Spark/JVM noise used
+    to fill that head before the summary line was reached (rounds
+    4-7 recorded `parsed: null`); with the wrapper, stdout begins
+    with the JSON line no matter how chatty the child was. The
+    child's progress lines are replayed to stderr afterwards for
+    human runs."""
+    import subprocess
+
+    env = dict(os.environ, SPARK_GRAFT_BENCH_CHILD="1")
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+    )
+    summary = ""
+    for ln in reversed(proc.stdout.splitlines()):
+        ln = ln.strip()
+        if ln.startswith("{") and ln.endswith("}"):
+            summary = ln
+            break
+    if summary:
+        print(summary, flush=True)
+    else:
+        print(
+            json.dumps({"metric": "headline_query_wall_seconds", "error": "child produced no summary"}),
+            flush=True,
+        )
+    sys.stderr.write(proc.stderr)
+    if not summary:
+        sys.stderr.write(proc.stdout)
+    return proc.returncode
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("SPARK_GRAFT_BENCH_CHILD"):
+        main()
+    else:
+        sys.exit(_wrapper())
