@@ -181,3 +181,34 @@ def test_capped_route_exact_restores_cap_lost_pairs(spark):
     assert exact, "fixture must produce J>=0.5 pairs"
     assert plain < exact  # the cap really loses pairs at max_bucket=1
     assert routed == exact
+
+
+def test_pagerank_edge_store_serves_one_shot_build(spark):
+    """doc_similarity_pagerank's persisted edge store must serve the
+    same ranks as an un-stored one-shot build of the same LSH
+    pipeline (store round-trip changes nothing), and a second serve
+    must not rebuild (same parquet path)."""
+    from etl_database_spark.functions import dedup as D
+    from etl_database_spark.functions.graph import pagerank
+    from etl_database_spark.queries import llmdata as L
+    from etl_database_spark.queries import load_all, table
+
+    sf = "/root/testdata/sf0.001"
+    stored = {
+        (r.doc_id, r.rank)
+        for r in load_all()["doc_similarity_pagerank"].fn(spark, sf).collect()
+    }
+    key = next(k for k in L._PAGERANK_EDGE_STORE if k[0] == sf)
+    path_first = L._PAGERANK_EDGE_STORE[key]
+    d = table(spark, sf, "documents")
+    pairs = D.minhash_near_duplicates(
+        d, "text", "doc_id", n=5, num_perm=32, bands=32, threshold=0.3,
+        est_margin=None, min_agree=3,
+    )
+    oneshot = {
+        (r._id, round(r.rank, 6))
+        for r in pagerank(pairs, damping=0.85, max_iter=20).collect()
+    }
+    assert stored == oneshot
+    load_all()["doc_similarity_pagerank"].fn(spark, sf).count()
+    assert L._PAGERANK_EDGE_STORE[key] == path_first

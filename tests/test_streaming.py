@@ -370,7 +370,7 @@ def test_streaming_near_dups_registry_query_equals_batch(spark):
 
     rows = load_all()["streaming_near_dups"].fn(spark, sf_dir).collect()
     assert rows, "no near-dup pairs found at sf0.001 — fixture changed?"
-    assert all(r.in_batch for r in rows)
+    assert all(r.in_batch and r.in_stream for r in rows)
     streamed = {(r.id_a, r.id_b) for r in rows}
     d = load_table(spark, sf_dir, "documents")
     batch = {
