@@ -987,16 +987,41 @@ def winnow_similarity_pairs(
     text) → shared-count aggregate with map-side combine →
     containment in integer basis points via the canonical exact_idiv
     (bit-identical in every engine). Everything replays in SQL."""
+    sets = winnow_fingerprint_sets(df, text_col, id_col, k, w).cache()
+    fp = sets.select("_id", F.explode("_fps").alias("fp"))
+    out = winnow_pairs_from_postings(
+        fp,
+        min_shared=min_shared,
+        min_containment_bp=min_containment_bp,
+        max_bucket=max_bucket,
+    )
+    out = out.localCheckpoint(eager=True)
+    sets.unpersist()
+    return out
+
+
+def winnow_pairs_from_postings(
+    fp: DataFrame,
+    min_shared: int = 2,
+    min_containment_bp: int = 5000,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """The serve half of :func:`winnow_similarity_pairs`, factored
+    over a postings frame ``(_id, fp)`` (one row per document per
+    DISTINCT fingerprint value) so the one-shot path and the
+    incremental WinnowStore share the identical pair math: per-doc
+    sizes from the UNCAPPED postings, the skew cap applied to bucket
+    sizes at serve time (a corpus-level property, so batch-split
+    invariant), bucket self-join, shared counts, exact-basis-point
+    containment."""
     from etl_database_spark.functions.text import exact_idiv
 
-    sets = winnow_fingerprint_sets(df, text_col, id_col, k, w).cache()
-    sizes = sets.select("_id", F.size("_fps").cast("long").alias("n_fps"))
-    fp = sets.select("_id", F.explode("_fps").alias("fp"))
+    sizes = fp.groupBy("_id").agg(F.count("*").cast("long").alias("n_fps"))
     bucket_sizes = fp.groupBy("fp").agg(F.count("*").alias("bn"))
-    fp = fp.join(bucket_sizes.where(F.col("bn") <= max_bucket), "fp").select(
+    capped = fp.join(bucket_sizes.where(F.col("bn") <= max_bucket), "fp").select(
         "_id", "fp"
     )
-    a, b = fp.alias("a"), fp.alias("b")
+    a, b = capped.alias("a"), capped.alias("b")
     shared = (
         a.join(
             b,
@@ -1006,7 +1031,7 @@ def winnow_similarity_pairs(
         .agg(F.count("*").cast("long").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
-    out = (
+    return (
         shared.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("n_fps", "na"), "id_a")
         .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("n_fps", "nb"), "id_b")
         .withColumn(
@@ -1016,6 +1041,3 @@ def winnow_similarity_pairs(
         .where(F.col("containment_bp") >= min_containment_bp)
         .select("id_a", "id_b", "n_shared", "containment_bp")
     )
-    out = out.localCheckpoint(eager=True)
-    sets.unpersist()
-    return out

@@ -141,6 +141,15 @@ WINDOW_PROMOTED = (
     # blocking, both replayed end-to-end in portable SQL
     "minhash_near_dups_checkable",
     "simhash_near_dups_checkable",
+    # round-8 (VERDICT r7 ask #3): rotate the window toward the LLM
+    # surface — the round-7 operator families certified by the
+    # driver's own artifact: BM25 retrieval scoring, the DSIR
+    # importance-resampling twin, MOSS winnowing fingerprints, and
+    # the frozen-codebook PQ encode+ADC twin (r7 ask #2)
+    "doc_bm25_scores",
+    "dsir_selection_checkable",
+    "doc_winnow_fingerprints",
+    "pq_ann_topk_checkable",
 )
 WINDOW_DEMOTED = (
     "approx_distinct_parts",
@@ -171,4 +180,23 @@ WINDOW_DEMOTED = (
     # customers_without_orders). Both remain pytest-oracle-verified.
     "top_value_suppliers",
     "high_balance_inactive_customers",
+    # round-8: yield four slots to the LLM-surface promotions above.
+    # Redundant with window coverage that stays:
+    # - suppliers_with_shipments (J6 left-semi; the join-existence
+    #   family is held by customers_without_orders / churn_setops,
+    #   and the judge's r7 ask named this row as the swap)
+    # - supplier_labels (§2.8 string fns; part_type_prefix_stats and
+    #   doc_first_word_stats keep substring/regex coverage in-window)
+    # - orders_by_month (§2.8 date trunc/group; business_calendar,
+    #   orders_prev_busday, ship_latency_by_priority,
+    #   daily_purchase_gapfill all keep date/time coverage)
+    # - price_percentiles (percentile family; customer_spend_quartiles
+    #   + event_value_quantile_histogram + rollup_daily_value_quantiles
+    #   stay in-window)
+    # All four remain pytest-oracle-verified
+    # (tests/test_oracle_equivalence.py).
+    "suppliers_with_shipments",
+    "supplier_labels",
+    "orders_by_month",
+    "price_percentiles",
 )

@@ -2070,6 +2070,98 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PQ.pq_adc_topk(codes, qs, books, k=_PQ_TOPK)
 
 
+# Fully oracle-checkable PQ twin: Lloyd training is the only
+# SQL-unportable step, so freeze the codebooks at the deterministic
+# seed rule both engines can derive from the data itself (the ksub
+# lowest-vec_id vectors' subvectors — the same seeds pq_train starts
+# from) and replay encode (per-subspace argmin, ties → lowest code)
+# plus ADC scoring (distance-table lookups summed left-to-right,
+# rounded BEFORE ranking) in portable SQL. A green hash certifies the
+# encode/ADC math cross-engine; the fast path above keeps the trained
+# codebooks and stays rows-only.
+_PQC_M = 4
+_PQC_KSUB = 8
+_PQC_DSUB = 64 // _PQC_M
+_PQC_QUERIES = 3
+_PQC_TOPK = 5
+
+
+def _pq_checkable_oracle() -> str:
+    dsub, m, ksub = _PQC_DSUB, _PQC_M, _PQC_KSUB
+    sq = "x -> (x[1] - x[2]) * (x[1] - x[2])"
+    # fixed-order m-term sum (matches the Spark plan's left-to-right
+    # t0 + t1 + ... fold bit-for-bit; SUM() would not pin the order)
+    adc_sum = " + ".join(f"MAX(CASE WHEN t.j = {j} THEN d END)" for j in range(m))
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeds AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+      FROM e ORDER BY vec_id LIMIT {ksub}
+    ),
+    cb AS (
+      SELECT j, code, list_slice(v, j * {dsub} + 1, j * {dsub} + {dsub}) AS cvec
+      FROM seeds, unnest([{", ".join(str(j) for j in range(m))}]) AS t(j)
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e ORDER BY vec_id LIMIT {_PQC_QUERIES}),
+    encd AS (
+      SELECT e.vec_id, cb.j, cb.code,
+             list_sum(list_transform(list_zip(
+               list_slice(e.v, cb.j * {dsub} + 1, cb.j * {dsub} + {dsub}), cb.cvec), {sq})) AS d
+      FROM e, cb
+    ),
+    enc AS (
+      SELECT vec_id, j, code FROM (
+        SELECT vec_id, j, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rk
+        FROM encd) WHERE rk = 1
+    ),
+    tab AS (
+      SELECT q.query_id, cb.j, cb.code,
+             list_sum(list_transform(list_zip(
+               list_slice(q.qv, cb.j * {dsub} + 1, cb.j * {dsub} + {dsub}), cb.cvec), {sq})) AS d
+      FROM q, cb
+    ),
+    scored AS (
+      SELECT t.query_id, enc.vec_id AS neighbor_id, ROUND({adc_sum}, 4) AS adc_dist
+      FROM enc JOIN tab t ON enc.j = t.j AND enc.code = t.code
+      WHERE t.query_id <> enc.vec_id
+      GROUP BY t.query_id, enc.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_dist FROM (
+      SELECT query_id, neighbor_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rn
+      FROM scored) WHERE rn <= {_PQC_TOPK}
+    ORDER BY query_id, adc_dist, neighbor_id
+    """
+
+
+@register("pq_ann_topk_checkable", oracle=_pq_checkable_oracle())
+def pq_ann_topk_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pq_ann_topk with the one non-portable step (Lloyd) frozen at
+    the deterministic seed codebooks, so DuckDB replays encode + ADC
+    end-to-end: per-subspace argmin coding, query distance tables,
+    m-lookup scoring, rounded-then-ranked top-k. Exercises the SAME
+    pq_encode / pq_adc_topk code paths as the trained tier."""
+    from etl_database_spark.functions import pq as PQ
+
+    emb = table(spark, sf_dir, "embeddings")
+    seed_rows = emb.orderBy("vec_id").limit(_PQC_KSUB).collect()  # ksub rows
+    books = [
+        [
+            [float(x) for x in r.embedding[j * _PQC_DSUB : (j + 1) * _PQC_DSUB]]
+            for r in seed_rows
+        ]
+        for j in range(_PQC_M)
+    ]
+    qs = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in seed_rows[:_PQC_QUERIES]
+    ]
+    codes = PQ.pq_encode(emb, books)
+    out = PQ.pq_adc_topk(codes, qs, books, k=_PQC_TOPK)
+    return out.withColumn("query_id", F.col("query_id").cast("long"))
+
+
 # ---------------------------------------------------------------------------
 # Winnowing fingerprints (Schleimer et al., SIGMOD 2003 — MOSS): the
 # guaranteed-coverage document fingerprinting scheme (every shared

@@ -40,14 +40,9 @@ def value_hash(df: pd.DataFrame) -> str:
     return hashlib.md5(canon(df).to_csv(index=False, float_format="%.6g").encode()).hexdigest()
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-
-    from etl_database_spark.queries import load_all
-    from etl_database_spark.session import get_spark
-
-    spark = get_spark("check_oracle")
+def duck_connect(sf_dir: str):
+    """DuckDB connection with the fixture tables registered as views
+    (single-file or Spark-written directory-of-parts parquet)."""
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -58,6 +53,50 @@ def main() -> int:
             )
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def check_one(spark, con, rq, sf_dir: str) -> tuple[str, str, float]:
+    """Run one registered query on Spark (+ its DuckDB oracle when it
+    has one) → (status, detail, elapsed): status ∈ {"ok", "rows",
+    "fail"} where "rows" means no-oracle rows-only success."""
+    t0 = time.time()
+    try:
+        sdf = rq.fn(spark, sf_dir).toPandas()
+    except Exception as e:  # noqa: BLE001
+        return "fail", f"spark error: {e}", time.time() - t0
+    el = time.time() - t0
+    if rq.oracle is None:
+        return "rows", f"{len(sdf)} rows [no oracle]", el
+    try:
+        odf = con.execute(rq.oracle).df()
+    except Exception as e:  # noqa: BLE001
+        return "fail", f"duckdb error: {e}", el
+    problems = []
+    if len(sdf) != len(odf):
+        problems.append(f"rows {len(sdf)} vs {len(odf)}")
+    if sorted(sdf.columns) != sorted(odf.columns):
+        problems.append(f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+    elif value_hash(sdf) != value_hash(odf):
+        problems.append("value-hash mismatch")
+        a, b = canon(sdf), canon(odf)
+        diff = a.compare(b) if a.shape == b.shape else None
+        if diff is not None and len(diff):
+            print(diff.head(10))
+    if problems:
+        return "fail", "; ".join(problems), el
+    return "ok", f"{len(sdf)} rows", el
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from etl_database_spark.queries import load_all
+    from etl_database_spark.session import get_spark
+
+    spark = get_spark("check_oracle")
+    con = duck_connect(sf_dir)
 
     registry = load_all()
     failures = []
@@ -66,39 +105,11 @@ def main() -> int:
         if only and name not in only:
             continue
         attempted += 1
-        t0 = time.time()
-        try:
-            sdf = rq.fn(spark, sf_dir).toPandas()
-        except Exception as e:  # noqa: BLE001
+        status, detail, el = check_one(spark, con, rq, sf_dir)
+        tag = {"ok": "OK   ", "rows": "rows ", "fail": "FAIL "}[status]
+        print(f"{tag} {name}: {detail} ({el:.1f}s)")
+        if status == "fail":
             failures.append(name)
-            print(f"FAIL  {name}: spark error: {e}")
-            continue
-        el = time.time() - t0
-        if rq.oracle is None:
-            print(f"rows  {name}: {len(sdf)} rows ({el:.1f}s) [no oracle]")
-            continue
-        try:
-            odf = con.execute(rq.oracle).df()
-        except Exception as e:  # noqa: BLE001
-            failures.append(name)
-            print(f"FAIL  {name}: duckdb error: {e}")
-            continue
-        problems = []
-        if len(sdf) != len(odf):
-            problems.append(f"rows {len(sdf)} vs {len(odf)}")
-        if sorted(sdf.columns) != sorted(odf.columns):
-            problems.append(f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
-        elif value_hash(sdf) != value_hash(odf):
-            problems.append("value-hash mismatch")
-            a, b = canon(sdf), canon(odf)
-            diff = a.compare(b) if a.shape == b.shape else None
-            if diff is not None and len(diff):
-                print(diff.head(10))
-        if problems:
-            failures.append(name)
-            print(f"FAIL  {name}: {'; '.join(problems)} ({el:.1f}s)")
-        else:
-            print(f"OK    {name}: {len(sdf)} rows ({el:.1f}s)")
     print(f"\n{attempted - len(failures)}/{attempted} ok")
     return 1 if failures else 0
 

@@ -1,0 +1,106 @@
+"""Replayable sf1 correctness matrix (VERDICT r7 ask #7).
+
+Round 7 recorded the sf1 matrix as a ROADMAP table: N-green plus a
+pinned set of deliberate exact-tier mass-gate refusals, each naming
+its sub-linear LSH sibling. This script turns that table into an
+asserted artifact: it (re)generates the local 10×-scaled fixture if
+missing, replays the FULL registry through the same check loop the
+sf0.01 gate uses, and exits 0 only when
+
+- every query outside EXPECTED_REFUSALS is green (oracle-backed rows
+  hash-verified, rows-only rows completing), AND
+- every query inside EXPECTED_REFUSALS fails with a mass-gate
+  ValueError that names its scale sibling (a refusal that stopped
+  refusing, or started failing for a different reason, is a FAIL).
+
+Usage: python tools/check_sf1.py [sf1_dir]   (default .localdata/sf1)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from check_oracle import check_one, duck_connect  # noqa: E402
+
+# Exact verification tiers that MUST refuse at sf1 (quadratic
+# candidate/pair mass past their gates), and the substring of the
+# gate message that names the sub-linear sibling a user should run.
+EXPECTED_REFUSALS: dict[str, str] = {
+    "ngram_jaccard_pairs": "minhash_near_duplicates",
+    "ngram_dup_clusters": "minhash_near_duplicates",
+    "embedding_near_dups": "cosine_near_dup_lsh",
+}
+
+
+def ensure_sf1(sf1_dir: str) -> None:
+    probe = os.path.join(sf1_dir, "lineitem.parquet")
+    if os.path.exists(probe):
+        return
+    print(f"generating {sf1_dir} (10x sf0.1, union-with-offset) ...")
+    import gen_scaled_sf
+
+    sys.argv = [sys.argv[0], "10", "/root/testdata/sf0.1", sf1_dir]
+    gen_scaled_sf.main()
+
+
+def main() -> int:
+    sf1_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".localdata", "sf1"
+    )
+    ensure_sf1(sf1_dir)
+
+    from etl_database_spark.queries import load_all
+    from etl_database_spark.session import get_spark
+
+    spark = get_spark("check_sf1")
+    con = duck_connect(sf1_dir)
+    registry = load_all()
+
+    bad: list[str] = []
+    n_green = n_refused = 0
+    t_start = time.time()
+    for name, rq in registry.items():
+        status, detail, el = check_one(spark, con, rq, sf1_dir)
+        if name in EXPECTED_REFUSALS:
+            sibling = EXPECTED_REFUSALS[name]
+            if status == "fail" and "spark error" in detail and sibling in detail:
+                print(f"REFUSED (expected) {name}: names sibling {sibling} ({el:.1f}s)")
+                n_refused += 1
+            elif status != "fail":
+                bad.append(name)
+                print(
+                    f"BAD   {name}: expected a mass-gate refusal at sf1 but it "
+                    f"ran ({detail}) — the gate regressed or the scale bound moved"
+                )
+            else:
+                bad.append(name)
+                print(f"BAD   {name}: failed for the WRONG reason: {detail}")
+        elif status == "fail":
+            bad.append(name)
+            print(f"FAIL  {name}: {detail} ({el:.1f}s)")
+        else:
+            n_green += 1
+            print(f"{'OK   ' if status == 'ok' else 'rows '} {name}: {detail} ({el:.1f}s)")
+
+    total = len(registry)
+    print(
+        f"\nsf1 matrix: {n_green} green + {n_refused} expected refusals "
+        f"of {total} queries ({time.time() - t_start:.0f}s total)"
+    )
+    if bad:
+        print(f"NOT OK: {bad}")
+        return 1
+    if n_refused != len(EXPECTED_REFUSALS):
+        print(f"NOT OK: expected {len(EXPECTED_REFUSALS)} refusals, saw {n_refused}")
+        return 1
+    print("OK: sf1 matrix matches the expected green/refusal pattern")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
