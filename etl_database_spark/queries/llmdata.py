@@ -394,7 +394,11 @@ _MH_CHK = {"n": 7, "num_perm": 32, "bands": 8, "threshold": 0.5}
 _MH_MAX_BUCKET = 200  # lsh_candidate_pairs default, restated for SQL
 
 
-def _minhash_checkable_oracle() -> str:
+def _minhash_checkable_oracle(select: str | None = None, recursive: bool = False) -> str:
+    """Generate the portable MinHash-LSH pipeline SQL up to the
+    ``verified`` pair CTE, then ``select`` (default: the pair report).
+    ``recursive=True`` emits WITH RECURSIVE so the select may append
+    recursive CTEs (the clusters twin's closure)."""
     from etl_database_spark.functions.dedup import MERSENNE61, _perm_params
 
     p = _MH_CHK
@@ -414,8 +418,9 @@ def _minhash_checkable_oracle() -> str:
         f"(CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END)" for i in range(k)
     )
     est_cut = repr(p["threshold"] - 0.2)  # same float literal as the Spark plan
+    final = select or "SELECT id_a, id_b, jaccard FROM verified\n    ORDER BY id_a, id_b"
     return f"""
-    WITH d AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    WITH {"RECURSIVE " if recursive else ""}d AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
     g AS (
       SELECT DISTINCT doc_id,
              ('0x' || substr(md5(substr(t, CAST(i AS INT), {n})), 1, 8))::BIGINT AS h
@@ -457,13 +462,15 @@ def _minhash_checkable_oracle() -> str:
       FROM est e JOIN g ga ON ga.doc_id = e.id_a
                  JOIN g gb ON gb.doc_id = e.id_b AND ga.h = gb.h
       GROUP BY e.id_a, e.id_b
+    ),
+    verified AS (
+      SELECT i.id_a, i.id_b,
+             ROUND(CAST(i.ni AS DOUBLE) / (sa.ns + sb.ns - i.ni), 4) AS jaccard
+      FROM inter i JOIN sz sa ON sa.doc_id = i.id_a
+                   JOIN sz sb ON sb.doc_id = i.id_b
+      WHERE CAST(i.ni AS DOUBLE) / (sa.ns + sb.ns - i.ni) >= {p["threshold"]}
     )
-    SELECT i.id_a, i.id_b,
-           ROUND(CAST(i.ni AS DOUBLE) / (sa.ns + sb.ns - i.ni), 4) AS jaccard
-    FROM inter i JOIN sz sa ON sa.doc_id = i.id_a
-                 JOIN sz sb ON sb.doc_id = i.id_b
-    WHERE CAST(i.ni AS DOUBLE) / (sa.ns + sb.ns - i.ni) >= {p["threshold"]}
-    ORDER BY id_a, id_b
+    {final}
     """
 
 
@@ -479,6 +486,50 @@ def minhash_near_dups_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jaccard", F.round("jaccard", 4))
         .orderBy("id_a", "id_b")
     )
+
+
+# The clustering tier made checkable too: pairs from the portable
+# MinHash pipeline above, closed into components. Spark runs the
+# engine's distributed label-propagation (functions.dedup.
+# connected_components); the oracle closes the same verified edge set
+# with a recursive CTE (the entity-resolution oracle's closure) — a
+# green hash certifies pairs AND the component/survivor assignment.
+_MH_CLUSTERS_SELECT = """,
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM verified
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM verified
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (SELECT src, LEAST(src, MIN(dst)) AS component FROM reach GROUP BY src)
+    SELECT src AS doc_id, component,
+           CAST(CASE WHEN src = component THEN 1 ELSE 0 END AS BIGINT) AS is_survivor
+    FROM comp ORDER BY doc_id"""
+
+
+@register(
+    "dedup_clusters_checkable",
+    oracle=_minhash_checkable_oracle(select=_MH_CLUSTERS_SELECT, recursive=True),
+)
+def dedup_clusters_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """near_dup_clusters with the portable MinHash pair source: LSH
+    pairs → distributed connected components → (doc_id, component,
+    is_survivor), survivor = min id per component. The oracle replays
+    the pair pipeline AND the transitive closure (recursive CTE), so
+    the driver hash certifies the clustering tier end to end — the
+    rows-only near_dup_clusters keeps the xxhash64 fast path."""
+    d = table(spark, sf_dir, "documents")
+    pairs = D.minhash_near_duplicates(d, "text", "doc_id", portable=True, **_MH_CHK)
+    comps = D.connected_components(pairs)
+    return comps.select(
+        F.col("_id").alias("doc_id"),
+        "component",
+        (F.col("_id") == F.col("component")).cast("long").alias("is_survivor"),
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -2162,6 +2213,77 @@ def pq_ann_topk_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("query_id", F.col("query_id").cast("long"))
 
 
+# IVF search given FROZEN centroids is likewise fully SQL-portable:
+# assignment and probe selection are the same argmin the PQ twin
+# replays, and the in-list scoring is the exact cosine the sign-LSH
+# oracle already certifies. Only Lloyd training stays rows-only (the
+# trained tier, ivf_topk_ann). Probed lists are disjoint (each vector
+# lives in exactly one list), so no candidate dedup is needed.
+_IVFC_CENTS = 8
+_IVFC_PROBE = 3
+_IVFC_QUERIES = 3
+_IVFC_TOPK = 5
+
+
+def _ivf_checkable_oracle() -> str:
+    sq = "x -> (x[1] - x[2]) * (x[1] - x[2])"
+    cos = (
+        "list_sum(list_transform(list_zip(q.qv, ev.v), x -> x[1] * x[2]))"
+        " / (SQRT(list_sum(list_transform(q.qv, x -> x * x)))"
+        " * SQRT(list_sum(list_transform(ev.v, x -> x * x))))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS centroid, v AS cvec
+      FROM e ORDER BY vec_id LIMIT {_IVFC_CENTS}
+    ),
+    assigned AS (
+      SELECT vec_id, centroid FROM (
+        SELECT e.vec_id, c.centroid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(e.v, c.cvec), {sq})), c.centroid) AS rk
+        FROM e, cents c) WHERE rk = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e ORDER BY vec_id LIMIT {_IVFC_QUERIES}),
+    probes AS (
+      SELECT query_id, qv, centroid FROM (
+        SELECT q.query_id, q.qv, c.centroid,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 list_sum(list_transform(list_zip(q.qv, c.cvec), {sq})), c.centroid) AS rk
+        FROM q, cents c) WHERE rk <= {_IVFC_PROBE}
+    ),
+    scored AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id, ROUND({cos}, 4) AS cos_sim
+      FROM probes q JOIN assigned a USING (centroid)
+                    JOIN e ev ON ev.vec_id = a.vec_id
+      WHERE a.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored) WHERE rn <= {_IVFC_TOPK}
+    ORDER BY query_id, cos_sim DESC, neighbor_id
+    """
+
+
+@register("ivf_ann_topk_checkable", oracle=_ivf_checkable_oracle())
+def ivf_ann_topk_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ivf_topk_ann with the one non-portable step (Lloyd) frozen at
+    the deterministic seed centroids (the lowest-vec_id vectors —
+    kmeans_fit's own seed rule): DuckDB replays list assignment
+    (argmin, ties → lower centroid), probe selection, in-list exact
+    cosine, and the rounded-then-ranked top-k. Exercises the SAME
+    ivf_assign / ivf_probe_targets / ivf_topk code paths as the
+    trained tier."""
+    emb = table(spark, sf_dir, "embeddings")
+    seed_rows = emb.orderBy("vec_id").limit(_IVFC_CENTS).collect()  # bounded
+    cents = [[float(x) for x in r.embedding] for r in seed_rows]
+    qdf = emb.orderBy("vec_id").limit(_IVFC_QUERIES)
+    return S.ivf_topk(emb, qdf, cents, k=_IVFC_TOPK, n_probe=_IVFC_PROBE)
+
+
 # ---------------------------------------------------------------------------
 # Winnowing fingerprints (Schleimer et al., SIGMOD 2003 — MOSS): the
 # guaranteed-coverage document fingerprinting scheme (every shared
@@ -2246,6 +2368,65 @@ def winnow_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+_WINNOW_STORE_CACHE: dict = {}
+
+
+def _winnow_store(spark: SparkSession, sf_dir: str):
+    """Three-batch WinnowStore over the documents table (ingest →
+    compact → ingest → replay no-op guard → ingest), cached per
+    fixture generation — the span-store setup discipline applied to
+    the winnowing fingerprint layer."""
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = (sf_dir, os.path.getmtime(src) if os.path.exists(src) else None)
+    if key not in _WINNOW_STORE_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        from etl_database_spark.operators.winnowstore import WinnowStore
+
+        for old_key in [k for k in _WINNOW_STORE_CACHE if k[0] == sf_dir and k != key]:
+            old = _WINNOW_STORE_CACHE.pop(old_key)
+            shutil.rmtree(old.path, ignore_errors=True)
+        d = table(spark, sf_dir, "documents")
+        store = WinnowStore(
+            spark,
+            tempfile.mkdtemp(prefix="spark_graft_winnow_"),
+            k=_WINNOW_K,
+            w=_WINNOW_W,
+        )
+        b1 = d.where(F.col("doc_id") % 3 == 0)
+        b2 = d.where(F.col("doc_id") % 3 == 1)
+        b3 = d.where(F.col("doc_id") % 3 == 2)
+        store.ingest(b1, batch="day1")
+        store.compact()
+        store.ingest(b2, batch="day2")
+        if store.ingest(b1, batch="day1") is not False:
+            raise RuntimeError(
+                "winnow store re-ingested an already-compacted batch; "
+                "served pairs would double-count day1 postings"
+            )
+        store.ingest(b3, batch="day3")
+        atexit.register(shutil.rmtree, store.path, ignore_errors=True)
+        _WINNOW_STORE_CACHE[key] = store
+    return _WINNOW_STORE_CACHE[key]
+
+
+@register("winnowstore_incremental_pairs", oracle=_WINNOW_PAIRS_ORACLE)
+def winnowstore_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MOSS similarity report served from the PERSISTED
+    three-batch WinnowStore — same oracle as the one-shot
+    winnow_near_dup_pairs, so a green hash proves the incremental
+    posting algebra (additive signs, serve-time skew cap) reproduces
+    the full-corpus computation under an arbitrary batch split."""
+    store = _winnow_store(spark, sf_dir)
+    return store.similarity_pairs(
+        min_shared=2, min_containment_bp=5000
+    ).orderBy("id_a", "id_b")
 
 
 @register("doc_winnow_fingerprints", oracle=_WINNOW_ORACLE)
