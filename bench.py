@@ -60,6 +60,13 @@ HEADLINE = [
     # exact-decimal weights — the oracle-checkable variant's cost)
     "doc_similarity_pagerank",
     "dsir_selection_checkable",
+    # round-8 additions: BM25 retrieval scoring and MOSS winnowing
+    # (both window-promoted this round), plus the incremental
+    # winnow-store serve (store build is cached after the first
+    # repeat, same discipline as cdc_rollup_order_totals)
+    "doc_bm25_scores",
+    "winnow_near_dup_pairs",
+    "winnowstore_incremental_pairs",
 ]
 
 

@@ -988,7 +988,13 @@ def winnow_similarity_pairs(
     containment in integer basis points via the canonical exact_idiv
     (bit-identical in every engine). Everything replays in SQL."""
     sets = winnow_fingerprint_sets(df, text_col, id_col, k, w).cache()
-    fp = sets.select("_id", F.explode("_fps").alias("fp"))
+    # Materialize the postings ONCE: the pair math reads them four
+    # times (doc sizes, bucket sizes, both join sides), and each read
+    # would otherwise re-explode from the cached sets — at 100× sf0.1
+    # that's three redundant passes over ~4·10^8 rows. (The cache on
+    # sets keeps the explode itself from re-evaluating the md5 chain
+    # per output row while fp materializes.)
+    fp = sets.select("_id", F.explode("_fps").alias("fp")).localCheckpoint(eager=True)
     out = winnow_pairs_from_postings(
         fp,
         min_shared=min_shared,

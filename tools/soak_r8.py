@@ -111,10 +111,13 @@ def main() -> None:
     for label, path in (("@10x", d10), ("@100x", d100)):
         timed_runs(f"winnow_near_dup_pairs {label}", lambda p=path: pairs(spark, p).count(), repeats=1)
 
-    # 3b. the dup-dense cap test: boilerplate buckets hold every doc
+    # 3b. the dup-dense cap test: boilerplate buckets hold every doc.
+    # (cache before explode — Generate over the raw fingerprint
+    # expression re-evaluates the md5 chain per output row, the
+    # WinnowStore lesson)
     docs = spark.read.parquet(os.path.join(ddup, "documents.parquet"))
     n_docs = docs.count()
-    sets = D.winnow_fingerprint_sets(docs, "text", "doc_id")
+    sets = D.winnow_fingerprint_sets(docs, "text", "doc_id").localCheckpoint(eager=True)
     fp = sets.select("_id", F.explode("_fps").alias("fp"))
     bucket = fp.groupBy("fp").agg(F.count("*").alias("bn"))
     stats = bucket.agg(
