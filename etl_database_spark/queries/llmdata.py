@@ -2429,6 +2429,56 @@ def winnowstore_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("id_a", "id_b")
 
 
+# Streaming winnow-store maintenance, end to end: documents delivered
+# as a two-micro-batch stream into the checkpoint-bound WinnowStore
+# (streaming/winnow.py), then pairs served from the streamed
+# postings. Postings are additive, so the served report carries the
+# SAME one-shot oracle as winnow_near_dup_pairs — the fourth streamed
+# store verified through the driver artifact.
+@register("streaming_winnowstore_pairs", oracle=_WINNOW_PAIRS_ORACLE)
+def streaming_winnowstore_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS similarity pairs served from a stream-maintained winnow
+    store; must equal the one-shot full-corpus computation."""
+    import os
+    import shutil
+    import tempfile
+
+    from etl_database_spark.streaming.winnow import run_winnow_once
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="spark_graft_stream_winnow_")
+    src = os.path.join(work, "src")
+    store_path = os.path.join(work, "store")
+    ckpt = os.path.join(work, "ckpt")
+    try:
+        d.where(F.col("doc_id") % 2 == 0).write.parquet(src)
+        run_winnow_once(
+            spark,
+            spark.readStream.schema(d.schema).parquet(src),
+            store_path,
+            ckpt,
+            k=_WINNOW_K,
+            w=_WINNOW_W,
+        )
+        d.where(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+        store = run_winnow_once(
+            spark,
+            spark.readStream.schema(d.schema).parquet(src),
+            store_path,
+            ckpt,
+            k=_WINNOW_K,
+            w=_WINNOW_W,
+        )
+        out = (
+            store.similarity_pairs(min_shared=2, min_containment_bp=5000)
+            .orderBy("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 @register("doc_winnow_fingerprints", oracle=_WINNOW_ORACLE)
 def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint stats per document (k=8-gram md5-32

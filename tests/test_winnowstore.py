@@ -91,6 +91,36 @@ def test_retraction_is_exact(spark, tmp_path):
     assert _pair_rows(store.similarity_pairs()) == _one_shot_pairs(spark, rest)
 
 
+def test_streamed_store_equals_batch(spark, tmp_path):
+    """Two-micro-batch streamed ingest == one-shot: pairs AND
+    fingerprint stats, and a re-drain with the same checkpoint is a
+    replay no-op (no double-counted postings)."""
+    from etl_database_spark.streaming.winnow import run_winnow_once
+
+    src = str(tmp_path / "src")
+    store_path = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    d = _docs(spark, CORPUS)
+    d.where("doc_id % 2 = 0").write.parquet(src)
+    run_winnow_once(
+        spark, spark.readStream.schema(d.schema).parquet(src),
+        store_path, ckpt, k=K, w=W,
+    )
+    d.where("doc_id % 2 = 1").write.mode("append").parquet(src)
+    store = run_winnow_once(
+        spark, spark.readStream.schema(d.schema).parquet(src),
+        store_path, ckpt, k=K, w=W,
+    )
+    assert _pair_rows(store.similarity_pairs()) == _one_shot_pairs(spark)
+    assert _fp_rows(store.fingerprints()) == _one_shot_fps(spark)
+    # replay: nothing new in the source -> no new batches, same output
+    store = run_winnow_once(
+        spark, spark.readStream.schema(d.schema).parquet(src),
+        store_path, ckpt, k=K, w=W,
+    )
+    assert _pair_rows(store.similarity_pairs()) == _one_shot_pairs(spark)
+
+
 def test_param_mismatch_raises(spark, tmp_path):
     store = WinnowStore(spark, str(tmp_path / "s"), k=K, w=W)
     store.ingest(_docs(spark, CORPUS[:2]), batch="b1")
