@@ -36,6 +36,17 @@ EXPECTED_REFUSALS: dict[str, str] = {
     "embedding_near_dups": "cosine_near_dup_lsh",
 }
 
+# Queries whose SPARK side runs at sf1 but whose DuckDB oracle is
+# infeasible at this scale — run Spark, assert rows, skip the oracle.
+# leakage_safe_splits' oracle replays the EXACT n-gram pair tier
+# (the very computation the Spark side's gates bound): in-process
+# DuckDB reached 89 GB RSS and drew the OOM killer on this host. The
+# query docstring already records that the exact oracle certifies
+# tested scales only (sf0.001–sf0.1 + the forced-cap pytest).
+SPARK_ONLY: dict[str, str] = {
+    "leakage_safe_splits": "exact n-gram oracle is memory-quadratic in DuckDB at sf1",
+}
+
 
 def ensure_sf1(sf1_dir: str) -> None:
     probe = os.path.join(sf1_dir, "lineitem.parquet")
@@ -49,7 +60,13 @@ def ensure_sf1(sf1_dir: str) -> None:
 
 
 def main() -> int:
-    sf1_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+    args = [a for a in sys.argv[1:]]
+    start_from = None
+    if "--from" in args:
+        i = args.index("--from")
+        start_from = args[i + 1]
+        del args[i : i + 2]
+    sf1_dir = args[0] if args else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".localdata", "sf1"
     )
     ensure_sf1(sf1_dir)
@@ -64,7 +81,17 @@ def main() -> int:
     bad: list[str] = []
     n_green = n_refused = 0
     t_start = time.time()
+    skipping = start_from is not None
     for name, rq in registry.items():
+        if skipping:
+            if name == start_from:
+                skipping = False
+            else:
+                continue
+        if name in SPARK_ONLY:
+            import dataclasses
+
+            rq = dataclasses.replace(rq, oracle=None)
         status, detail, el = check_one(spark, con, rq, sf1_dir)
         if name in EXPECTED_REFUSALS:
             sibling = EXPECTED_REFUSALS[name]
@@ -85,7 +112,9 @@ def main() -> int:
             print(f"FAIL  {name}: {detail} ({el:.1f}s)")
         else:
             n_green += 1
-            print(f"{'OK   ' if status == 'ok' else 'rows '} {name}: {detail} ({el:.1f}s)")
+            tag = "OK   " if status == "ok" else "rows "
+            note = f" [spark-only at sf1: {SPARK_ONLY[name]}]" if name in SPARK_ONLY else ""
+            print(f"{tag} {name}: {detail}{note} ({el:.1f}s)")
 
     total = len(registry)
     print(
@@ -95,9 +124,12 @@ def main() -> int:
     if bad:
         print(f"NOT OK: {bad}")
         return 1
-    if n_refused != len(EXPECTED_REFUSALS):
+    if start_from is None and n_refused != len(EXPECTED_REFUSALS):
         print(f"NOT OK: expected {len(EXPECTED_REFUSALS)} refusals, saw {n_refused}")
         return 1
+    if start_from is not None:
+        print(f"OK (partial, from {start_from}): no failures in the replayed tail")
+        return 0
     print("OK: sf1 matrix matches the expected green/refusal pattern")
     return 0
 
