@@ -133,6 +133,54 @@ def temperature_keep_threshold(
     return F.floor(frac * F.lit(buckets)).cast("long")
 
 
+def weighted_sample_topk(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    group_col: str,
+    k: int,
+    out_key: str = "es_key",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k rows per group, with
+    inclusion probability proportional to ``weight_col`` — the
+    Efraimidis–Spirakis A-Res scheme (Inf. Proc. Letters 2006): each
+    row draws a deterministic uniform u from md5(key) (48 bits →
+    u ∈ (0,1]) and is ranked by ln(u)/w descending; the top k per
+    group are exactly a w-proportional sample without replacement.
+    The training-data use: "give me a token-budget-proportional
+    sample of documents per language/source" that is reproducible
+    across runs, engines and cluster sizes — df.sample can promise
+    none of those.
+
+    Portability: ln is the one libm call, so it is rounded to 9
+    digits BEFORE the weight division and the quotient rounded again
+    (the DSIR-twin guard) — once both engines agree on the rounded
+    ln, the remaining arithmetic is single IEEE ops. Ties (only
+    possible through rounding) break on the key column. Zero/negative
+    weights are excluded (their inclusion probability is 0).
+
+    Scale shape: one codegen projection + one window shuffle on the
+    group key — no state, no driver round-trips, same cost class as
+    hash_top_k_per_group."""
+    from pyspark.sql import Window as W
+
+    h48 = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 12), 16, 10
+    ).cast("long")
+    ln_u = F.round(
+        F.log((h48 + F.lit(1)).cast("double") / F.lit(float(1 << 48))), 9
+    )
+    es_key = F.round(ln_u / F.col(weight_col).cast("double"), 9)
+    w = W.partitionBy(group_col).orderBy(F.desc(out_key), F.asc(key_col))
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn(out_key, es_key)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def hash_top_k_per_group(
     df: DataFrame, group_col: str, key_col: str, k: int
 ) -> DataFrame:

@@ -970,6 +970,47 @@ def doc_hash_sample_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SMP.hash_sample(d, "doc_id", 0.1).select("doc_id", "n_chars").orderBy("doc_id")
 
 
+# Weighted sampling without replacement (Efraimidis–Spirakis A-Res):
+# k docs per language with inclusion probability ∝ n_chars — the
+# token-budget-proportional subset a mixture pipeline draws per
+# stratum. md5-derived uniforms + the DSIR round-the-libm-call guard
+# make the whole draw replay bit-for-bit in DuckDB.
+_ES_K = 5
+_ES_ORACLE = f"""
+    WITH b AS (
+      SELECT doc_id, lang, n_chars,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS h48
+      FROM documents WHERE n_chars > 0
+    ),
+    k AS (
+      SELECT doc_id, lang, n_chars,
+             ROUND(ROUND(LN((h48 + 1) / {float(1 << 48)!r}), 9) / CAST(n_chars AS DOUBLE), 9) AS es_key
+      FROM b
+    )
+    SELECT lang, doc_id, n_chars, es_key FROM (
+      SELECT lang, doc_id, n_chars, es_key,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY es_key DESC, doc_id) AS rn
+      FROM k) WHERE rn <= {_ES_K}
+    ORDER BY lang, es_key DESC, doc_id
+    """
+
+
+@register("weighted_sample_per_lang", oracle=_ES_ORACLE)
+def weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 documents per language sampled WITHOUT replacement with
+    probability ∝ n_chars (Efraimidis–Spirakis A-Res over md5
+    uniforms): reproducible weighted subsets per stratum — one
+    projection + one window shuffle, cross-engine hash-verified."""
+    from etl_database_spark.functions import sampling as SMP
+
+    d = table(spark, sf_dir, "documents")
+    return (
+        SMP.weighted_sample_topk(d, "doc_id", "n_chars", "lang", k=_ES_K)
+        .select("lang", "doc_id", "n_chars", "es_key")
+        .orderBy("lang", F.desc("es_key"), "doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus vocabulary: token frequencies via explode + count — the
 # canonical shuffle-with-partial-aggregation shape (word counts combine

@@ -115,3 +115,48 @@ def test_split_assign_null_keys_go_to_first_split(spark):
     out = {r.doc_id: r.split for r in SMP.split_assign(df, "doc_id").collect()}
     assert len(out) == 3
     assert out[None] == "train"
+
+
+def _py_es_key(key, w):
+    """Pure-Python Efraimidis–Spirakis key mirroring the Spark plan:
+    md5 48-bit uniform, HALF_UP rounds at both libm guards."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r9(x):
+        return float(Decimal(repr(x)).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP))
+
+    h48 = int(hashlib.md5(str(key).encode()).hexdigest()[:12], 16)
+    return r9(r9(math.log((h48 + 1) / float(1 << 48))) / float(w))
+
+
+def test_weighted_sample_topk_matches_pyref(spark):
+    rows = [(i, "g%d" % (i % 3), (i * 37) % 50 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w long")
+    got = SMP.weighted_sample_topk(df, "doc_id", "w", "grp", k=4)
+    got_rows = {(r.grp, r.doc_id): r.es_key for r in got.collect()}
+    # pure-Python reference: rank every row per group by (key desc, id)
+    import collections
+
+    by_grp = collections.defaultdict(list)
+    for i, g, w in rows:
+        by_grp[g].append((-_py_es_key(i, w), i))
+    want = {}
+    for g, lst in by_grp.items():
+        for negk, i in sorted(lst)[:4]:
+            want[(g, i)] = -negk
+    assert got_rows == pytest.approx(want)
+    # without replacement: k distinct rows per group
+    assert len(got_rows) == 12
+
+
+def test_weighted_sample_zero_weight_excluded_and_weight_bias(spark):
+    """Zero-weight rows never appear; a row with overwhelming weight
+    is (deterministically) always selected — P(selection) -> 1 as its
+    weight dominates, and ES realizes that with ln(u)/w -> 0."""
+    rows = [(i, "g", 1) for i in range(100)] + [(1000, "g", 0), (2000, "g", 10_000_000)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w long")
+    picked = {r.doc_id for r in SMP.weighted_sample_topk(df, "doc_id", "w", "grp", k=5).collect()}
+    assert 1000 not in picked
+    assert 2000 in picked
+    assert len(picked) == 5
