@@ -256,13 +256,11 @@ def dsir_select_portable(
         )
     finally:
         raw_feats.unpersist()
-    from pyspark.sql import Window as W
+    from etl_database_spark.functions.rank import ranked_topk_small
 
-    order = W.orderBy(F.desc("w_dec"), F.asc(id_col))
+    topk = w.orderBy(F.desc("w_dec"), F.asc(id_col)).limit(k)
     return (
-        w.orderBy(F.desc("w_dec"), F.asc(id_col))
-        .limit(k)
-        .withColumn("dsir_rank", F.row_number().over(order))
+        ranked_topk_small(topk, [F.desc("w_dec"), F.asc(id_col)], "dsir_rank")
         .select(
             id_col,
             "n_grams",
@@ -292,7 +290,7 @@ def select_from_weights(
     """Rank a (id, n_grams, log_weight) frame to its top-k →
     (id, n_grams, log_weight, dsir_rank). Shared by the one-shot
     :func:`dsir_select` and the incremental DsirStore serve path."""
-    from pyspark.sql import Window as W
+    from etl_database_spark.functions.rank import ranked_topk_small
 
     score = F.col("log_weight")
     if resample:
@@ -312,11 +310,11 @@ def select_from_weights(
         score = F.col("log_weight") - F.log(-F.log(u))
     # top-k via orderBy+limit: Catalyst plans TakeOrderedAndProject
     # (per-partition heaps + driver merge of k rows), NOT a global
-    # sort; the rank window then runs over the k-row result only.
+    # sort; ranked_topk_small then numbers the k-row result with no
+    # window operator at all.
     topk = w.withColumn("_s", score).orderBy(F.desc("_s"), F.asc(id_col)).limit(k)
-    order = W.orderBy(F.desc("_s"), F.asc(id_col))
     return (
-        topk.withColumn("dsir_rank", F.row_number().over(order))
+        ranked_topk_small(topk, [F.desc("_s"), F.asc(id_col)], "dsir_rank")
         .select(id_col, "n_grams", "log_weight", "dsir_rank")
         .orderBy("dsir_rank")
     )

@@ -220,20 +220,16 @@ def rfm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    # ntile needs a total order: input is one row per user (already
-    # aggregated), not raw events — see module doc for the 100 TB note.
-    scored = per_user.select(
-        "user_id",
-        F.ntile(4).over(W.orderBy("recency_days", "user_id")).cast("int").alias("r"),
-        F.ntile(4)
-        .over(W.orderBy(F.desc("frequency"), "user_id"))
-        .cast("int")
-        .alias("f"),
-        F.ntile(4)
-        .over(W.orderBy(F.desc("monetary"), "user_id"))
-        .cast("int")
-        .alias("m"),
-    )
+    # Three exact distributed ntiles (partition-offset rank over the
+    # per-user aggregate — functions/rank.py): identical results to
+    # the global NTILE windows, but each quartile pass range-shuffles
+    # the entity frame instead of sorting it on one partition.
+    from etl_database_spark.functions.rank import exact_ntile
+
+    scored = exact_ntile(per_user, 4, [F.asc("recency_days"), F.asc("user_id")], "r")
+    scored = exact_ntile(scored, 4, [F.desc("frequency"), F.asc("user_id")], "f")
+    scored = exact_ntile(scored, 4, [F.desc("monetary"), F.asc("user_id")], "m")
+    scored = scored.select("user_id", "r", "f", "m")
     return (
         scored.groupBy("r", "f", "m")
         .agg(F.count("*").cast("long").alias("users"))

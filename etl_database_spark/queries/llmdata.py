@@ -2588,9 +2588,8 @@ def doc_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-decimal per-doc sums with the top-k ordered on the exact
     decimal — the whole score replays bit-for-bit in the DuckDB
     oracle."""
-    from pyspark.sql import Window as W
-
     from etl_database_spark.functions.bm25 import bm25_scores, tokenize_docs
+    from etl_database_spark.functions.rank import ranked_topk_small
 
     d = table(spark, sf_dir, "documents")
     # ONE tokenize pass: top-term discovery explodes the persisted
@@ -2606,10 +2605,16 @@ def doc_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     scored = bm25_scores(None, top, toks=tok_arr)
-    order = W.orderBy(F.desc("bm25_dec"), F.asc("_id"))
+    # top-k via orderBy+limit FIRST: Catalyst plans
+    # TakeOrderedAndProject (per-partition heaps + a k-row driver
+    # merge), so the corpus-sized scored frame never funnels into a
+    # single-partition global sort; ranked_topk_small then numbers the
+    # k-row result with no window at all (same pattern + rationale as
+    # functions/dsir.py _rank_topk).
+    topk = scored.orderBy(F.desc("bm25_dec"), F.asc("_id")).limit(_BM25_TOP_DOCS)
+    ranked = ranked_topk_small(topk, [F.desc("bm25_dec"), F.asc("_id")], "bm25_rank")
     return (
-        scored.withColumn("bm25_rank", F.row_number().over(order))
-        .where(F.col("bm25_rank") <= _BM25_TOP_DOCS)
+        ranked
         .select(
             F.col("_id").alias("doc_id"),
             # decimal-space rounding: exact-decimal sums tie on the

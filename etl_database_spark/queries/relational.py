@@ -1294,14 +1294,17 @@ def customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile(4) over per-customer lifetime spend → per-quartile profile."""
+    from etl_database_spark.functions.rank import exact_ntile
+
     o = table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         dsum(F.col("o_totalprice"), "total_spend"), F.count("*").alias("n_orders")
     )
-    w = W.orderBy(F.desc("total_spend"), "o_custkey")
+    # exact distributed ntile (partition-offset rank) — identical to
+    # NTILE(4) OVER (ORDER BY ...) but never a single-partition window
+    tiled = exact_ntile(spend, 4, [F.desc("total_spend"), F.asc("o_custkey")], "quartile")
     return (
-        spend.withColumn("quartile", F.ntile(4).over(w))
-        .groupBy("quartile")
+        tiled.groupBy("quartile")
         .agg(
             F.count("*").alias("n_customers"),
             F.sum("n_orders").cast("long").alias("n_orders"),
