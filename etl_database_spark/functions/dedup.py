@@ -245,6 +245,68 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_candidate_pairs_incremental(
+    sigs_new: DataFrame,
+    sigs_all: DataFrame,
+    num_perm: int = 32,
+    bands: int = 8,
+    max_bucket: int = 200,
+    portable: bool = False,
+    min_agree: int = 1,
+) -> DataFrame:
+    """Banded LSH candidates between a NEW signature batch and the
+    full signature table (``sigs_all`` must already CONTAIN the new
+    batch) → canonical (id_a < id_b) pairs with at least one new
+    endpoint — the incremental discovery step of
+    :class:`~etl_database_spark.operators.edgestore.EdgeStore`.
+
+    Identical band construction to :func:`lsh_candidate_pairs` (the
+    shared :func:`band_table`), bucket sizes and the ``max_bucket``
+    skew cap evaluated against the FULL table, and the ``min_agree``
+    signature-agreement cut applied in-join on full signatures — so a
+    pair discovered here passes exactly the one-shot path's candidate
+    tests. Cost: |new banded rows| joined against capped full buckets,
+    never a corpus self-join.
+
+    Cap semantics under batching: bucket sizes only grow, so a pair
+    whose bucket is under the cap at one-shot time was under it at
+    every earlier batch — incremental discovery finds a SUPERSET of
+    the one-shot candidates (extra pairs discovered while a bucket
+    that later crossed the cap was still small), and every extra pair
+    still passes the same exact-Jaccard verify downstream. Recall
+    moves monotonically toward the uncapped ideal."""
+    keep_sigs = min_agree > 1
+    banded_all = band_table(sigs_all, num_perm, bands, portable=portable, keep_sigs=keep_sigs)
+    bucket_sizes = banded_all.groupBy("band_id", "band_hash").agg(
+        F.count("*").alias("bucket_n")
+    )
+    banded_all = banded_all.join(
+        bucket_sizes.where(F.col("bucket_n") <= max_bucket), ["band_id", "band_hash"]
+    )
+    banded_new = band_table(sigs_new, num_perm, bands, portable=portable, keep_sigs=keep_sigs)
+    a = banded_new.alias("a")
+    b = banded_all.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a._id") != F.col("b._id")),
+    )
+    if keep_sigs:
+        agree = sum(
+            (F.col(f"a.sig_{i}") == F.col(f"b.sig_{i}")).cast("int")
+            for i in range(num_perm)
+        )
+        joined = joined.where(agree >= min_agree)
+    return (
+        joined.select(
+            F.least("a._id", "b._id").alias("id_a"),
+            F.greatest("a._id", "b._id").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 def capped_bucket_ids(
     sigs: DataFrame,
     num_perm: int = 32,

@@ -450,7 +450,14 @@ def ivf_topk(
     )
 
 
-class IvfIndex:
+# Imported HERE, not at module top: operators/__init__ imports five
+# names from this module that are all defined above this line, so the
+# cycle similarity → operators.batchstore → operators/__init__ →
+# similarity resolves in either import order.
+from etl_database_spark.operators.batchstore import BatchStore  # noqa: E402
+
+
+class IvfIndex(BatchStore):
     """Persisted IVF index: inverted lists written partitioned by
     ``(batch, centroid)``, centroids stored alongside as JSON.
 
@@ -480,13 +487,10 @@ class IvfIndex:
     """
 
     CENTROIDS_FILE = "_centroids.json"
-    COMPACTED_FILE = "_compacted.json"
-    COMMITTED_FILE = "_committed.json"
-    BASE_BATCH = "base"
+    PARTITION_COLS = ("centroid",)
 
     def __init__(self, spark, path: str, centroids: list[list[float]]):
-        self.spark = spark
-        self.path = path
+        super().__init__(spark, path)
         self.centroids = centroids
 
     @classmethod
@@ -533,46 +537,6 @@ class IvfIndex:
 
     # -- maintenance ------------------------------------------------------
 
-    def batches(self) -> list[str]:
-        """COMMITTED batch ids (manifest written only after a complete
-        write — a crash mid-append leaves a directory but no manifest
-        entry, so the retry rewrites instead of being skipped) plus
-        batches absorbed by a compaction. Directory listing is only the
-        fallback for stores written before the manifest existed."""
-        import os
-
-        committed = self._read_json(self.COMMITTED_FILE)
-        if committed is None:
-            committed = [
-                d.split("=", 1)[1]
-                for d in os.listdir(self.path)
-                if d.startswith("batch=") and os.path.isdir(os.path.join(self.path, d))
-            ]
-        return sorted(set(committed) | set(self._compacted()))
-
-    def _read_json(self, name: str) -> list | None:
-        import json
-        import os
-
-        p = os.path.join(self.path, name)
-        if not os.path.exists(p):
-            return None
-        with open(p) as fh:
-            return json.load(fh)
-
-    def _commit(self, batch: str) -> None:
-        import json
-        import os
-
-        committed = self._read_json(self.COMMITTED_FILE) or []
-        tmp = os.path.join(self.path, f".{self.COMMITTED_FILE}.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(sorted(set(committed) | {batch}), fh)
-        os.replace(tmp, os.path.join(self.path, self.COMMITTED_FILE))
-
-    def _compacted(self) -> list[str]:
-        return self._read_json(self.COMPACTED_FILE) or []
-
     def append(
         self,
         df: DataFrame,
@@ -586,33 +550,14 @@ class IvfIndex:
         replays are safe. The write is dynamic-partition-overwrite
         scoped to ``batch=<id>/centroid=*``: a crash mid-write leaves a
         partial batch that the retry fully replaces."""
-        if batch == self.BASE_BATCH or batch in self.batches():
+        # _begin_batch also seeds the manifest for pre-manifest stores
+        # from the directory listing BEFORE writing — otherwise _commit
+        # would union against an empty list, dropping legacy batch dirs
+        # from the committed set, and a later compact() would omit them
+        # from absorbed-ids (late replays would duplicate vectors).
+        if not self._begin_batch(batch):
             return False
-        # Pre-manifest store (no _committed.json): seed the manifest
-        # from the directory listing BEFORE writing, mirroring
-        # RollupStore.ingest. Otherwise _commit would union against an
-        # empty list, dropping the base batch and legacy batch dirs
-        # from the committed set — and a later compact() would omit
-        # them from absorbed-ids, so a late replay re-ingests them on
-        # top of the compacted base (duplicate vectors).
-        if self._read_json(self.COMMITTED_FILE) is None:
-            import json
-            import os
-
-            tmp = os.path.join(self.path, f".{self.COMMITTED_FILE}.tmp")
-            with open(tmp, "w") as fh:
-                json.dump(self.batches(), fh)
-            os.replace(tmp, os.path.join(self.path, self.COMMITTED_FILE))
-        lists = ivf_assign(df, self.centroids, id_col, vec_col).withColumn(
-            "batch", F.lit(batch)
-        )
-        (
-            lists.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch", "centroid")
-            .parquet(self.path)
-        )
-        self._commit(batch)
+        self._write_batch(ivf_assign(df, self.centroids, id_col, vec_col), batch)
         return True
 
     def merge_from(self, other: "IvfIndex", batch: str) -> bool:
@@ -628,16 +573,14 @@ class IvfIndex:
     def compact(self, files_per_list: int = 1) -> None:
         """Rewrite all accumulated per-batch files into a consolidated
         ``batch=base`` layout with ``files_per_list`` files per
-        inverted list, and record the absorbed batch ids so their
-        replays stay no-ops. Writes to a sibling temp dir and swaps —
-        the index directory is never half-rewritten in place."""
-        import json
-        import os
-        import shutil
-        import uuid
+        inverted list (BatchStore.compact handles manifests, sidecar
+        carry-over — including the centroids file — and the
+        write-to-sibling-and-swap)."""
+        self._files_per_list = files_per_list
+        super().compact()
 
-        absorbed = sorted(set(self.batches()) | set(self._compacted()))
-        tmp = f"{self.path}__compact_{uuid.uuid4().hex[:8]}"
+    def _compact_fold(self, tmp: str) -> None:
+        files_per_list = getattr(self, "_files_per_list", 1)
         consolidated = (
             self.lists()
             .select("_id", "v", "centroid")
@@ -656,16 +599,6 @@ class IvfIndex:
             .drop("_salt")
         )
         consolidated.write.mode("overwrite").partitionBy("batch", "centroid").parquet(tmp)
-        with open(os.path.join(tmp, self.CENTROIDS_FILE), "w") as fh:
-            json.dump(self.centroids, fh)
-        with open(os.path.join(tmp, self.COMPACTED_FILE), "w") as fh:
-            json.dump([b for b in absorbed if b != self.BASE_BATCH], fh)
-        with open(os.path.join(tmp, self.COMMITTED_FILE), "w") as fh:
-            json.dump([self.BASE_BATCH], fh)
-        old = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
-        os.rename(self.path, old)
-        os.rename(tmp, self.path)
-        shutil.rmtree(old, ignore_errors=True)
 
     def stats(self) -> DataFrame:
         """Per-list health: row count and file count per centroid —

@@ -1,8 +1,8 @@
 """Persisted incremental Bloom filter — the cross-batch seen-set for
 100 TB dedup pipelines.
 
-The batch lifecycle mirrors :class:`~etl_database_spark.operators
-.rollup.RollupStore` (and IvfIndex, and the minhash signature store):
+The batch lifecycle is
+:class:`~etl_database_spark.operators.batchstore.BatchStore`:
 batch-keyed idempotent ingest with a commit-after-write manifest,
 merge-on-read serving, LSM-style compaction that records absorbed
 batch ids so late replays stay no-ops. What is stored is the filter of
@@ -23,22 +23,15 @@ sketch): deletion needs a counting filter, out of scope.
 
 from __future__ import annotations
 
-import json
-import os
-import shutil
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_database_spark.functions import bloom as B
+from etl_database_spark.operators.batchstore import BatchStore
 
 
-class BloomStore:
-    COMPACTED_FILE = "_compacted.json"
-    COMMITTED_FILE = "_committed.json"
+class BloomStore(BatchStore):
     CONFIG_FILE = "_bloom_config.json"
-    BASE_BATCH = "base"
 
     def __init__(self, spark: SparkSession, path: str, m_bits: int = B.BLOOM_M_DEFAULT):
         """``m_bits`` is part of the store's identity: positions are
@@ -46,16 +39,20 @@ class BloomStore:
         The configured size is persisted on first write and reopening
         with a different value raises instead of silently corrupting
         membership answers."""
-        self.spark = spark
-        self.path = path
-        cfg = self._read_json(self.CONFIG_FILE)
-        if cfg is not None and cfg.get("m_bits") != m_bits:
-            raise ValueError(
-                f"bloom store {path} was built with m_bits={cfg.get('m_bits')}; "
-                f"reopening with m_bits={m_bits} would give wrong membership "
-                "answers — pass the original size or rebuild"
-            )
+        super().__init__(spark, path)
         self.m_bits = m_bits
+        self._check_config()
+
+    def _config(self) -> dict:
+        return {"m_bits": self.m_bits}
+
+    def _config_mismatch(self, stored: dict, current: dict) -> str:
+        return (
+            f"bloom store {self.path} was built with "
+            f"m_bits={stored.get('m_bits')}; reopening with "
+            f"m_bits={current.get('m_bits')} would give wrong membership "
+            "answers — pass the original size or rebuild"
+        )
 
     # -- write path -------------------------------------------------------
 
@@ -65,23 +62,9 @@ class BloomStore:
         nothing. Crash-safe: the manifest entry is written only after
         the parquet write completes; a crashed partial directory is
         fully replaced by the retry's dynamic-partition-overwrite."""
-        if batch == self.BASE_BATCH or batch in self.batches():
+        if not self._begin_batch(batch):
             return False
-        os.makedirs(self.path, exist_ok=True)
-        if self._read_json(self.COMMITTED_FILE) is None:
-            self._write_json(self.COMMITTED_FILE, self.batches())
-        if self._read_json(self.CONFIG_FILE) is None:
-            self._write_raw(self.CONFIG_FILE, {"m_bits": self.m_bits})
-        words = B.bloom_partials(df, key_col, self.m_bits).withColumn(
-            "batch", F.lit(batch)
-        )
-        (
-            words.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch")
-            .parquet(self.path)
-        )
-        self._commit(batch)
+        self._write_batch(B.bloom_partials(df, key_col, self.m_bits), batch)
         return True
 
     # -- read path --------------------------------------------------------
@@ -100,62 +83,8 @@ class BloomStore:
 
     # -- maintenance ------------------------------------------------------
 
-    def batches(self) -> list[str]:
-        committed = self._read_json(self.COMMITTED_FILE)
-        if committed is None:
-            committed = [
-                d.split("=", 1)[1]
-                for d in (os.listdir(self.path) if os.path.isdir(self.path) else [])
-                if d.startswith("batch=") and os.path.isdir(os.path.join(self.path, d))
-            ]
-        return sorted(set(committed) | set(self._compacted()))
-
-    def compact(self) -> None:
+    def _compact_fold(self, tmp: str) -> None:
         """Fold every batch into one ``batch=base`` filter (at most
-        m_bits/32 rows total) and record the absorbed ids. Write-to-
-        sibling-and-swap, never half-rewritten in place."""
-        absorbed = sorted(set(self.batches()) | set(self._compacted()))
-        tmp = f"{self.path}__compact_{uuid.uuid4().hex[:8]}"
+        m_bits/32 rows total)."""
         folded = self.serve().withColumn("batch", F.lit(self.BASE_BATCH))
         folded.write.mode("overwrite").partitionBy("batch").parquet(tmp)
-        with open(os.path.join(tmp, self.COMPACTED_FILE), "w") as fh:
-            json.dump([b for b in absorbed if b != self.BASE_BATCH], fh)
-        with open(os.path.join(tmp, self.COMMITTED_FILE), "w") as fh:
-            json.dump([self.BASE_BATCH], fh)
-        for name in os.listdir(self.path):
-            src = os.path.join(self.path, name)
-            if (
-                name.startswith("_")
-                and name not in (self.COMPACTED_FILE, self.COMMITTED_FILE)
-                and os.path.isfile(src)
-            ):
-                shutil.copy2(src, os.path.join(tmp, name))
-        old = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
-        os.rename(self.path, old)
-        os.rename(tmp, self.path)
-        shutil.rmtree(old, ignore_errors=True)
-
-    # -- sidecar io -------------------------------------------------------
-
-    def _read_json(self, name: str):
-        p = os.path.join(self.path, name)
-        if not os.path.exists(p):
-            return None
-        with open(p) as fh:
-            return json.load(fh)
-
-    def _write_raw(self, name: str, value) -> None:
-        tmp = os.path.join(self.path, f".{name}.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(value, fh)
-        os.replace(tmp, os.path.join(self.path, name))
-
-    def _write_json(self, name: str, values: list[str]) -> None:
-        self._write_raw(name, sorted(values))
-
-    def _commit(self, batch: str) -> None:
-        committed = self._read_json(self.COMMITTED_FILE) or []
-        self._write_json(self.COMMITTED_FILE, sorted(set(committed) | {batch}))
-
-    def _compacted(self) -> list[str]:
-        return self._read_json(self.COMPACTED_FILE) or []

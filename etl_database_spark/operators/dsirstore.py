@@ -3,7 +3,7 @@
 One-shot :func:`functions.dsir.dsir_weights` re-tokenizes the whole
 raw pool every run — wrong at 100 TB, where the pool accretes a batch
 at a time. ``DsirStore`` follows the engine's persisted-store pattern
-(RollupStore / BloomStore / the minhash signature store):
+(:class:`~etl_database_spark.operators.batchstore.BatchStore`):
 
 - :meth:`set_target` fixes the target corpus's bucket LM once (an
   ``n_buckets``-row counter table under ``_target`` — always tiny).
@@ -30,7 +30,6 @@ unioned pool (1e-9), and selection ranks identically.
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 import uuid
@@ -44,14 +43,13 @@ from etl_database_spark.functions.dsir import (
     _doc_features,
     select_from_weights,
 )
+from etl_database_spark.operators.batchstore import BatchStore
 
 
-class DsirStore:
-    COMMITTED_FILE = "_committed.json"
-    COMPACTED_FILE = "_compacted.json"
-    META_FILE = "_dsir_meta.json"
+class DsirStore(BatchStore):
+    CONFIG_FILE = "_dsir_meta.json"
     TARGET_SUBDIR = "_target"
-    BASE_BATCH = "base"
+    COMPACT_COPY_DIRS = (TARGET_SUBDIR,)
 
     def __init__(
         self,
@@ -60,19 +58,21 @@ class DsirStore:
         n_buckets: int = DSIR_BUCKETS_DEFAULT,
         portable_hash: bool = False,
     ):
-        self.spark = spark
-        self.path = path
+        super().__init__(spark, path)
         self.n_buckets = n_buckets
         self.portable_hash = portable_hash
-        meta = self._read_json(self.META_FILE)
-        if meta is not None and (
-            meta["n_buckets"] != n_buckets or meta["portable_hash"] != portable_hash
-        ):
-            raise ValueError(
-                f"DSIR store {path} was built with n_buckets="
-                f"{meta['n_buckets']}, portable_hash={meta['portable_hash']} "
-                "— hashing identity cannot change under a store"
-            )
+        self._check_config()
+
+    def _config(self) -> dict:
+        return {"n_buckets": self.n_buckets, "portable_hash": self.portable_hash}
+
+    def _config_mismatch(self, stored: dict, current: dict) -> str:
+        return (
+            f"DSIR store {self.path} was built with n_buckets="
+            f"{stored.get('n_buckets')}, portable_hash="
+            f"{stored.get('portable_hash')} — hashing identity cannot "
+            "change under a store"
+        )
 
     # -- target ----------------------------------------------------------
 
@@ -94,10 +94,7 @@ class DsirStore:
         if os.path.isdir(final):
             shutil.rmtree(final)
         os.rename(tmp, final)
-        self._write_json(
-            self.META_FILE,
-            {"n_buckets": self.n_buckets, "portable_hash": self.portable_hash},
-        )
+        self._write_raw(self.CONFIG_FILE, self._config())
 
     # -- write path ------------------------------------------------------
 
@@ -110,22 +107,10 @@ class DsirStore:
     ) -> bool:
         """Tokenize one document batch into stored feature rows.
         Idempotent per batch id; commit-after-write manifest."""
-        if batch == self.BASE_BATCH or batch in self.batches():
+        if not self._begin_batch(batch):
             return False
-        os.makedirs(self.path, exist_ok=True)
-        if self._read_json(self.COMMITTED_FILE) is None:
-            self._write_json(self.COMMITTED_FILE, self.batches())
-        feats = _doc_features(
-            docs, text_col, id_col, self.n_buckets, self.portable_hash
-        ).withColumn("batch", F.lit(batch))
-        (
-            feats.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch")
-            .parquet(self.path)
-        )
-        committed = self._read_json(self.COMMITTED_FILE) or []
-        self._write_json(self.COMMITTED_FILE, sorted(set(committed) | {batch}))
+        feats = _doc_features(docs, text_col, id_col, self.n_buckets, self.portable_hash)
+        self._write_batch(feats, batch)
         return True
 
     # -- read path -------------------------------------------------------
@@ -181,21 +166,9 @@ class DsirStore:
 
     # -- maintenance -----------------------------------------------------
 
-    def batches(self) -> list[str]:
-        committed = self._read_json(self.COMMITTED_FILE)
-        if committed is None:
-            committed = [
-                d.split("=", 1)[1]
-                for d in (os.listdir(self.path) if os.path.isdir(self.path) else [])
-                if d.startswith("batch=")
-            ]
-        return sorted(set(committed) | set(self._read_json(self.COMPACTED_FILE) or []))
-
-    def compact(self) -> None:
+    def _compact_fold(self, tmp: str) -> None:
         """Fold per-batch feature partitions into batch=base (counts
-        are additive); absorbed batch ids stay replay-proof."""
-        absorbed = [b for b in self.batches() if b != self.BASE_BATCH]
-        tmp = f"{self.path}__compact_{uuid.uuid4().hex[:8]}"
+        are additive)."""
         folded = (
             self.features()
             .groupBy("doc", "bucket")
@@ -203,37 +176,3 @@ class DsirStore:
             .withColumn("batch", F.lit(self.BASE_BATCH))
         )
         folded.write.mode("overwrite").partitionBy("batch").parquet(tmp)
-        tgt = os.path.join(self.path, self.TARGET_SUBDIR)
-        if os.path.isdir(tgt):
-            shutil.copytree(tgt, os.path.join(tmp, self.TARGET_SUBDIR))
-        with open(os.path.join(tmp, self.COMPACTED_FILE), "w") as fh:
-            json.dump(absorbed, fh)
-        with open(os.path.join(tmp, self.COMMITTED_FILE), "w") as fh:
-            json.dump([self.BASE_BATCH], fh)
-        for name in os.listdir(self.path):
-            src = os.path.join(self.path, name)
-            if (
-                name.startswith("_")
-                and name not in (self.COMPACTED_FILE, self.COMMITTED_FILE)
-                and os.path.isfile(src)
-            ):
-                shutil.copy2(src, os.path.join(tmp, name))
-        old = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
-        os.rename(self.path, old)
-        os.rename(tmp, self.path)
-        shutil.rmtree(old, ignore_errors=True)
-
-    # -- json sidecars ---------------------------------------------------
-
-    def _read_json(self, name: str):
-        p = os.path.join(self.path, name)
-        if not os.path.exists(p):
-            return None
-        with open(p) as fh:
-            return json.load(fh)
-
-    def _write_json(self, name: str, value) -> None:
-        tmp = os.path.join(self.path, f".{name}.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(value, fh)
-        os.replace(tmp, os.path.join(self.path, name))

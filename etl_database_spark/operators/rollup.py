@@ -31,13 +31,13 @@ design — at scale those go through sketches, not rollups.
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from etl_database_spark.operators.batchstore import BatchStore
 
 # Partial sums are stored at a FIXED wide decimal so every batch file
 # carries the identical parquet type (Spark widens sum() output
@@ -46,15 +46,15 @@ from pyspark.sql import functions as F
 STORE_DEC = "decimal(38,6)"
 
 
-class RollupStore:
+class RollupStore(BatchStore):
     """Persisted (batch, day)-partitioned partial aggregates over an
-    event stream, keyed by (day, event_type)."""
+    event stream, keyed by (day, event_type). Lifecycle (idempotent
+    batch ingest, manifest, compaction swap) comes from
+    :class:`~etl_database_spark.operators.batchstore.BatchStore`; this
+    class owns the measure algebra and the sketch subdirs."""
 
-    COMPACTED_FILE = "_compacted.json"
-    COMMITTED_FILE = "_committed.json"
-    RETRACTED_FILE = "_retracted.json"
     RECOMPUTED_FILE = "_recomputed.json"
-    BASE_BATCH = "base"
+    PARTITION_COLS = ("day",)
     # Sketch partials live under underscore-prefixed subdirs: Spark's
     # file index treats _-prefixed paths as hidden, so the main
     # partials read never sees them, while reading a subdir directly
@@ -63,6 +63,9 @@ class RollupStore:
     QHIST_SUBDIR = "_qhist"
     TDIGEST_SUBDIR = "_tdigest"
     RAW_SUBDIR = "_raw"
+    # the raw slice is NOT folded — per-batch raw partitions are what
+    # retract_batch subtracts by; carried verbatim across compaction
+    COMPACT_COPY_DIRS = (RAW_SUBDIR,)
 
     def __init__(
         self,
@@ -105,8 +108,7 @@ class RollupStore:
         The self-contained variant for the local store; at 100 TB the
         raw slice is the data lake itself — point the recompute at the
         day-partitioned event table instead of duplicating it here."""
-        self.spark = spark
-        self.path = path
+        super().__init__(spark, path)
         self.distinct_col = distinct_col
         self.quantile_spec = quantile_spec
         self.tdigest_col = tdigest_col
@@ -146,15 +148,12 @@ class RollupStore:
         directory but no manifest entry, so the retry re-runs the
         dynamic-partition-overwrite and fully replaces the partial —
         the directory alone must never count as ingested."""
-        if batch == self.BASE_BATCH or batch in self.batches():
+        # _begin_batch materializes the (possibly empty) manifest
+        # BEFORE the data write: from then on "in the manifest" is the
+        # only ingested signal, so a crash between write and commit
+        # retries cleanly even for the store's very first batch
+        if not self._begin_batch(batch):
             return False
-        # materialize the (possibly empty) manifest BEFORE the data
-        # write: from then on "in the manifest" is the only ingested
-        # signal, so a crash between write and commit retries cleanly
-        # even for the store's very first batch
-        os.makedirs(self.path, exist_ok=True)
-        if self._read_json(self.COMMITTED_FILE) is None:
-            self._write_json(self.COMMITTED_FILE, self.batches())
         ev_day = events.withColumn("day", F.to_date(ts_col))
         self._write_all_partials(ev_day, batch)
         if self.keep_raw:
@@ -269,11 +268,8 @@ class RollupStore:
           — duplicates never inflated the sketch — but wrong-data
           retractions leave ghosts until a rebuild).
         """
-        if batch == self.BASE_BATCH or batch in self.batches():
+        if not self._begin_batch(batch):
             return False
-        os.makedirs(self.path, exist_ok=True)
-        if self._read_json(self.COMMITTED_FILE) is None:
-            self._write_json(self.COMMITTED_FILE, self.batches())
         neg = (
             self._partials(events, ts_col)
             .select(
@@ -299,16 +295,9 @@ class RollupStore:
         # record the retraction BEFORE the commit: a crash in between
         # re-runs both (the batch is not committed yet), and recording
         # is a set union — idempotent
-        self._write_json(
-            self.RETRACTED_FILE, sorted(set(self.retractions()) | {batch})
-        )
+        self._record_retraction(batch)
         self._commit(batch)
         return True
-
-    def retractions(self) -> list[str]:
-        """Retraction batch ids ever applied (persists across
-        compaction — extrema stay unreliable until a rebuild)."""
-        return self._read_json(self.RETRACTED_FILE) or []
 
     def recomputations(self) -> list[str]:
         """Batch ids exactly retracted via :meth:`retract_batch`
@@ -534,48 +523,12 @@ class RollupStore:
 
     # -- maintenance ------------------------------------------------------
 
-    def batches(self) -> list[str]:
-        """Ingested batch ids: the committed manifest plus batches
-        absorbed by a compaction. Falls back to directory listing for
-        stores written before the manifest existed — for those, a
-        partial directory counts as ingested (the pre-manifest
-        behavior), which is why new writes always commit."""
-        committed = self._read_json(self.COMMITTED_FILE)
-        if committed is None:
-            committed = [
-                d.split("=", 1)[1]
-                for d in (os.listdir(self.path) if os.path.isdir(self.path) else [])
-                if d.startswith("batch=") and os.path.isdir(os.path.join(self.path, d))
-            ]
-        return sorted(set(committed) | set(self._compacted()))
-
-    def _read_json(self, name: str) -> list[str] | None:
-        p = os.path.join(self.path, name)
-        if not os.path.exists(p):
-            return None
-        with open(p) as fh:
-            return json.load(fh)
-
-    def _write_json(self, name: str, values: list[str]) -> None:
-        tmp = os.path.join(self.path, f".{name}.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(sorted(values), fh)
-        os.replace(tmp, os.path.join(self.path, name))
-
-    def _commit(self, batch: str) -> None:
-        committed = self._read_json(self.COMMITTED_FILE) or []
-        self._write_json(self.COMMITTED_FILE, sorted(set(committed) | {batch}))
-
-    def _compacted(self) -> list[str]:
-        return self._read_json(self.COMPACTED_FILE) or []
-
-    def compact(self) -> None:
+    def _compact_fold(self, tmp: str) -> None:
         """Fold all per-batch partials into one ``batch=base`` row per
-        (day, event_type), bounding merge-on-read fan-in. Absorbed
-        batch ids are recorded so their replays stay no-ops. Writes to
-        a sibling temp dir and swaps — never half-rewritten in place."""
-        absorbed = sorted(set(self.batches()) | set(self._compacted()))
-        tmp = f"{self.path}__compact_{uuid.uuid4().hex[:8]}"
+        (day, event_type), bounding merge-on-read fan-in — plus every
+        configured sketch subdir, each folded by its own merge algebra.
+        The raw slice (retract_batch's recompute source) is carried
+        verbatim via COMPACT_COPY_DIRS."""
         folded = (
             self.partials()
             .groupBy("day", "event_type")
@@ -629,26 +582,4 @@ class RollupStore:
             folded_qh.write.mode("overwrite").partitionBy("batch", "day").parquet(
                 os.path.join(tmp, self.QHIST_SUBDIR)
             )
-        raw_path = os.path.join(self.path, self.RAW_SUBDIR)
-        if os.path.isdir(raw_path):
-            # the raw slice is NOT folded — per-batch raw partitions
-            # are what retract_batch subtracts by; carry them verbatim
-            shutil.copytree(raw_path, os.path.join(tmp, self.RAW_SUBDIR))
-        with open(os.path.join(tmp, self.COMPACTED_FILE), "w") as fh:
-            json.dump([b for b in absorbed if b != self.BASE_BATCH], fh)
-        with open(os.path.join(tmp, self.COMMITTED_FILE), "w") as fh:
-            json.dump([self.BASE_BATCH], fh)
-        # carry sidecar markers (e.g. the streaming checkpoint binding)
-        # across the swap — a compaction must not unbind the store
-        for name in os.listdir(self.path):
-            src = os.path.join(self.path, name)
-            if (
-                name.startswith("_")
-                and name not in (self.COMPACTED_FILE, self.COMMITTED_FILE)
-                and os.path.isfile(src)
-            ):
-                shutil.copy2(src, os.path.join(tmp, name))
-        old = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
-        os.rename(self.path, old)
-        os.rename(tmp, self.path)
-        shutil.rmtree(old, ignore_errors=True)
+
