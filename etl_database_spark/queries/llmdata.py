@@ -331,7 +331,8 @@ def _evict_stale(cache: dict, sf_dir: str, key: tuple) -> None:
     import shutil
 
     for old_key in [k for k in cache if k[0] == sf_dir and k != key]:
-        path = cache.pop(old_key)
+        entry = cache.pop(old_key)
+        path = entry if isinstance(entry, str) else entry.path  # store objects
         shutil.rmtree(os.path.dirname(path) if path.endswith("/sigs") else path,
                       ignore_errors=True)
 
@@ -1968,25 +1969,37 @@ _PAGERANK_EDGE_STORE: dict = {}
 
 
 def _pagerank_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The J≥0.3 5-gram LSH-verified pair graph, built once per
-    (corpus, mtime) and served from parquet thereafter (same store
-    discipline as ``_minhash_sigs``)."""
+    """The J≥0.3 5-gram LSH-verified pair graph, served from the
+    persisted incremental :class:`~etl_database_spark.operators
+    .edgestore.EdgeStore` (round-9: was a one-shot temp-parquet
+    cache). Built once per (corpus, mtime) through the store's real
+    lifecycle — three modulo batches with an idempotent-replay check,
+    the same discipline as ``_dsir_store`` — so the bench's setup
+    line measures incremental batch ingest (new-batch signatures
+    LSH-joined against the stored signature table, only new edges
+    verified), and a corpus day-batch at scale costs a day, not a
+    rebuild. Serving is one parquet read + sign fold."""
     import os
     import tempfile
+
+    from etl_database_spark.operators.edgestore import EdgeStore
 
     src = os.path.join(sf_dir, "documents.parquet")
     key = (sf_dir, os.path.getmtime(src) if os.path.exists(src) else None)
     if key not in _PAGERANK_EDGE_STORE:
         _evict_stale(_PAGERANK_EDGE_STORE, sf_dir, key)
         d = table(spark, sf_dir, "documents")
-        pairs = D.minhash_near_duplicates(
-            d, "text", "doc_id", n=5, num_perm=32, bands=32, threshold=0.3,
-            est_margin=None, min_agree=3,
+        store = EdgeStore(
+            spark,
+            os.path.join(tempfile.mkdtemp(prefix="spark_graft_predges_"), "edges"),
+            n=5, num_perm=32, bands=32, threshold=0.3, min_agree=3,
         )
-        path = os.path.join(tempfile.mkdtemp(prefix="spark_graft_predges_"), "edges")
-        pairs.write.parquet(path)
-        _PAGERANK_EDGE_STORE[key] = path
-    return spark.read.parquet(_PAGERANK_EDGE_STORE[key])
+        for i in range(3):
+            store.ingest(d.where(F.col("doc_id") % 3 == i), f"b{i}", corpus=d)
+        if store.ingest(d.limit(1), "b0", corpus=d) is not False:
+            raise RuntimeError("edge store replayed an absorbed batch")
+        _PAGERANK_EDGE_STORE[key] = store
+    return _PAGERANK_EDGE_STORE[key].edges()
 
 
 @register("doc_similarity_pagerank")

@@ -186,6 +186,37 @@ class IvfHarness(Harness):
         return sorted((r._id, r.centroid) for r in store.lists().collect())
 
 
+class EdgeHarness(Harness):
+    name = "edge"
+    # every doc any batch could contain — ingest's corpus contract is
+    # "previously ingested ∪ new", and a superset is explicitly allowed
+    CORPUS_RANGE = (0, 40)
+
+    def _corpus(self, spark):
+        return _docs(spark, *self.CORPUS_RANGE)
+
+    def make(self, spark, path):
+        from etl_database_spark.operators.edgestore import EdgeStore
+
+        return EdgeStore(spark, path, n=5, num_perm=16, bands=16, threshold=0.3, min_agree=3)
+
+    def batch_df(self, spark, i):
+        return _docs(spark, i * 10, i * 10 + 10)
+
+    def ingest(self, store, df, batch):
+        return store.ingest(df, batch, corpus=self._corpus(df.sparkSession))
+
+    def state(self, store):
+        edges = sorted((r.id_a, r.id_b, round(r.jaccard, 9)) for r in store.edges().collect())
+        sig_ids = sorted(r._id for r in store.signatures().collect())
+        return (edges, sig_ids)
+
+    def reopen_mismatched(self, spark, path):
+        from etl_database_spark.operators.edgestore import EdgeStore
+
+        return lambda: EdgeStore(spark, path, n=6, num_perm=16, bands=16, threshold=0.3, min_agree=3)
+
+
 HARNESSES = [
     SpanHarness(),
     WinnowHarness(),
@@ -193,6 +224,7 @@ HARNESSES = [
     DsirHarness(),
     RollupHarness(),
     IvfHarness(),
+    EdgeHarness(),
 ]
 
 

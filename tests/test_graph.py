@@ -212,3 +212,50 @@ def test_pagerank_edge_store_serves_one_shot_build(spark):
     assert stored == oneshot
     load_all()["doc_similarity_pagerank"].fn(spark, sf).count()
     assert L._PAGERANK_EDGE_STORE[key] == path_first
+
+
+def test_edgestore_incremental_equals_one_shot(spark, tmp_path):
+    """EdgeStore lifecycle vs the one-shot build on the same corpus:
+    3-batch incremental ingest produces exactly the one-shot verified
+    edge set (ids and exact Jaccards), compaction changes nothing,
+    retracting a batch's documents leaves exactly the one-shot edge
+    set of the remaining corpus, and re-ingesting them restores the
+    full set."""
+    from pyspark.sql import functions as F
+
+    from etl_database_spark.functions import dedup as D
+    from etl_database_spark.operators.edgestore import EdgeStore
+    from etl_database_spark.queries import table
+
+    P = dict(n=5, num_perm=32, bands=32, threshold=0.3, min_agree=3)
+    d = table(spark, "/root/testdata/sf0.001", "documents").where(
+        F.col("doc_id") < 300
+    )
+
+    def pairset(df):
+        return sorted((r.id_a, r.id_b, round(r.jaccard, 9)) for r in df.collect())
+
+    one = pairset(D.minhash_near_duplicates(d, "text", "doc_id", est_margin=None, **P))
+    assert one, "fixture slice must produce J>=0.3 pairs"
+
+    store = EdgeStore(spark, str(tmp_path / "edges"), **P)
+    for i in range(3):
+        assert store.ingest(d.where(F.col("doc_id") % 3 == i), f"b{i}", corpus=d)
+    assert pairset(store.edges()) == one
+    # replay is a no-op even with different data
+    assert store.ingest(d.limit(1), "b0", corpus=d) is False
+
+    store.compact()
+    assert pairset(store.edges()) == one
+
+    # exact retraction: edges == one-shot on the remaining corpus
+    rest = d.where(F.col("doc_id") % 3 != 1)
+    assert store.retract(d.where(F.col("doc_id") % 3 == 1), "b1_retraction")
+    one_rest = pairset(
+        D.minhash_near_duplicates(rest, "text", "doc_id", est_margin=None, **P)
+    )
+    assert pairset(store.edges()) == one_rest
+
+    # re-ingest under a new id restores the full set
+    assert store.ingest(d.where(F.col("doc_id") % 3 == 1), "b1_again", corpus=d)
+    assert pairset(store.edges()) == one
