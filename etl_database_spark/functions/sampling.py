@@ -159,6 +159,17 @@ def weighted_sample_topk(
     possible through rounding) break on the key column. Zero/negative
     weights are excluded (their inclusion probability is 0).
 
+    Usable weight-magnitude range: the 9-digit rounding of the
+    quotient means weights above ~1e8 collapse ln(u)/w onto a grid of
+    a handful of values (|ln u| ≤ ~33, so the quotient drops below
+    the 1e-9 grid), degrading the ordering among such rows to the
+    key-column tie-break instead of a weight-proportional draw; very
+    small weights (≲1e-9) are safe (the quotient grows, resolution is
+    relative). Keep weights within roughly [1e-6, 1e6] — normalize
+    per group first (divide by the group max; scale-invariant for
+    this scheme since only ratios matter) when the natural weights
+    (e.g. byte counts of large files) exceed that range.
+
     Scale shape: one codegen projection + one window shuffle on the
     group key — no state, no driver round-trips, same cost class as
     hash_top_k_per_group."""

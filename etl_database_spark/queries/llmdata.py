@@ -395,14 +395,24 @@ _MH_CHK = {"n": 7, "num_perm": 32, "bands": 8, "threshold": 0.5}
 _MH_MAX_BUCKET = 200  # lsh_candidate_pairs default, restated for SQL
 
 
-def _minhash_checkable_oracle(select: str | None = None, recursive: bool = False) -> str:
+def _minhash_checkable_oracle(
+    select: str | None = None,
+    recursive: bool = False,
+    p: dict | None = None,
+    min_agree: int | None = None,
+) -> str:
     """Generate the portable MinHash-LSH pipeline SQL up to the
     ``verified`` pair CTE, then ``select`` (default: the pair report).
     ``recursive=True`` emits WITH RECURSIVE so the select may append
-    recursive CTEs (the clusters twin's closure)."""
+    recursive CTEs (the clusters twin's closure). ``p`` overrides the
+    pipeline parameters (default ``_MH_CHK``); ``min_agree`` swaps the
+    est-Jaccard ≥ t−0.2 prefilter for the in-join signature-agreement
+    cut (agree ≥ min_agree) — the exact candidate test the Spark side
+    applies when called with ``min_agree`` and ``est_margin=None``
+    (the leakage splits' low-threshold r=1 configuration)."""
     from etl_database_spark.functions.dedup import MERSENNE61, _perm_params
 
-    p = _MH_CHK
+    p = p or _MH_CHK
     n, k, bands = p["n"], p["num_perm"], p["bands"]
     rows = k // bands
     params = _perm_params(k, seed=42)
@@ -418,7 +428,11 @@ def _minhash_checkable_oracle(select: str | None = None, recursive: bool = False
     agree = " + ".join(
         f"(CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END)" for i in range(k)
     )
-    est_cut = repr(p["threshold"] - 0.2)  # same float literal as the Spark plan
+    if min_agree is None:
+        est_cut = repr(p["threshold"] - 0.2)  # same float literal as the Spark plan
+        est_where = f"({agree}) / {float(k)} >= {est_cut}"
+    else:
+        est_where = f"({agree}) >= {int(min_agree)}"
     final = select or "SELECT id_a, id_b, jaccard FROM verified\n    ORDER BY id_a, id_b"
     return f"""
     WITH {"RECURSIVE " if recursive else ""}d AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
@@ -455,7 +469,7 @@ def _minhash_checkable_oracle(select: str | None = None, recursive: bool = False
       SELECT c.id_a, c.id_b
       FROM cands c JOIN sig sa ON sa.doc_id = c.id_a
                    JOIN sig sb ON sb.doc_id = c.id_b
-      WHERE ({agree}) / {float(k)} >= {est_cut}
+      WHERE {est_where}
     ),
     sz AS (SELECT doc_id, COUNT(*) AS ns FROM g GROUP BY doc_id),
     inter AS (
@@ -1749,16 +1763,14 @@ def doc_feature_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # singleton docs represent themselves), so the whole neighborhood
 # moves together. The oracle reproduces components via recursive CTE
 # and the split via the same md5-bucket arithmetic.
-_LEAKAGE_ORACLE = f"""
-    WITH RECURSIVE {_NGRAM_PAIRS_CTES},
-    prs AS (
-      SELECT id_a, id_b FROM scored
-      WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= 0.5
-    ),
+_LEAKAGE_P = {"n": 5, "num_perm": 64, "bands": 64, "threshold": 0.5}
+_LEAKAGE_MIN_AGREE = 13
+
+_LEAKAGE_SELECT = """,
     edges AS (
-      SELECT id_a AS src, id_b AS dst FROM prs
+      SELECT id_a AS src, id_b AS dst FROM verified
       UNION
-      SELECT id_b AS src, id_a AS dst FROM prs
+      SELECT id_b AS src, id_a AS dst FROM verified
     ),
     reach(src, dst) AS (
       SELECT src, dst FROM edges
@@ -1770,8 +1782,8 @@ _LEAKAGE_ORACLE = f"""
       FROM reach GROUP BY src
     ),
     rep AS (
-      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS rep
-      FROM documents d LEFT JOIN comp c USING (doc_id)
+      SELECT dd.doc_id, COALESCE(c.component, dd.doc_id) AS rep
+      FROM documents dd LEFT JOIN comp c USING (doc_id)
     )
     SELECT doc_id, rep,
            CASE WHEN bucket < 900 THEN 'train'
@@ -1780,47 +1792,57 @@ _LEAKAGE_ORACLE = f"""
     FROM (SELECT doc_id, rep,
                  CAST('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 8) AS BIGINT) % 1000 AS bucket
           FROM rep)
-    ORDER BY doc_id
-    """
+    ORDER BY doc_id"""
 
 
-@register("leakage_safe_splits", oracle=_LEAKAGE_ORACLE)
+@register(
+    "leakage_safe_splits",
+    oracle=_minhash_checkable_oracle(
+        select=_LEAKAGE_SELECT,
+        recursive=True,
+        p=_LEAKAGE_P,
+        min_agree=_LEAKAGE_MIN_AGREE,
+    ),
+)
 def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """90/5/5 split assignment keyed on the near-dup cluster
     representative instead of the doc id, so no near-duplicate pair
     ever straddles two splits (train/test leakage hygiene).
 
-    Pair source (round-8 hardening of the round-7 LSH move): MinHash
-    LSH with num_perm=64, r=1 bands, in-join ≥13/64 signature-
-    agreement cut, exact-Jaccard verified. Sized for the safety-
-    critical threshold 0.5: a true J=0.50 pair fails ≥13/64 with
-    p = P(Binom(64, .5) ≤ 12) ≈ 2.3e-7 (the round-7 ≥7/32 cut missed
-    with p ≈ 2.7e-4 — fixed hashes, so not re-rollable); banding miss
-    (1-J)^64 ≈ 5.4e-20. The second miss mode — a pair colliding ONLY
-    inside max_bucket-capped boilerplate buckets — is closed
-    structurally: ``capped_route_exact=True`` routes every
-    capped-bucket member through the exact prefix-filtered n-gram
-    tier and unions the result, so capped pairs are found exactly
-    rather than dropped wherever that tier's candidate-mass gate
-    admits the slice. Past the gate (template-saturated corpora
-    beyond the tested scales, e.g. the sf1 fixture where the capped
-    slice approaches the corpus), the routing degrades to LSH-only
-    with a loud log warning, and the residual miss is the
-    all-agreeing-buckets-capped mode — every one of a pair's ~32
-    agreeing buckets (each keyed by a uniformly-random SHARED
-    shingle) must be boilerplate-hot at once. The exact-SQL oracle
-    certifies equality at the TESTED scales only (sf0.001–sf0.1
-    fixtures + the tests/test_graph.py twin assertion, including a
-    forced-cap test); beyond them the documented residual is the
-    ≈2.3e-7 agreement-cut tail plus the capped mode above. The component join is a broadcast at
-    any realistic cluster-count, and the split itself is one codegen
-    projection."""
+    Pair source (round-9: the fully-replayable configuration): the
+    PORTABLE MinHash pipeline — md5-32 shingle hashes, comma-joined
+    band keys — with num_perm=64, r=1 bands, the in-join ≥13/64
+    signature-agreement cut, and exact-Jaccard verification at 0.5.
+    Every stage, including the 200-doc bucket skew cap, the agreement
+    cut, the verify, the transitive closure (recursive CTE), and the
+    md5-bucket split arithmetic, replays bit-for-bit in the DuckDB
+    oracle — at EVERY scale, because the oracle is linear-ish in the
+    corpus like the Spark side (the round-8 oracle replayed the
+    memory-quadratic exact n-gram tier and OOMed DuckDB at sf1; this
+    one retires that SPARK_ONLY pin in tools/check_sf1.py).
+
+    Recall budget at threshold 0.5 (safety-critical): banding miss
+    (1-J)^64 ≈ 5.4e-20; agreement-cut miss P(Binom(64, .5) ≤ 12)
+    ≈ 2.3e-7 (the round-7 ≥7/32 cut missed with 2.7e-4 — fixed
+    hashes, not re-rollable). The remaining mode — a pair colliding
+    ONLY inside max_bucket-capped boilerplate buckets — requires ALL
+    ~32 of a true pair's agreeing buckets (each keyed by a
+    uniformly-random SHARED shingle) to be boilerplate-hot at once;
+    on the fixtures the LSH-only pair set equals the exact n-gram
+    tier's exactly (tests/test_graph.py asserts it, and the round-8
+    xxhash64+capped-routing variant found the identical set). Callers
+    needing structural closure of the capped mode on
+    template-saturated corpora can still run the pair source with
+    ``capped_route_exact=True`` (tests/test_graph.py's forced-cap
+    test pins that flag) at the cost of oracle replayability past
+    tested scales. The component join is a broadcast at any realistic
+    cluster-count, and the split itself is one codegen projection."""
     from etl_database_spark.functions import sampling as SMP
 
     d = table(spark, sf_dir, "documents")
     pairs = D.minhash_near_duplicates(
-        d, "text", "doc_id", n=5, num_perm=64, bands=64, threshold=0.5,
-        est_margin=None, min_agree=13, capped_route_exact=True,
+        d, "text", "doc_id", portable=True, est_margin=None,
+        min_agree=_LEAKAGE_MIN_AGREE, **_LEAKAGE_P,
     )
     comps = D.connected_components(pairs).withColumnRenamed("_id", "doc_id")
     # The component map exits an iterative localCheckpoint, so Catalyst

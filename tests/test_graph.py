@@ -122,12 +122,12 @@ def test_pagerank_lsh_edge_source_equals_exact_tier(spark):
 
 
 def test_leakage_splits_lsh_pair_source_equals_exact_tier(spark):
-    """leakage_safe_splits' LSH pair source at threshold 0.5 (r=1
-    bands over 64 perms, in-join >=13/64 agreement cut, capped
-    buckets routed through the exact tier) must equal the exact
-    n-gram tier's verified pair set on the fixture — same guarantee
-    that keeps its exact-SQL oracle valid while the query scales
-    past the exact tier's mass gate."""
+    """leakage_safe_splits' PORTABLE LSH pair source at threshold 0.5
+    (md5 shingles, r=1 bands over 64 perms, in-join >=13/64 agreement
+    cut — the round-9 fully-oracle-replayable configuration, no exact
+    routing) must equal the exact n-gram tier's verified pair set on
+    the fixture: the recall-budget arithmetic in the query docstring,
+    checked empirically."""
     from etl_database_spark.functions import dedup as D
     from etl_database_spark.queries import table
 
@@ -143,7 +143,7 @@ def test_leakage_splits_lsh_pair_source_equals_exact_tier(spark):
         for r in D.minhash_near_duplicates(
             d, "text", "doc_id", n=5, num_perm=64, bands=64,
             threshold=0.5, est_margin=None, min_agree=13,
-            capped_route_exact=True,
+            portable=True,
         ).collect()
     }
     assert exact, "fixture must produce J>=0.5 pairs"

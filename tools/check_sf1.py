@@ -38,14 +38,11 @@ EXPECTED_REFUSALS: dict[str, str] = {
 
 # Queries whose SPARK side runs at sf1 but whose DuckDB oracle is
 # infeasible at this scale — run Spark, assert rows, skip the oracle.
-# leakage_safe_splits' oracle replays the EXACT n-gram pair tier
-# (the very computation the Spark side's gates bound): in-process
-# DuckDB reached 89 GB RSS and drew the OOM killer on this host. The
-# query docstring already records that the exact oracle certifies
-# tested scales only (sf0.001–sf0.1 + the forced-cap pytest).
-SPARK_ONLY: dict[str, str] = {
-    "leakage_safe_splits": "exact n-gram oracle is memory-quadratic in DuckDB at sf1",
-}
+# Empty since round 9: leakage_safe_splits' oracle now replays the
+# PORTABLE LSH pair set + recursive-CTE closure (linear-ish, the
+# dedup_clusters_checkable recipe) instead of the memory-quadratic
+# exact n-gram tier that OOMed DuckDB at 89 GB in round 8.
+SPARK_ONLY: dict[str, str] = {}
 
 
 def ensure_sf1(sf1_dir: str) -> None:
