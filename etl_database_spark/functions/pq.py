@@ -355,17 +355,42 @@ def ivfpq_topk(
     n_probe: int = 4,
     k: int = 10,
     round_digits: int = 4,
+    refine: DataFrame | None = None,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """IVFADC search → (query_id, neighbor_id, adc_dist): each query
     probes its ``n_probe`` nearest coarse centroids and ADC-scans ONLY
     those inverted lists, with a residual distance table per probed
-    list (q − centroid vs the residual codebooks). Per candidate the
-    cost is m table lookups; the scan is 1/coarse_k·n_probe of the
-    corpus — both ANN levers composed."""
+    list (q − coarse centroid vs the residual codebooks). Per
+    candidate the cost is m table lookups; the scan is
+    n_probe/coarse_k of the corpus — both ANN levers composed.
+
+    Execution shape (round-9 rewrite): the per-(query, probed-list)
+    distance tables are small by construction (queries·n_probe rows of
+    m·ksub doubles), so they ship as ONE broadcast frame and the scan
+    is a single ``codes ⋈ tables`` join on ``centroid`` — constant
+    plan size regardless of query count or n_probe. The previous form
+    emitted one union branch per (query, cell); at 25 queries × 4
+    probes the DRIVER's plan compilation dominated the scan (measured
+    28 s wall vs ~2 s of data work at the 200k-vector soak) and grew
+    linearly in both levers.
+
+    ``refine``: optional (id, vector) frame — the IVFADC+R stage
+    (Jégou et al. 2011 §V): take the ADC top-``shortlist`` per query,
+    join the shortlist back to its TRUE vectors, re-rank by exact L2,
+    return top-k (distance column ``l2_dist``). ADC resolution is
+    m·log2(ksub) bits per vector — on corpora whose true neighbors
+    sit closer than the quantization cell size, the shortlist
+    contains the true top-k but ADC misorders it; the refine join
+    touches ``shortlist`` rows per query, never the corpus."""
     from pyspark.sql import Window as W
 
+    spark = codes.sparkSession
     m = len(codebooks)
-    branches = []
+    ksub = len(codebooks[0])
+    target_rows = []
     for qid, qv in query_vectors:
         order = sorted(
             range(len(coarse)),
@@ -377,25 +402,54 @@ def ivfpq_topk(
         for cidx in order[:n_probe]:
             qres = [float(a) - float(b) for a, b in zip(qv, coarse[cidx])]
             tables = _adc_tables(qres, codebooks)
-            dist = None
-            for j in range(m):
-                t_lit = F.array(*[F.lit(v) for v in tables[j]])
-                term = F.element_at(t_lit, F.element_at("codes", j + 1) + 1)
-                dist = term if dist is None else dist + term
-            branches.append(
-                codes.where(F.col("centroid") == cidx).select(
-                    F.lit(qid).alias("query_id"),
-                    F.col("_id").alias("neighbor_id"),
-                    F.round(dist, round_digits).alias("adc_dist"),
-                ).where(F.col("neighbor_id") != qid)
-            )
-    scored = branches[0]
-    for b in branches[1:]:
-        scored = scored.unionByName(b)
+            flat = [v for row in tables for v in row]
+            target_rows.append((int(qid), int(cidx), flat))
+    targets = spark.createDataFrame(
+        target_rows, "query_id long, centroid int, tbl array<double>"
+    )
+    dist = None
+    for j in range(m):
+        term = F.element_at(
+            "tbl", (F.lit(j * ksub) + F.element_at("codes", j + 1) + 1).cast("int")
+        )
+        dist = term if dist is None else dist + term
+    scored = (
+        codes.join(F.broadcast(targets), "centroid")
+        .where(F.col("_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("_id").alias("neighbor_id"),
+            F.round(dist, round_digits).alias("adc_dist"),
+        )
+    )
     w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
-    return (
+    take = k if refine is None else max(k, shortlist)
+    out = (
         scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
+        .where(F.col("rn") <= take)
         .select("query_id", "neighbor_id", "adc_dist")
-        .orderBy("query_id", "adc_dist", "neighbor_id")
+    )
+    if refine is None:
+        return out.orderBy("query_id", "adc_dist", "neighbor_id")
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(x) for x in qv]) for qid, qv in query_vectors],
+        "query_id long, qv array<double>",
+    )
+    vecs = refine.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    )
+    l2 = F.aggregate(
+        F.zip_with("qv", "nv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.asc("l2_dist"), F.asc("neighbor_id"))
+    return (
+        out.join(vecs, "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select("query_id", "neighbor_id", F.round(l2, round_digits).alias("l2_dist"))
+        .withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "l2_dist")
+        .orderBy("query_id", "l2_dist", "neighbor_id")
     )

@@ -152,3 +152,42 @@ def test_ivfpq_codes_carry_centroid(spark, vectors):
     assert set(codes.columns) == {"_id", "codes", "centroid"}
     cvals = {r.centroid for r in codes.select("centroid").distinct().collect()}
     assert cvals <= set(range(3)) and len(cvals) >= 2
+
+
+def test_ivfpq_refine_equals_exact_l2(spark, vectors):
+    """IVFADC+R with a shortlist covering every scanned candidate and
+    all lists probed must return EXACTLY the brute-force L2 top-k
+    (the refine stage re-ranks by true distance, so ADC quantization
+    error cannot reorder the result)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    coarse, books, codes = PQ.ivfpq_build(vectors, DIM, coarse_k=3, m=M, ksub=8, max_iter=3)
+    rows = {r.vec_id: list(r.embedding) for r in vectors.collect()}
+    queries = [(i, rows[i]) for i in sorted(rows) if i % 7 == 0][:5]
+    got = PQ.ivfpq_topk(
+        codes, coarse, books, queries, n_probe=3, k=5,
+        refine=vectors, shortlist=len(rows),
+    )
+    # brute-force L2 truth
+    q = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in queries],
+        "query_id long, qv array<double>",
+    )
+    l2 = F.aggregate(
+        F.zip_with("qv", "embedding", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("d"), F.asc("neighbor_id"))
+    want = (
+        vectors.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), l2.alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    g = {(r.query_id, r.neighbor_id) for r in got.collect()}
+    e = {(r.query_id, r.neighbor_id) for r in want.collect()}
+    assert g == e

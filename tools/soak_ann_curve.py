@@ -7,17 +7,20 @@ recall/latency trade-off curve on the 100x embedding corpus
 sf0.1 embeddings: 2 000 -> 200 000 vectors, dim 64), so the
 "billion-scale architecture" claim carries a curve, not an anecdote.
 
-Per tier and n_probe ∈ {1, 2, 4, 8} with coarse_k=64 lists
-(ivfpq_topk's plan has one union branch per query x probed list, so
-the probe set and query count are sized to keep driver planning off
-the measured path — 25 queries x 8 probes = 200 branches max):
+Per tier and n_probe ∈ {1, 2, 4, 8} with coarse_k=64 lists:
 
 - IVF (IvfIndex: persisted inverted lists, partition-pruned probes,
   exact cosine inside the probed lists) — recall truth is brute-force
   cosine top-10;
 - IVFADC (ivfpq_build/ivfpq_topk: coarse quantizer + residual product
   quantizer, m=8 sub-spaces x 32 codes = 8 bytes/vector) — recall
-  truth is brute-force L2 top-10 (ADC approximates L2).
+  truth is brute-force L2 top-10 (ADC approximates L2);
+- IVFADC+R (refine=corpus, shortlist=100): exact-L2 re-rank of the
+  ADC top-100 — the recall repair when ADC's m·log2(ksub) bits
+  under-resolve the neighborhood (the first soak measured FLAT 0.192
+  recall across n_probe on this corpus: the true neighbors were IN
+  the probed lists but ADC misordered them; the refine join touches
+  100 rows per query, never the corpus).
 
 Expected shape: recall rises with n_probe (more lists scanned),
 probe cost rises ~linearly in n_probe but stays a small fraction of
@@ -145,6 +148,16 @@ def main() -> None:
             )
             r = recall_at_k(res, bf_l2)
             print(f"{'IVFADC':<8}{np_:>8}{r:>11.3f}{t_p:>10.2f}s"
+                  f"{t_p / t_bf_l2:>7.2f}x", flush=True)
+        for np_ in PROBES:
+            t_p, res = _timed_p50(
+                lambda np_=np_: PQ.ivfpq_topk(
+                    codes, coarse, books, qvecs, n_probe=np_, k=K,
+                    refine=emb, shortlist=100,
+                ).localCheckpoint(eager=True)
+            )
+            r = recall_at_k(res, bf_l2)
+            print(f"{'IVFADC+R':<8}{np_:>8}{r:>11.3f}{t_p:>10.2f}s"
                   f"{t_p / t_bf_l2:>7.2f}x", flush=True)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
