@@ -437,10 +437,16 @@ def _minhash_checkable_oracle(
     return f"""
     WITH {"RECURSIVE " if recursive else ""}d AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
     g AS (
-      SELECT DISTINCT doc_id,
-             ('0x' || substr(md5(substr(t, CAST(i AS INT), {n})), 1, 8))::BIGINT AS h
-      FROM d, unnest(range(1, len(t) - {n - 2})) AS u(i)
-      WHERE len(t) >= {n}
+      -- shingle hashes via a per-row list comprehension, NOT a
+      -- positions cross-join: the join form fans the multi-KB t out
+      -- per shingle row (50k docs at sf1 spilled >100 GB and filled
+      -- the disk); the list form keeps t one row wide and unnests
+      -- only the 8-byte hashes. list_distinct = the old DISTINCT.
+      SELECT doc_id,
+             unnest(list_distinct(
+               [('0x' || substr(md5(substr(t, CAST(i AS INT), {n})), 1, 8))::BIGINT
+                for i in range(1, len(t) - {n - 2})])) AS h
+      FROM d WHERE len(t) >= {n}
     ),
     sig AS (
       SELECT doc_id,
@@ -471,12 +477,18 @@ def _minhash_checkable_oracle(
                    JOIN sig sb ON sb.doc_id = c.id_b
       WHERE {est_where}
     ),
-    sz AS (SELECT doc_id, COUNT(*) AS ns FROM g GROUP BY doc_id),
+    -- per-pair list_intersect over per-doc hash LISTS, not a
+    -- row-exploded double join: the exploded form builds |est| x
+    -- |shingles/doc| intermediate rows (the sf1 fixture's exact-copy
+    -- structure made that ~7e8 rows and >75 GB of join spill); the
+    -- list form joins |est| pairs against a doc-count-sized list
+    -- table. Identical counts — g is distinct per doc.
+    lists AS (SELECT doc_id, list(h) AS hs FROM g GROUP BY doc_id),
+    sz AS (SELECT doc_id, len(hs) AS ns FROM lists),
     inter AS (
-      SELECT e.id_a, e.id_b, COUNT(*) AS ni
-      FROM est e JOIN g ga ON ga.doc_id = e.id_a
-                 JOIN g gb ON gb.doc_id = e.id_b AND ga.h = gb.h
-      GROUP BY e.id_a, e.id_b
+      SELECT e.id_a, e.id_b, len(list_intersect(la.hs, lb.hs)) AS ni
+      FROM est e JOIN lists la ON la.doc_id = e.id_a
+                 JOIN lists lb ON lb.doc_id = e.id_b
     ),
     verified AS (
       SELECT i.id_a, i.id_b,

@@ -15,12 +15,15 @@ Per tier and n_probe ∈ {1, 2, 4, 8} with coarse_k=64 lists:
 - IVFADC (ivfpq_build/ivfpq_topk: coarse quantizer + residual product
   quantizer, m=8 sub-spaces x 32 codes = 8 bytes/vector) — recall
   truth is brute-force L2 top-10 (ADC approximates L2);
-- IVFADC+R (refine=corpus, shortlist=100): exact-L2 re-rank of the
-  ADC top-100 — the recall repair when ADC's m·log2(ksub) bits
+- IVFADC+R (refine=corpus, shortlist=2000): exact-L2 re-rank of the
+  ADC top-shortlist — the recall repair when ADC's m·log2(ksub) bits
   under-resolve the neighborhood (the first soak measured FLAT 0.192
   recall across n_probe on this corpus: the true neighbors were IN
-  the probed lists but ADC misordered them; the refine join touches
-  100 rows per query, never the corpus).
+  the probed lists but ADC misordered them inside its rounded-
+  distance tie plateaus). Measured shortlist sweep at n_probe=4,
+  m=8: 100 → 0.524, 500 → 0.836, 2000 → 0.992, 8000 → 1.000 recall,
+  all ~2-3 s — the refine join touches shortlist rows per query,
+  never the corpus, so the recall lever is nearly free here.
 
 Expected shape: recall rises with n_probe (more lists scanned),
 probe cost rises ~linearly in n_probe but stays a small fraction of
@@ -153,7 +156,7 @@ def main() -> None:
             t_p, res = _timed_p50(
                 lambda np_=np_: PQ.ivfpq_topk(
                     codes, coarse, books, qvecs, n_probe=np_, k=K,
-                    refine=emb, shortlist=100,
+                    refine=emb, shortlist=2000,
                 ).localCheckpoint(eager=True)
             )
             r = recall_at_k(res, bf_l2)
