@@ -216,41 +216,38 @@ def pq_adc_topk(
     ``query_vectors``: bounded (query_id, vector) list — queries are
     few by construction (this is the serve path, not a join). Per
     query the m×ksub distance table is computed driver-side in Python
-    floats (identical IEEE ops to the JVM) and baked into the plan as
-    literal arrays; each candidate costs m ``element_at`` lookups and
-    an m-term sum — no per-candidate float math, the PQ promise."""
+    floats (identical IEEE ops to the JVM); the tables ship as ONE
+    broadcast frame and the scan is a single codes×tables join
+    (constant plan size in the query count — same round-9 rewrite as
+    ivfpq_topk, whose union-branch-per-query form made the DRIVER's
+    plan compilation grow linearly in queries). Each candidate costs
+    m ``element_at`` lookups and an m-term fixed-order sum — no
+    per-candidate float math, the PQ promise."""
     from pyspark.sql import Window as W
 
+    spark = codes.sparkSession
     m = len(codebooks)
-    dsub = len(codebooks[0][0])
-    per_query = []
+    ksub = len(codebooks[0])
+    target_rows = []
     for qid, qv in query_vectors:
-        tables = []
-        for j, book in enumerate(codebooks):
-            qsub = qv[j * dsub : (j + 1) * dsub]
-            row = []
-            for c in book:
-                acc = 0.0
-                for a, b in zip(qsub, c):
-                    diff = float(a) - float(b)
-                    acc = acc + diff * diff
-                row.append(acc)
-            tables.append(row)
-        dist = None
-        for j in range(m):
-            t_lit = F.array(*[F.lit(v) for v in tables[j]])
-            term = F.element_at(t_lit, F.element_at("codes", j + 1) + 1)
-            dist = term if dist is None else dist + term
-        per_query.append(
-            codes.select(
-                F.lit(qid).alias("query_id"),
-                F.col("_id").alias("neighbor_id"),
-                F.round(dist, round_digits).alias("adc_dist"),
-            ).where(F.col("neighbor_id") != qid)
+        tables = _adc_tables([float(x) for x in qv], codebooks)
+        target_rows.append((int(qid), [v for row in tables for v in row]))
+    targets = spark.createDataFrame(target_rows, "query_id long, tbl array<double>")
+    dist = None
+    for j in range(m):
+        term = F.element_at(
+            "tbl", (F.lit(j * ksub) + F.element_at("codes", j + 1) + 1).cast("int")
         )
-    scored = per_query[0]
-    for p in per_query[1:]:
-        scored = scored.unionByName(p)
+        dist = term if dist is None else dist + term
+    scored = (
+        codes.crossJoin(F.broadcast(targets))
+        .where(F.col("_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("_id").alias("neighbor_id"),
+            F.round(dist, round_digits).alias("adc_dist"),
+        )
+    )
     w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
