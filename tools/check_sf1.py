@@ -73,6 +73,13 @@ def main() -> int:
 
     spark = get_spark("check_sf1")
     con = duck_connect(sf1_dir)
+    # The heaviest oracle (leakage_safe_splits: portable k=64 LSH +
+    # closure over 50k docs) runs ~49 min and spills ~11 GB; cap
+    # DuckDB's memory and give it a spill directory so the row
+    # completes under load instead of drawing the OOM killer.
+    con.execute("SET memory_limit='40GB'")
+    os.makedirs("/tmp/duck_spill", exist_ok=True)
+    con.execute("SET temp_directory='/tmp/duck_spill'")
     registry = load_all()
 
     bad: list[str] = []
