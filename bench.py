@@ -67,6 +67,13 @@ HEADLINE = [
     "doc_bm25_scores",
     "winnow_near_dup_pairs",
     "winnowstore_incremental_pairs",
+    # round-9 additions: phrase-search served from the incremental
+    # inverted index (store build cached after the first repeat; the
+    # measured row is probe-select + posting-list serve) and the
+    # JL-projected 16-d cosine top-k (the embedding-compression tier's
+    # project+rank cost)
+    "phrase_index_search",
+    "rp_ann_topk_checkable",
 ]
 
 

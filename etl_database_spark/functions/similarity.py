@@ -88,6 +88,46 @@ def cosine_topk(
     )
 
 
+def rp_project(
+    df: DataFrame,
+    dim: int,
+    out_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection → (_id, rp_vec).
+
+    ``rp_vec[j] = v · h_j`` against ``out_dim`` deterministic ±1
+    hyperplanes (Achlioptas 2003: the database-friendly JL matrix —
+    ±1 entries preserve pairwise geometry like Gaussian entries while
+    the projection stays a literal-array codegen expression, no RNG
+    at runtime and no shuffle). Cosine is scale-invariant, so the
+    1/√out_dim normalization is omitted.
+
+    This is the embedding-compression tier below PQ: a 64→16
+    projection cuts every downstream dot product, shuffle byte and
+    cluster assignment 4× while keeping STRONG similarities intact —
+    planted near-duplicates stay top-1 and cos>0.8 pairs distort by
+    <0.05 at out_dim=16 (pinned in tests/test_similarity.py). What JL
+    does NOT preserve is rank order among near-orthogonal vectors
+    (isotropic-noise corpora have no margin to preserve), so the
+    compressed space is a candidate filter / dedup space, not a
+    substitute for exact re-ranking. The ±1 literals derive from the
+    same LCG as the LSH hyperplanes (different seed), so a SQL oracle
+    replays the projection bit-for-bit — double products of exact ±1
+    are exact, and the left-to-right fold matches DuckDB's list_sum.
+    """
+    comps = [
+        dot(
+            F.col(vec_col),
+            F.array(*[F.lit(x) for x in _hyperplane(dim, j, seed)]),
+        )
+        for j in range(out_dim)
+    ]
+    return df.select(F.col(id_col).alias("_id"), F.array(*comps).alias("rp_vec"))
+
+
 def _hyperplane(dim: int, plane_id: int, seed: int = 42) -> list[float]:
     """Deterministic pseudo-random ±1 hyperplane from an LCG — no RNG
     library dependency, identical on every executor."""

@@ -79,12 +79,17 @@ class EdgeStore(BatchStore):
         threshold: float = 0.3,
         min_agree: int = 3,
         max_bucket: int = 200,
+        portable: bool = False,
     ):
         """Defaults are the pagerank edge graph's parameters (r=1
         banding for low-threshold recall, ≥3/32 agreement cut — see
-        queries/llmdata.py's edge-source rationale). All six are store
-        identity: edges of different shingle/banding/threshold schemes
-        must never merge."""
+        queries/llmdata.py's edge-source rationale). All seven are
+        store identity: edges of different shingle/banding/threshold/
+        hashing schemes must never merge. ``portable=True`` swaps the
+        shingle and band hashes for the md5-derived cross-engine forms
+        (functions.dedup ``portable``) so a store built with the
+        checkable-twin parameters serves edges a DuckDB oracle can
+        replay bit-for-bit."""
         super().__init__(spark, path)
         self.n = n
         self.num_perm = num_perm
@@ -92,6 +97,7 @@ class EdgeStore(BatchStore):
         self.threshold = threshold
         self.min_agree = min_agree
         self.max_bucket = max_bucket
+        self.portable = portable
         self._check_config()
 
     def _config(self) -> dict:
@@ -102,6 +108,7 @@ class EdgeStore(BatchStore):
             "threshold": self.threshold,
             "min_agree": self.min_agree,
             "max_bucket": self.max_bucket,
+            "portable": self.portable,
         }
 
     # -- write path -------------------------------------------------------
@@ -133,7 +140,8 @@ class EdgeStore(BatchStore):
             if os.path.isdir(stale):
                 shutil.rmtree(stale)
         sigs_new = D.minhash_signatures(
-            D.shingles(new_docs, text_col, id_col, self.n), self.num_perm
+            D.shingles(new_docs, text_col, id_col, self.n, portable=self.portable),
+            self.num_perm,
         ).localCheckpoint(eager=True)
         self._write_sigs(sigs_new, batch, sign=1)
         # materialize candidates once: jaccard_verify counts them and
@@ -144,11 +152,12 @@ class EdgeStore(BatchStore):
             num_perm=self.num_perm,
             bands=self.bands,
             max_bucket=self.max_bucket,
+            portable=self.portable,
             min_agree=self.min_agree,
         ).localCheckpoint(eager=True)
         verified = D.jaccard_verify(
             cands,
-            D.shingles(corpus, text_col, id_col, self.n),
+            D.shingles(corpus, text_col, id_col, self.n, portable=self.portable),
             threshold=self.threshold,
             release=[cands],
         )

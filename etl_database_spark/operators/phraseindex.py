@@ -1,0 +1,210 @@
+"""Persisted incremental phrase-search inverted index.
+
+Serving "which documents contain this phrase?" at 100 TB cannot scan
+the corpus per query: the standard structure is an inverted index of
+token n-grams maintained ALONGSIDE the corpus (the search-engine
+posting-list design, cf. Zobel & Moffat, ACM CS 2006), built once per
+ingestion batch and probed per query. ``PhraseIndexStore`` is that
+index in the engine's batch lifecycle
+(:class:`~etl_database_spark.operators.batchstore.BatchStore`):
+
+- the stored unit is a POSTING ``(gram, _id, sign)`` — one row per
+  document per distinct token ``n``-gram of its normalized text
+  (lowercase, collapsed whitespace — the dedup family's
+  normalization), signs additive, so serving is *identical* to a
+  full-corpus recompute under any batch split, and a bad batch is
+  removed exactly by negated signs (same algebra as WinnowStore);
+- a gram is the LITERAL space-joined token string, so membership is
+  exact (no hash collisions) and every stage replays in SQL — the
+  registered query's DuckDB oracle proves index-served results equal
+  a direct corpus scan;
+- probing an exactly-``n``-token phrase is one broadcast join against
+  the merged postings (output-bound — never a text scan); a LONGER
+  phrase probes its first ``n``-gram for candidates, then verifies
+  token-boundary containment against the corpus text — a scan of the
+  candidate slice only.
+
+Cost model at scale: ingest = one tokenize pass over the new batch +
+one partitioned write; a phrase lookup touches one posting list. The
+literal-string gram is the cross-engine-checkable form; at 100 TB the
+first change is hashing grams to 8-byte keys and keeping the verify
+step (the longer-phrase path already is that shape).
+
+No counterpart in the reference repo (training-data extension).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_database_spark.functions.text import normalize_text
+from etl_database_spark.operators.batchstore import BatchStore
+
+
+def _norm_py(s: str) -> str:
+    """Driver-side mirror of functions.text.normalize_text."""
+    return re.sub(r"\s+", " ", s.lower()).strip()
+
+
+class PhraseIndexStore(BatchStore):
+    CONFIG_FILE = "_phrase_config.json"
+
+    def __init__(self, spark: SparkSession, path: str, n: int = 3):
+        """``n`` (tokens per gram) is store identity: postings of
+        different gram widths must never merge."""
+        super().__init__(spark, path)
+        self.n = n
+        self._check_config()
+
+    def _config(self) -> dict:
+        return {"n": self.n}
+
+    def _config_mismatch(self, stored: dict, current: dict) -> str:
+        return (
+            f"phrase index {self.path} was built with n={stored.get('n')}; "
+            f"reopening with n={current.get('n')} would merge postings of "
+            "different gram widths — pass the original n or rebuild"
+        )
+
+    # -- write path -------------------------------------------------------
+
+    def _batch_postings(self, docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+        n = self.n
+        toks = F.split(normalize_text(F.col(text_col)), " ")
+        # sequence(0, negative) would generate a DESCENDING range, so
+        # short documents get an explicit empty gram array
+        grams = F.when(
+            F.size(toks) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return docs.select(
+            F.col(id_col).alias("_id"), F.explode(grams).alias("gram")
+        )
+
+    def ingest(
+        self, docs: DataFrame, batch: str, text_col: str = "text", id_col: str = "doc_id"
+    ) -> bool:
+        """Add one document batch's gram postings. Idempotent per
+        batch id (manifest commit only after the write)."""
+        return self._write_signed(docs, batch, text_col, id_col, sign=1)
+
+    def retract(
+        self, docs: DataFrame, batch: str, text_col: str = "text", id_col: str = "doc_id"
+    ) -> bool:
+        """Remove a previously ingested batch's postings exactly
+        (negated signs under a NEW batch id). Must be called with
+        exactly the documents of a previously ingested batch — see
+        WinnowStore's docstring for the signed-residue failure mode."""
+        ok = self._write_signed(docs, batch, text_col, id_col, sign=-1)
+        if ok:
+            self._record_retraction(batch)
+        return ok
+
+    def _write_signed(
+        self, docs: DataFrame, batch: str, text_col: str, id_col: str, sign: int
+    ) -> bool:
+        if not self._begin_batch(batch):
+            return False
+        postings = self._batch_postings(docs, text_col, id_col).select(
+            "gram", "_id", F.lit(sign).cast("int").alias("sign")
+        )
+        self._write_batch(postings, batch)
+        return True
+
+    # -- read path --------------------------------------------------------
+
+    def postings(self) -> DataFrame:
+        """Merged corpus-lifetime postings (gram, _id): SUM of signs
+        across batches, retraction negatives folded away."""
+        return (
+            self.spark.read.parquet(self.path)
+            .groupBy("gram", "_id")
+            .agg(F.sum("sign").alias("s"))
+            .where(F.col("s") > 0)
+            .select("gram", "_id")
+        )
+
+    def search(
+        self,
+        phrases: list[str],
+        corpus: DataFrame | None = None,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """(phrase, doc_id) for every document containing each phrase
+        as a consecutive token sequence. Exactly-``n``-token phrases
+        are answered from postings alone (exact — grams are literal
+        strings); longer phrases probe their first ``n``-gram and
+        verify token-boundary containment against ``corpus`` (the
+        candidate slice only, never a full scan)."""
+        rows = []
+        for ph in phrases:
+            p = _norm_py(ph)
+            toks = p.split(" ")
+            if len(toks) < self.n:
+                raise ValueError(
+                    f"phrase needs >= n={self.n} tokens to probe the index: {ph!r}"
+                )
+            rows.append((p, " ".join(toks[: self.n]), len(toks) > self.n))
+        probes = self.spark.createDataFrame(
+            rows, "phrase string, gram string, needs_verify boolean"
+        )
+        if corpus is None and any(r[2] for r in rows):
+            raise ValueError(
+                "phrases longer than the gram width need `corpus` for the "
+                "containment verify"
+            )
+        cands = self.postings().join(F.broadcast(probes), "gram").select(
+            "phrase", F.col("_id").alias("doc_id"), "needs_verify"
+        )
+        exact = cands.where(~F.col("needs_verify")).select("phrase", "doc_id")
+        if not any(r[2] for r in rows):
+            return exact
+        padded = F.concat(F.lit(" "), normalize_text(F.col(text_col)), F.lit(" "))
+        docs = corpus.select(F.col(id_col).alias("doc_id"), padded.alias("_padded"))
+        verified = (
+            cands.where(F.col("needs_verify"))
+            .join(docs, "doc_id")
+            .where(
+                F.col("_padded").contains(
+                    F.concat(F.lit(" "), F.col("phrase"), F.lit(" "))
+                )
+            )
+            .select("phrase", "doc_id")
+        )
+        return exact.unionByName(verified)
+
+    def top_gram_postings(self, k: int = 3) -> DataFrame:
+        """(phrase, doc_id) for the ``k`` most document-frequent grams
+        (ties broken by gram string) — the deterministic probe set the
+        registered query serves. Probe selection is one aggregate over
+        postings + a k-row TakeOrdered; serving is a broadcast join of
+        the k probes against the posting lists (output-bound)."""
+        p = self.postings()
+        top = (
+            p.groupBy("gram")
+            .agg(F.count("*").alias("ndocs"))
+            .orderBy(F.desc("ndocs"), F.asc("gram"))
+            .limit(k)
+        )
+        return p.join(F.broadcast(top.select("gram")), "gram").select(
+            F.col("gram").alias("phrase"), F.col("_id").alias("doc_id")
+        )
+
+    # -- maintenance ------------------------------------------------------
+
+    def _compact_fold(self, tmp: str) -> None:
+        """Fold per-batch signed postings into one batch=base posting
+        per (gram, _id) — retractions cancel here."""
+        folded = self.postings().select(
+            "gram", "_id", F.lit(1).cast("int").alias("sign")
+        ).withColumn("batch", F.lit(self.BASE_BATCH))
+        folded.write.mode("overwrite").partitionBy("batch").parquet(tmp)

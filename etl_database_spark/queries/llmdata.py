@@ -247,6 +247,67 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection (Achlioptas ±1 matrix) —
+# the embedding-COMPRESSION tier below PQ: 64→16 doubles cuts every
+# downstream dot product / shuffle byte 4×. The projection is a
+# literal ±1 matrix (similarity.rp_project), so the whole pipeline —
+# 16 projected components, cosine over the projected vectors, rounded
+# top-k — replays bit-for-bit in DuckDB. Neighborhood preservation
+# (recall vs the exact 64-d ranking) is pinned in
+# tests/test_similarity.py; THIS row certifies the projection and
+# ranking math cross-engine.
+_RP_DIM, _RP_OUT, _RP_SEED = 64, 16, 7
+
+
+def _rp_checkable_oracle() -> str:
+    from etl_database_spark.functions.similarity import _hyperplane
+
+    def comp_sql(j: int) -> str:
+        plane = "[" + ", ".join(
+            "1.0" if x > 0 else "-1.0" for x in _hyperplane(_RP_DIM, j, _RP_SEED)
+        ) + "]"
+        return f"list_sum(list_transform(list_zip(v, {plane}), x -> x[1] * x[2]))"
+
+    pv = "[" + ", ".join(comp_sql(j) for j in range(_RP_OUT)) + "]"
+    cos = (
+        "list_sum(list_transform(list_zip(q.pv, c.pv), x -> x[1] * x[2]))"
+        " / (SQRT(list_sum(list_transform(q.pv, x -> x * x)))"
+        " * SQRT(list_sum(list_transform(c.pv, x -> x * x))))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    p AS (SELECT vec_id, {pv} AS pv FROM e),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND({cos}, 4) AS rp_cos
+      FROM p c, p q
+      WHERE q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, rp_cos
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY rp_cos DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {_TOPK_K}
+    ORDER BY query_id, rp_cos DESC, neighbor_id
+    """
+
+
+@register("rp_ann_topk_checkable", oracle=_rp_checkable_oracle())
+def rp_ann_topk_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k cosine neighbors in the 16-d JL-projected space (±1
+    literal matrix, seed 7): project once, rank the projected
+    vectors. The oracle replays projection + cosine + top-k exactly;
+    the geometry guarantee (planted-twin recall, strong-pair
+    distortion) is pinned in tests/test_similarity.py."""
+    emb = table(spark, sf_dir, "embeddings")
+    proj = S.rp_project(emb, dim=_RP_DIM, out_dim=_RP_OUT, seed=_RP_SEED)
+    queries = proj.where(F.col("_id") < _N_QUERIES)
+    return S.cosine_topk(
+        proj, queries, k=_TOPK_K, id_col="_id", vec_col="rp_vec"
+    ).withColumnRenamed("cos_sim", "rp_cos")
+
+
+# ---------------------------------------------------------------------------
 # ANN via random-hyperplane LSH — rows-only; recall vs brute force is
 # asserted in tests/test_similarity.py.
 # Like embedding_near_dups_lsh below, the two-probe ANN is fully
@@ -2559,6 +2620,148 @@ def streaming_winnowstore_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = (
             store.similarity_pairs(min_shared=2, min_containment_bp=5000)
+            .orderBy("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Phrase-search inverted index (operators/phraseindex.py): literal
+# token-trigram postings in the BatchStore lifecycle. The registered
+# row serves the 3 most document-frequent trigrams' posting lists from
+# a 3-batch incrementally-built store (with a compaction and a replay
+# guard in the middle), and the DuckDB oracle recomputes the same
+# answer from the raw corpus — a green hash proves index-served search
+# results equal a direct corpus scan under batching, compaction and
+# replay. Longer-than-gram phrase search (probe + verify) is covered
+# in tests/test_phraseindex.py.
+_PHRASE_N = 3
+_PHRASE_TOPK = 3
+
+_PHRASE_INDEX_CACHE: dict = {}
+
+
+def _phrase_index(spark: SparkSession, sf_dir: str):
+    """Three-batch PhraseIndexStore over the documents table (ingest →
+    compact → ingest → replay no-op guard → ingest), cached per
+    fixture generation — the winnow-store setup discipline."""
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = (sf_dir, os.path.getmtime(src) if os.path.exists(src) else None)
+    if key not in _PHRASE_INDEX_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        from etl_database_spark.operators.phraseindex import PhraseIndexStore
+
+        for old_key in [k for k in _PHRASE_INDEX_CACHE if k[0] == sf_dir and k != key]:
+            old = _PHRASE_INDEX_CACHE.pop(old_key)
+            shutil.rmtree(old.path, ignore_errors=True)
+        d = table(spark, sf_dir, "documents")
+        store = PhraseIndexStore(
+            spark, tempfile.mkdtemp(prefix="spark_graft_phraseidx_"), n=_PHRASE_N
+        )
+        b1 = d.where(F.col("doc_id") % 3 == 0)
+        store.ingest(b1, batch="day1")
+        store.compact()
+        store.ingest(d.where(F.col("doc_id") % 3 == 1), batch="day2")
+        if store.ingest(b1, batch="day1") is not False:
+            raise RuntimeError(
+                "phrase index re-ingested an already-compacted batch; "
+                "served postings would double-count day1"
+            )
+        store.ingest(d.where(F.col("doc_id") % 3 == 2), batch="day3")
+        atexit.register(shutil.rmtree, store.path, ignore_errors=True)
+        _PHRASE_INDEX_CACHE[key] = store
+    return _PHRASE_INDEX_CACHE[key]
+
+
+_PHRASE_ORACLE = f"""
+    WITH d AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    tok AS (SELECT doc_id, string_split(t, ' ') AS w FROM d),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               [array_to_string(w[i:i+{_PHRASE_N - 1}], ' ')
+                for i in range(1, len(w) - {_PHRASE_N - 2})])) AS gram
+      FROM tok WHERE len(w) >= {_PHRASE_N}
+    ),
+    df AS (SELECT gram, COUNT(*) AS ndocs FROM g GROUP BY gram),
+    probes AS (SELECT gram FROM df ORDER BY ndocs DESC, gram LIMIT {_PHRASE_TOPK})
+    SELECT g.gram AS phrase, g.doc_id
+    FROM g JOIN probes p ON g.gram = p.gram
+    ORDER BY phrase, doc_id
+    """
+
+
+@register("phrase_index_search", oracle=_PHRASE_ORACLE)
+def phrase_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(phrase, doc_id) posting lists of the corpus's 3 most
+    document-frequent token trigrams, served from the persisted
+    incremental phrase index — probe selection is one aggregate +
+    TakeOrdered(3), serving is a 3-row broadcast join against the
+    merged postings. The oracle recomputes from raw text."""
+    store = _phrase_index(spark, sf_dir)
+    return store.top_gram_postings(k=_PHRASE_TOPK).orderBy("phrase", "doc_id")
+
+
+# Streaming edge-store maintenance, end to end: documents delivered as
+# a two-micro-batch stream into the checkpoint-bound EdgeStore
+# (streaming/edges.py) built with the PORTABLE checkable-twin
+# parameters, then the verified edge set served from the streamed
+# store. Incremental LSH discovery with the in-join agreement cut
+# (min_agree=10 ≡ the one-shot est-Jaccard ≥ 0.3 prefilter at k=32 —
+# agree/32 ≥ 0.3 ⇔ agree ≥ 10 over integers) finds every cross-batch
+# pair exactly once, so the served edges carry the SAME one-shot
+# oracle as minhash_near_dups_checkable: a green hash proves the
+# stream-maintained similarity graph equals the full-corpus build.
+@register(
+    "streaming_edgestore_pairs",
+    oracle=_minhash_checkable_oracle(min_agree=10),
+)
+def streaming_edgestore_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs served from a stream-maintained similarity
+    EdgeStore (portable MinHash-LSH, two micro-batches); must equal
+    the one-shot full-corpus pipeline."""
+    import os
+    import shutil
+    import tempfile
+
+    from etl_database_spark.streaming.edges import run_edges_once
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="spark_graft_stream_edges_")
+    src = os.path.join(work, "src")
+    store_path = os.path.join(work, "store")
+    ckpt = os.path.join(work, "ckpt")
+    params = dict(_MH_CHK, min_agree=10, portable=True)
+    try:
+        d.where(F.col("doc_id") % 2 == 0).write.parquet(src)
+        run_edges_once(
+            spark,
+            spark.readStream.schema(d.schema).parquet(src),
+            store_path,
+            ckpt,
+            corpus=d,
+            **params,
+        )
+        d.where(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+        store = run_edges_once(
+            spark,
+            spark.readStream.schema(d.schema).parquet(src),
+            store_path,
+            ckpt,
+            corpus=d,
+            **params,
+        )
+        out = (
+            store.edges()
+            .withColumn("jaccard", F.round("jaccard", 4))
             .orderBy("id_a", "id_b")
             .localCheckpoint(eager=True)
         )

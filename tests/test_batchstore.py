@@ -1,6 +1,6 @@
 """Shared BatchStore lifecycle properties, instantiated for every
 persisted store in the family (SpanStore, WinnowStore, BloomStore,
-DsirStore, RollupStore, IvfIndex): idempotent replay, crash-partial
+DsirStore, RollupStore, IvfIndex, EdgeStore, PhraseIndexStore): idempotent replay, crash-partial
 heal, compaction identity + absorbed-id replay, config identity, and
 swap-failure recovery. Store-specific algebra (equivalence to the
 one-shot operators, retraction exactness) stays in each store's own
@@ -217,6 +217,29 @@ class EdgeHarness(Harness):
         return lambda: EdgeStore(spark, path, n=6, num_perm=16, bands=16, threshold=0.3, min_agree=3)
 
 
+class PhraseHarness(Harness):
+    name = "phrase"
+
+    def make(self, spark, path):
+        from etl_database_spark.operators.phraseindex import PhraseIndexStore
+
+        return PhraseIndexStore(spark, path, n=3)
+
+    def batch_df(self, spark, i):
+        return _docs(spark, i * 10, i * 10 + 10)
+
+    def ingest(self, store, df, batch):
+        return store.ingest(df, batch)
+
+    def state(self, store):
+        return sorted(map(tuple, store.postings().collect()))
+
+    def reopen_mismatched(self, spark, path):
+        from etl_database_spark.operators.phraseindex import PhraseIndexStore
+
+        return lambda: PhraseIndexStore(spark, path, n=4)
+
+
 HARNESSES = [
     SpanHarness(),
     WinnowHarness(),
@@ -225,6 +248,7 @@ HARNESSES = [
     RollupHarness(),
     IvfHarness(),
     EdgeHarness(),
+    PhraseHarness(),
 ]
 
 

@@ -259,3 +259,53 @@ def test_edgestore_incremental_equals_one_shot(spark, tmp_path):
     # re-ingest under a new id restores the full set
     assert store.ingest(d.where(F.col("doc_id") % 3 == 1), "b1_again", corpus=d)
     assert pairset(store.edges()) == one
+
+
+def test_streamed_edgestore_equals_one_shot_portable(spark, tmp_path):
+    """Stream-maintained EdgeStore (two micro-batches through the
+    checkpoint-bound foreachBatch glue) with the portable checkable
+    parameters must serve exactly the one-shot portable pipeline's
+    edge set — the invariance the streaming_edgestore_pairs oracle
+    certifies cross-engine. min_agree=10 is the integer form of the
+    one-shot est-Jaccard >= 0.3 prefilter at k=32."""
+    from pyspark.sql import functions as F
+
+    from etl_database_spark.functions import dedup as D
+    from etl_database_spark.queries import table
+    from etl_database_spark.streaming.edges import run_edges_once
+
+    P = dict(n=7, num_perm=32, bands=8, threshold=0.5)
+    d = table(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+
+    def pairset(df):
+        return sorted((r.id_a, r.id_b, round(r.jaccard, 9)) for r in df.collect())
+
+    one = pairset(D.minhash_near_duplicates(d, "text", "doc_id", portable=True, **P))
+    assert one, "fixture must produce J>=0.5 pairs"
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    store_path = str(tmp_path / "store")
+    params = dict(P, min_agree=10, portable=True)
+    d.where(F.col("doc_id") % 2 == 0).write.parquet(src)
+    run_edges_once(
+        spark, spark.readStream.schema(d.schema).parquet(src),
+        store_path, ckpt, corpus=d, **params,
+    )
+    d.where(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+    store = run_edges_once(
+        spark, spark.readStream.schema(d.schema).parquet(src),
+        store_path, ckpt, corpus=d, **params,
+    )
+    assert pairset(store.edges()) == one
+
+    # checkpoint identity: the store belongs to the first checkpoint's
+    # stream — a different checkpoint (batch ids restart at 0, would
+    # collide with stored batches) must refuse
+    import pytest
+
+    with pytest.raises(Exception, match="edge store"):
+        run_edges_once(
+            spark, spark.readStream.schema(d.schema).parquet(src),
+            store_path, str(tmp_path / "ckpt2"), corpus=d, **params,
+        )

@@ -1,0 +1,85 @@
+"""PhraseIndexStore algebra: incremental == one-shot serving, exact
+and probe+verify search vs a direct contains scan, retraction
+exactness. Lifecycle properties (replay, crash heal, compaction,
+config identity) are pinned once in tests/test_batchstore.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_database_spark.functions.text import normalize_text
+from etl_database_spark.operators.phraseindex import PhraseIndexStore
+from etl_database_spark.queries import table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _contains_scan(d, phrase):
+    """Ground truth: token-boundary containment over normalized text."""
+    padded = F.concat(F.lit(" "), normalize_text(F.col("text")), F.lit(" "))
+    return sorted(
+        r.doc_id
+        for r in d.where(padded.contains(f" {phrase} ")).select("doc_id").collect()
+    )
+
+
+def test_incremental_store_serves_one_shot_postings(spark, tmp_path):
+    d = table(spark, SF, "documents")
+    store = PhraseIndexStore(spark, str(tmp_path / "idx"), n=3)
+    for i in range(3):
+        assert store.ingest(d.where(F.col("doc_id") % 3 == i), f"b{i}")
+    one = PhraseIndexStore(spark, str(tmp_path / "oneshot"), n=3)
+    assert one.ingest(d, "all")
+    assert sorted(map(tuple, store.postings().collect())) == sorted(
+        map(tuple, one.postings().collect())
+    )
+    store.compact()
+    got = sorted(map(tuple, store.top_gram_postings(3).collect()))
+    want = sorted(map(tuple, one.top_gram_postings(3).collect()))
+    assert got == want and got
+
+
+def test_search_exact_gram_equals_contains_scan(spark, tmp_path):
+    d = table(spark, SF, "documents")
+    store = PhraseIndexStore(spark, str(tmp_path / "idx"), n=3)
+    assert store.ingest(d, "all")
+    # pick a real trigram from the corpus (mid-frequency, deterministic)
+    gram = (
+        store.postings().groupBy("gram").count()
+        .orderBy(F.desc("count"), "gram").limit(10)
+        .orderBy("gram").collect()[5].gram
+    )
+    got = sorted(r.doc_id for r in store.search([gram]).collect())
+    assert got == _contains_scan(d, gram) and got
+
+
+def test_search_longer_phrase_probes_and_verifies(spark, tmp_path):
+    d = table(spark, SF, "documents")
+    store = PhraseIndexStore(spark, str(tmp_path / "idx"), n=3)
+    assert store.ingest(d, "all")
+    # build a real 5-token phrase from some document's normalized text
+    doc = d.select(normalize_text("text").alias("t")).first().t
+    phrase = " ".join(doc.split(" ")[:5])
+    got = sorted(r.doc_id for r in store.search([phrase], corpus=d).collect())
+    assert got == _contains_scan(d, phrase) and got
+    # longer phrase without corpus must refuse
+    with pytest.raises(ValueError, match="corpus"):
+        store.search([phrase])
+    # phrase shorter than the gram width must refuse
+    with pytest.raises(ValueError, match="tokens"):
+        store.search(["too short"])
+
+
+def test_retraction_is_exact(spark, tmp_path):
+    d = table(spark, SF, "documents")
+    b0 = d.where(F.col("doc_id") % 2 == 0)
+    b1 = d.where(F.col("doc_id") % 2 == 1)
+    store = PhraseIndexStore(spark, str(tmp_path / "idx"), n=3)
+    assert store.ingest(b0, "b0") and store.ingest(b1, "b1")
+    assert store.retract(b1, "b1_retraction")
+    only0 = PhraseIndexStore(spark, str(tmp_path / "only0"), n=3)
+    assert only0.ingest(b0, "all")
+    assert sorted(map(tuple, store.postings().collect())) == sorted(
+        map(tuple, only0.postings().collect())
+    )

@@ -435,3 +435,46 @@ def test_cosine_pairs_gate(spark, vectors):
     with _pytest.raises(ValueError, match="cosine_near_dup_lsh"):
         S.cosine_near_dup_pairs(vectors, threshold=0.9, max_pairs=1)
     assert S.cosine_near_dup_pairs(vectors, threshold=0.9, max_pairs=None).count() >= 0
+
+
+def test_rp_project_matches_numpy_and_preserves_strong_pairs(spark):
+    """JL ±1 projection (rp_project): (a) Spark == NumPy replay of the
+    same literal matrix exactly; (b) planted near-twins stay top-1 in
+    the 16-d projected space; (c) cos>0.8 pairs distort < 0.06. These
+    are the properties JL guarantees — rank order among
+    near-orthogonal vectors is explicitly NOT one of them (see the
+    rp_project docstring)."""
+    import numpy as np
+
+    from etl_database_spark.functions.similarity import _hyperplane, rp_project
+
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(120, DIM))
+    twins = base + rng.normal(scale=0.15, size=base.shape)
+    X = np.vstack([base, twins])
+    rows = [(i, [float(x) for x in X[i]]) for i in range(len(X))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    proj = rp_project(df, dim=DIM, out_dim=16, seed=7)
+    got = {r._id: np.array(r.rp_vec) for r in proj.collect()}
+
+    H = np.array([_hyperplane(DIM, j, 7) for j in range(16)]).T
+    # float32 ingestion first (the Spark column is array<float>)
+    P = X.astype(np.float32).astype(np.float64) @ H
+    assert all(np.array_equal(got[i], P[i]) for i in range(len(X)))
+
+    def cosm(A):
+        n = A / np.linalg.norm(A, axis=1, keepdims=True)
+        return n @ n.T
+
+    ce, cp = cosm(X), cosm(P)
+    hits = 0
+    for i in range(len(base)):
+        sims = cp[i].copy()
+        sims[i] = -2
+        hits += int(np.argmax(sims) == i + len(base))
+    assert hits / len(base) >= 0.95  # planted twins stay top-1
+
+    mask = (ce > 0.8) & ~np.eye(len(X), dtype=bool)
+    assert mask.sum() > 0
+    assert np.abs(cp[mask] - ce[mask]).max() < 0.06
