@@ -2629,6 +2629,95 @@ def streaming_winnowstore_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Trained quality/language classifier (functions/classifier.py):
+# logistic regression over exact-count text features, full-batch GD
+# with DECIMAL(38,12) gradient sums — training is deterministic under
+# any partitioning, so the ENTIRE trajectory (10 iterations of
+# gradients, weight updates, final per-doc scores) replays in DuckDB
+# as unrolled CTEs. A green hash certifies distributed model TRAINING
+# cross-engine, not just scoring. The sigmoid's exp is rounded to 9
+# digits at every use (the ln-guard recipe of the BM25/DSIR twins).
+def _logreg_oracle() -> str:
+    from etl_database_spark.functions.classifier import ITERS, LR, N_FEATS
+
+    feats = f"""
+    f AS (
+      SELECT doc_id,
+             CASE WHEN ntok >= 55 THEN 1.0 ELSE 0.0 END AS y,
+             1.0 AS x0,
+             CASE WHEN ntok = 0 THEN 0.0
+                  ELSE CAST(stop_en AS DOUBLE) / CAST(ntok AS DOUBLE) END AS x1,
+             CASE WHEN nchr = 0 THEN 0.0
+                  ELSE CAST(punct AS DOUBLE) / CAST(nchr AS DOUBLE) END AS x2,
+             CASE WHEN nchr = 0 THEN 0.0
+                  ELSE CAST(dig AS DOUBLE) / CAST(nchr AS DOUBLE) END AS x3,
+             CAST(LEAST(ntok, 100) AS DOUBLE) / 100.0 AS x4
+      FROM (
+        SELECT doc_id, lang,
+               CAST({_NTOK_SQL} AS BIGINT) AS ntok,
+               CAST({_sql_lang_score("en")} AS BIGINT) AS stop_en,
+               CAST(LENGTH(text) AS BIGINT) AS nchr,
+               CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS dig,
+               CAST(LENGTH(text) - LENGTH(regexp_replace(text, '{_PUNCT_CLASS}', '', 'g')) AS BIGINT) AS punct
+        FROM documents)
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM f)"""
+
+    def z(w: str) -> str:
+        return " + ".join(f"{w}.w{j} * f.x{j}" for j in range(N_FEATS))
+
+    parts = [
+        "w0 AS (SELECT " + ", ".join(f"0.0 AS w{j}" for j in range(N_FEATS)) + ")"
+    ]
+    for t in range(1, ITERS + 1):
+        parts.append(
+            f"p{t} AS (SELECT f.*, ROUND(1 / (1 + EXP(-({z('w')}))), 9) AS p "
+            f"FROM f, w{t - 1} w)"
+        )
+        gsel = ", ".join(
+            f"SUM(ROUND((p - y) * x{j}, 12)::DECIMAL(38,12)) AS g{j}"
+            for j in range(N_FEATS)
+        )
+        parts.append(f"g{t} AS (SELECT {gsel} FROM p{t})")
+        wsel = ", ".join(
+            f"ROUND(w.w{j} - {LR} * CAST(g.g{j} AS DOUBLE) / n.cnt, 9) AS w{j}"
+            for j in range(N_FEATS)
+        )
+        parts.append(f"w{t} AS (SELECT {wsel} FROM w{t - 1} w, g{t} g, n)")
+    chain = ",\n    ".join(parts)
+    return f"""
+    WITH {feats},
+    {chain},
+    scored AS (
+      SELECT f.doc_id, ROUND(1 / (1 + EXP(-({z('w')}))), 6) AS score
+      FROM f, w{ITERS} w
+    )
+    SELECT doc_id, score, CAST(score >= 0.5 AS BIGINT) AS pred
+    FROM scored ORDER BY doc_id
+    """
+
+
+@register("logreg_classifier_scores", oracle=_logreg_oracle())
+def logreg_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document scores of a logistic-regression quality/language
+    classifier TRAINED inside the engine (10 full-batch GD
+    iterations, deterministic long-form pseudo-label — see
+    quality_features — exact-count features). One aggregate job per
+    iteration, decimal-exact order-independent gradients; the oracle
+    replays training AND scoring as unrolled SQL."""
+    from etl_database_spark.functions import classifier as C
+
+    d = table(spark, sf_dir, "documents")
+    feats = C.quality_features(d)
+    weights = C.logreg_train(feats)[-1]
+    return (
+        C.logreg_scores(C.quality_features(d), weights)
+        .withColumnRenamed("_id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Phrase-search inverted index (operators/phraseindex.py): literal
 # token-trigram postings in the BatchStore lifecycle. The registered
 # row serves the 3 most document-frequent trigrams' posting lists from
@@ -2708,6 +2797,52 @@ def phrase_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged postings. The oracle recomputes from raw text."""
     store = _phrase_index(spark, sf_dir)
     return store.top_gram_postings(k=_PHRASE_TOPK).orderBy("phrase", "doc_id")
+
+
+# Stream-maintained phrase index: documents delivered as a
+# two-micro-batch stream into the checkpoint-bound PhraseIndexStore,
+# then the same top-df trigram posting lists served from the streamed
+# postings — the one-shot corpus-scan oracle certifies stream==batch.
+@register("streaming_phrase_search", oracle=_PHRASE_ORACLE)
+def streaming_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-df trigram posting lists served from a stream-maintained
+    phrase index; must equal the one-shot full-corpus computation."""
+    import os
+    import shutil
+    import tempfile
+
+    from etl_database_spark.streaming.phrase import run_phrase_once
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="spark_graft_stream_phrase_")
+    src = os.path.join(work, "src")
+    store_path = os.path.join(work, "store")
+    ckpt = os.path.join(work, "ckpt")
+    try:
+        d.where(F.col("doc_id") % 2 == 0).write.parquet(src)
+        run_phrase_once(
+            spark,
+            spark.readStream.schema(d.schema).parquet(src),
+            store_path,
+            ckpt,
+            n=_PHRASE_N,
+        )
+        d.where(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+        store = run_phrase_once(
+            spark,
+            spark.readStream.schema(d.schema).parquet(src),
+            store_path,
+            ckpt,
+            n=_PHRASE_N,
+        )
+        out = (
+            store.top_gram_postings(k=_PHRASE_TOPK)
+            .orderBy("phrase", "doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
 
 
 # Streaming edge-store maintenance, end to end: documents delivered as
