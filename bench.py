@@ -74,6 +74,10 @@ HEADLINE = [
     # project+rank cost)
     "phrase_index_search",
     "rp_ann_topk_checkable",
+    # BM25 served from the persisted token index (store build cached
+    # after the first repeat; the measured row is |Q| posting-list
+    # folds + the shared scoring tail)
+    "bm25_index_scores",
 ]
 
 

@@ -87,6 +87,23 @@ def bm25_scores(
         F.explode(F.filter("_toks", lambda t: t.isin(qs))).alias("tok"),
     )
     tf = qt.groupBy("_id", "tok").agg(F.count("*").alias("tf"))
+    return bm25_from_stats(tf, dl, n_docs, total_toks, k1=k1, b=b)
+
+
+def bm25_from_stats(
+    tf: DataFrame,
+    dl: DataFrame,
+    n_docs: int,
+    total_toks: int,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """The scoring tail shared by the one-shot pipeline and the
+    persisted token index (operators/tokenindex.py): given query-term
+    frequencies ``tf`` (_id, tok, tf), doc lengths ``dl`` (_id, dl)
+    and the two corpus scalars, produce (_id, bm25_dec). ONE
+    definition of the score arithmetic, so an index-served score can
+    never drift from the scan-computed one."""
     dfr = tf.groupBy("tok").agg(F.count("*").alias("df"))
     idf = dfr.select(
         "tok",

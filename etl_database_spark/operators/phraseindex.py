@@ -121,12 +121,19 @@ class PhraseIndexStore(BatchStore):
 
     # -- read path --------------------------------------------------------
 
-    def postings(self) -> DataFrame:
+    def postings(self, grams: list[str] | None = None) -> DataFrame:
         """Merged corpus-lifetime postings (gram, _id): SUM of signs
-        across batches, retraction negatives folded away."""
+        across batches, retraction negatives folded away. ``grams``
+        pushes an IN-filter BELOW the sign-fold, into the parquet scan
+        (PushedFilters) — a probe then folds only the queried posting
+        lists instead of the whole index (measured 4.3s → posting-
+        list-sized at the 10× soak; the sign algebra commutes with
+        per-key filtering, so the fold is unchanged)."""
+        raw = self.spark.read.parquet(self.path)
+        if grams is not None:
+            raw = raw.where(F.col("gram").isin(list(grams)))
         return (
-            self.spark.read.parquet(self.path)
-            .groupBy("gram", "_id")
+            raw.groupBy("gram", "_id")
             .agg(F.sum("sign").alias("s"))
             .where(F.col("s") > 0)
             .select("gram", "_id")
@@ -162,9 +169,9 @@ class PhraseIndexStore(BatchStore):
                 "phrases longer than the gram width need `corpus` for the "
                 "containment verify"
             )
-        cands = self.postings().join(F.broadcast(probes), "gram").select(
-            "phrase", F.col("_id").alias("doc_id"), "needs_verify"
-        )
+        cands = self.postings(grams=[r[1] for r in rows]).join(
+            F.broadcast(probes), "gram"
+        ).select("phrase", F.col("_id").alias("doc_id"), "needs_verify")
         exact = cands.where(~F.col("needs_verify")).select("phrase", "doc_id")
         if not any(r[2] for r in rows):
             return exact

@@ -3065,6 +3065,81 @@ def dsir_incremental_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BM25 served from the persisted token index (operators/tokenindex.py):
+# tf postings + doc lengths in the BatchStore lifecycle, scored through
+# the SAME bm25_from_stats tail as the one-shot pipeline — so this row
+# reuses doc_bm25_scores' oracle VERBATIM, and a green hash proves
+# index-served ranked retrieval equals a full corpus recompute under
+# batching, compaction and replay. At 100 TB the one-shot row's
+# tokenize pass is the cost ceiling per query; this is the amortized
+# form (ingest pays tokenization once, queries touch |Q| posting
+# lists).
+_TOKEN_INDEX_CACHE: dict = {}
+
+
+def _token_index(spark: SparkSession, sf_dir: str):
+    """Three-batch TokenIndexStore over the documents table (ingest →
+    compact → ingest → replay no-op guard → ingest), cached per
+    fixture generation — the winnow/phrase store setup discipline."""
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = (sf_dir, os.path.getmtime(src) if os.path.exists(src) else None)
+    if key not in _TOKEN_INDEX_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        from etl_database_spark.operators.tokenindex import TokenIndexStore
+
+        for old_key in [k for k in _TOKEN_INDEX_CACHE if k[0] == sf_dir and k != key]:
+            old = _TOKEN_INDEX_CACHE.pop(old_key)
+            shutil.rmtree(old.path, ignore_errors=True)
+        d = table(spark, sf_dir, "documents")
+        store = TokenIndexStore(
+            spark, tempfile.mkdtemp(prefix="spark_graft_tokenidx_")
+        )
+        b1 = d.where(F.col("doc_id") % 3 == 0)
+        store.ingest(b1, batch="day1")
+        store.compact()
+        store.ingest(d.where(F.col("doc_id") % 3 == 1), batch="day2")
+        if store.ingest(b1, batch="day1") is not False:
+            raise RuntimeError(
+                "token index re-ingested an already-compacted batch; "
+                "served tf would double-count day1"
+            )
+        store.ingest(d.where(F.col("doc_id") % 3 == 2), batch="day3")
+        atexit.register(shutil.rmtree, store.path, ignore_errors=True)
+        _TOKEN_INDEX_CACHE[key] = store
+    return _TOKEN_INDEX_CACHE[key]
+
+
+@register("bm25_index_scores", oracle=_BM25_ORACLE)
+def bm25_index_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_bm25_scores served from the PERSISTED three-batch token
+    index: top-5 terms by stored total tf, tf/dl/N/T from the store,
+    the shared bm25_from_stats scoring tail, the same limit-first
+    top-100. Same oracle as the one-shot row — the hash is the
+    index==scan proof."""
+    from etl_database_spark.functions.rank import ranked_topk_small
+
+    store = _token_index(spark, sf_dir)
+    top = store.top_terms(_BM25_TOP_TERMS)
+    scored = store.bm25_serve(top)
+    topk = scored.orderBy(F.desc("bm25_dec"), F.asc("_id")).limit(_BM25_TOP_DOCS)
+    ranked = ranked_topk_small(topk, [F.desc("bm25_dec"), F.asc("_id")], "bm25_rank")
+    return (
+        ranked
+        .select(
+            F.col("_id").alias("doc_id"),
+            F.round(F.col("bm25_dec"), 4).cast("double").alias("bm25"),
+            "bm25_rank",
+        )
+        .orderBy("bm25_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Semantic dedup (SemDeDup, arXiv:2303.09540): cluster embeddings,
 # prune cosine-near-duplicates within each cluster. Two tiers: the
 # seed-Voronoi variant is fully oracle-checked (assignment + pruning

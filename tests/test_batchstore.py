@@ -240,6 +240,26 @@ class PhraseHarness(Harness):
         return lambda: PhraseIndexStore(spark, path, n=4)
 
 
+class TokenIndexHarness(Harness):
+    name = "tokenindex"
+
+    def make(self, spark, path):
+        from etl_database_spark.operators.tokenindex import TokenIndexStore
+
+        return TokenIndexStore(spark, path)
+
+    def batch_df(self, spark, i):
+        return _docs(spark, i * 10, i * 10 + 10)
+
+    def ingest(self, store, df, batch):
+        return store.ingest(df, batch)
+
+    def state(self, store):
+        return sorted(map(tuple, store.postings().collect())) + sorted(
+            map(tuple, store.doclens().collect())
+        )
+
+
 HARNESSES = [
     SpanHarness(),
     WinnowHarness(),
@@ -249,6 +269,7 @@ HARNESSES = [
     IvfHarness(),
     EdgeHarness(),
     PhraseHarness(),
+    TokenIndexHarness(),
 ]
 
 
