@@ -150,6 +150,15 @@ WINDOW_PROMOTED = (
     "dsir_selection_checkable",
     "doc_winnow_fingerprints",
     "pq_ann_topk_checkable",
+    # round-9 (second session): the serving layer certified by the
+    # driver's own artifact — BM25 ranked retrieval served from the
+    # persisted token index (same oracle as doc_bm25_scores: the hash
+    # IS the index==scan proof), phrase search served from the
+    # incremental inverted index, and the in-engine TRAINED classifier
+    # (the whole GD trajectory replayed in SQL)
+    "bm25_index_scores",
+    "phrase_index_search",
+    "logreg_classifier_scores",
 )
 WINDOW_DEMOTED = (
     "approx_distinct_parts",
@@ -199,4 +208,20 @@ WINDOW_DEMOTED = (
     "supplier_labels",
     "orders_by_month",
     "price_percentiles",
+    # round-9 (second session): yield three slots to the serving-layer
+    # promotions above. Redundant with window coverage that stays:
+    # - segment_metrics_unpivot (pivot/unpivot family; the paired
+    #   segment_status_pivot stays in-window, and the llmdata
+    #   daily pivot/unpivot round-trip rows remain pytest-verified)
+    # - cube_doc_counts (grouping-sets family; rollup_revenue keeps
+    #   multi-grain aggregation in-window, orders_cube_segment_priority
+    #   + revenue_rollup_region_nation already demoted-and-verified)
+    # - order_price_histogram (binned-aggregate family; the sketch
+    #   histogram rows event_value_quantile_histogram +
+    #   rollup_daily_value_quantiles stay in-window)
+    # All three remain pytest-oracle-verified
+    # (tests/test_oracle_equivalence.py).
+    "segment_metrics_unpivot",
+    "cube_doc_counts",
+    "order_price_histogram",
 )

@@ -17,7 +17,7 @@ Measurements (expectations in parentheses):
    rank for 5 queries (linear in corpus; the projection is the
    per-row cost, the rank is TakeOrdered-bounded).
 
-Usage: python tools/soak_r9b.py    # results → ROADMAP.md table
+Usage: python tools/soak_r9b.py [scale]   # default 10; results → ROADMAP.md
 """
 
 from __future__ import annotations
@@ -77,6 +77,20 @@ def run_suite(spark, sf_dir: str, label: str) -> None:
             f"top3-serve {t_serve:.1f}s ({n_served} rows), "
             f"probe {t_probe:.2f}s ({n_probe} docs)"
         )
+        # 1b. token index: 3-batch ingest + BM25 serve from the index
+        from etl_database_spark.operators.tokenindex import TokenIndexStore
+
+        tstore = TokenIndexStore(spark, os.path.join(work, "tokidx"))
+        t0 = time.monotonic()
+        for i in range(3):
+            tstore.ingest(d.where(F.col("doc_id") % 3 == i), f"b{i}")
+        t_tingest = time.monotonic() - t0
+        terms = tstore.top_terms(5)
+        t_bm25 = best2(lambda: tstore.bm25_serve(terms).count())
+        print(
+            f"{label}: tokenindex ingest(3 batches) {t_tingest:.1f}s, "
+            f"bm25 serve(|Q|=5) {t_bm25:.1f}s"
+        )
         # 2. classifier training
         feats = C.quality_features(d)
         t0 = time.monotonic()
@@ -103,13 +117,14 @@ def run_suite(spark, sf_dir: str, label: str) -> None:
 
 
 def main() -> None:
+    scale = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     run_suite(spark, SF_DIR, "1x")
     big = tempfile.mkdtemp(prefix="soak_r9b_fixture_")
     try:
-        build(spark, 10, big)
-        run_suite(spark, big, "10x")
+        build(spark, scale, big)
+        run_suite(spark, big, f"{scale}x")
     finally:
         shutil.rmtree(big, ignore_errors=True)
 
