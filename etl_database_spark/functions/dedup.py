@@ -37,7 +37,6 @@ MERSENNE61 = (1 << 61) - 1
 # broadcast below is gated on a measured size and falls back to a
 # plain shuffle hash join when the payload would be too large.
 BROADCAST_MAX_SET_ENTRIES = 8_000_000  # total shingle longs across all sets (~64 MB)
-BROADCAST_MAX_SIG_ROWS = 1_000_000  # signature rows (num_perm longs each)
 BROADCAST_MAX_ID_ROWS = 50_000_000  # bare-id frames (8 bytes/row)
 
 
@@ -483,42 +482,28 @@ def minhash_near_duplicates(
             sigs, num_perm, bands, max_bucket, portable=portable
         ).localCheckpoint(eager=True)
         n_capped = capped.count()
-    pairs = lsh_candidate_pairs(
+    # The estimated-Jaccard prefilter (est = agreeing-component
+    # fraction ≥ threshold − est_margin) is applied IN the bucket join
+    # as its exact integer form: the smallest a with a/num_perm ≥ the
+    # float cut — identical pair set to the old post-join float
+    # comparison, but evaluated map-side on the joined banded rows
+    # (lsh_candidate_pairs keep_sigs), BEFORE the candidate distinct
+    # shuffle. This removes the two sig-table joins + cache + count
+    # over the candidate set that the separate est stage paid (2.1s of
+    # the cold 16s profile at sf0.1; warm flagship 4.04→3.85s — the
+    # structural point is that at 100 TB the candidate set approaches
+    # corpus size on boilerplate-heavy data, and joining the signature
+    # table onto it twice was a full extra shuffle). Margin 0.2 keeps
+    # estimator variance from dropping true positives
+    # (σ ≈ sqrt(J(1−J)/k) ≈ 0.09 at k=32).
+    if est_margin is not None:
+        cut = threshold - est_margin  # same float the old comparison used
+        est_agree = next(a for a in range(num_perm + 1) if a / num_perm >= cut)
+        min_agree = max(min_agree, est_agree)
+    est = lsh_candidate_pairs(
         sigs, num_perm, bands, max_bucket=max_bucket, portable=portable,
         min_agree=min_agree,
     ).cache()
-    release.append(pairs)
-    pairs.count()
-    # Cheap pre-filter before the exact verify: estimated Jaccard =
-    # fraction of agreeing signature components. The sig table is one
-    # row per doc — broadcast only under the size gate (a 100 TB corpus
-    # has billions of sig rows; the fallback is a shuffle hash join).
-    # Candidates well below threshold (the bulk, for corpora with high
-    # baseline similarity) never reach the shingle-join. Margin 0.2
-    # keeps estimator variance from dropping true positives
-    # (σ ≈ sqrt(J(1-J)/k) ≈ 0.09 at k=32).
-    n_docs = sigs.count()  # cheap: cache materialized by pairs.count()
-    if est_margin is None:
-        est = pairs
-    else:
-        agree = sum(
-            (F.col(f"a.sig_{i}") == F.col(f"b.sig_{i}")).cast("int")
-            for i in range(num_perm)
-        )
-        est = (
-            pairs.join(
-                _maybe_broadcast(sigs.alias("a"), n_docs, BROADCAST_MAX_SIG_ROWS),
-                pairs.id_a == F.col("a._id"),
-            )
-            .join(
-                _maybe_broadcast(sigs.alias("b"), n_docs, BROADCAST_MAX_SIG_ROWS),
-                pairs.id_b == F.col("b._id"),
-            )
-            .withColumn("est_j", agree / F.lit(num_perm))
-            .where(F.col("est_j") >= threshold - est_margin)
-            .select("id_a", "id_b")
-            .cache()
-        )
     release.append(est)
     n_est = est.count()  # materialize: verify fans this into 3 plan branches
     # Exact verify re-shingles ONLY the candidate documents: semi-join

@@ -174,7 +174,6 @@ def test_verify_broadcast_fallback_matches(spark, corpus, monkeypatch):
         for r in D.minhash_near_duplicates(corpus, "text", "doc_id").collect()
     )
     monkeypatch.setattr(D, "BROADCAST_MAX_SET_ENTRIES", 0)
-    monkeypatch.setattr(D, "BROADCAST_MAX_SIG_ROWS", 0)
     monkeypatch.setattr(D, "BROADCAST_MAX_ID_ROWS", 0)
     fallback = sorted(
         (r.id_a, r.id_b, round(r.jaccard, 4))
