@@ -24,6 +24,15 @@ index in the engine's batch lifecycle
   token-boundary containment against the corpus text — a scan of the
   candidate slice only.
 
+``unit="char"`` builds CHARACTER ``n``-gram postings instead — the
+classic LIKE/regex-acceleration index (Cox 2012, "Regular Expression
+Matching with a Trigram Index", the Google Code Search design;
+PostgreSQL pg_trgm): an arbitrary substring query is answered by
+intersecting the posting lists of ALL its char trigrams (conjunctive
+AND — a doc containing the substring necessarily contains every
+trigram) and verifying ``contains`` on just the surviving candidate
+slice. See :meth:`substring_search`.
+
 Cost model at scale: ingest = one tokenize pass over the new batch +
 one partitioned write; a phrase lookup touches one posting list. The
 literal-string gram is the cross-engine-checkable form; at 100 TB the
@@ -52,15 +61,21 @@ def _norm_py(s: str) -> str:
 class PhraseIndexStore(BatchStore):
     CONFIG_FILE = "_phrase_config.json"
 
-    def __init__(self, spark: SparkSession, path: str, n: int = 3):
-        """``n`` (tokens per gram) is store identity: postings of
-        different gram widths must never merge."""
+    def __init__(
+        self, spark: SparkSession, path: str, n: int = 3, unit: str = "token"
+    ):
+        """``n`` (tokens or chars per gram) and ``unit`` ("token" |
+        "char") are store identity: postings of different gram schemes
+        must never merge."""
+        if unit not in ("token", "char"):
+            raise ValueError(f"unit must be 'token' or 'char', got {unit!r}")
         super().__init__(spark, path)
         self.n = n
+        self.unit = unit
         self._check_config()
 
     def _config(self) -> dict:
-        return {"n": self.n}
+        return {"n": self.n, "unit": self.unit}
 
     def _config_mismatch(self, stored: dict, current: dict) -> str:
         return (
@@ -73,18 +88,30 @@ class PhraseIndexStore(BatchStore):
 
     def _batch_postings(self, docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
         n = self.n
-        toks = F.split(normalize_text(F.col(text_col)), " ")
-        # sequence(0, negative) would generate a DESCENDING range, so
-        # short documents get an explicit empty gram array
-        grams = F.when(
-            F.size(toks) >= n,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-                )
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+        if self.unit == "char":
+            norm = normalize_text(F.col(text_col))
+            # sequence(1, negative) would generate a DESCENDING range,
+            # so short documents get an explicit empty gram array
+            grams = F.when(
+                F.length(norm) >= n,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length(norm) - F.lit(n - 1)),
+                        lambda i: norm.substr(i, F.lit(n)),
+                    )
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        else:
+            toks = F.split(normalize_text(F.col(text_col)), " ")
+            grams = F.when(
+                F.size(toks) >= n,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+                    )
+                ),
+            ).otherwise(F.array().cast("array<string>"))
         return docs.select(
             F.col(id_col).alias("_id"), F.explode(grams).alias("gram")
         )
@@ -152,6 +179,8 @@ class PhraseIndexStore(BatchStore):
         strings); longer phrases probe their first ``n``-gram and
         verify token-boundary containment against ``corpus`` (the
         candidate slice only, never a full scan)."""
+        if self.unit != "token":
+            raise ValueError("search() probes token grams; use substring_search()")
         rows = []
         for ph in phrases:
             p = _norm_py(ph)
@@ -188,6 +217,58 @@ class PhraseIndexStore(BatchStore):
             .select("phrase", "doc_id")
         )
         return exact.unionByName(verified)
+
+    def substring_search(
+        self,
+        literals: list[str],
+        corpus: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """(probe, doc_id) for every document whose normalized text
+        contains each literal substring — the LIKE '%lit%' form served
+        from the char-gram index (requires ``unit='char'``).
+
+        A document containing the substring necessarily contains EVERY
+        one of its char ``n``-grams, so candidates = the conjunctive
+        intersection of all the probe's posting lists (one pushed-
+        filter scan + one groupBy counting distinct matched grams per
+        (probe, doc) against the probe's gram count), then a
+        ``contains`` verify on the candidate slice only — trigrams
+        being present does not make them contiguous. This is the
+        trigram regex/LIKE-acceleration design (Cox 2012, pg_trgm);
+        never a corpus text scan."""
+        if self.unit != "char":
+            raise ValueError("substring_search() needs a unit='char' index")
+        rows = []
+        for lit in literals:
+            p = _norm_py(lit)
+            if len(p) < self.n:
+                raise ValueError(
+                    f"literal needs >= n={self.n} chars to probe the index: {lit!r}"
+                )
+            grams = sorted({p[i : i + self.n] for i in range(len(p) - self.n + 1)})
+            rows.extend((p, g, len(grams)) for g in grams)
+        probes = self.spark.createDataFrame(
+            rows, "probe string, gram string, n_req int"
+        )
+        cands = (
+            self.postings(grams=sorted({g for _, g, _ in rows}))
+            .join(F.broadcast(probes), "gram")
+            .groupBy("probe", "_id", "n_req")
+            .agg(F.count("*").alias("n_hit"))
+            .where(F.col("n_hit") == F.col("n_req"))
+            .select("probe", F.col("_id").alias("doc_id"))
+        )
+        docs = corpus.select(
+            F.col(id_col).alias("doc_id"),
+            normalize_text(F.col(text_col)).alias("_norm"),
+        )
+        return (
+            cands.join(docs, "doc_id")
+            .where(F.col("_norm").contains(F.col("probe")))
+            .select("probe", "doc_id")
+        )
 
     def top_gram_postings(self, k: int = 3) -> DataFrame:
         """(phrase, doc_id) for the ``k`` most document-frequent grams

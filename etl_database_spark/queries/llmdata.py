@@ -2799,6 +2799,106 @@ def phrase_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.top_gram_postings(k=_PHRASE_TOPK).orderBy("phrase", "doc_id")
 
 
+# Substring (LIKE '%lit%') search served from a CHAR-trigram index —
+# the classic regex/LIKE acceleration (Cox 2012 trigram index,
+# pg_trgm): candidates = conjunctive intersection of ALL the probe's
+# trigram posting lists, contains-verify on the candidate slice only.
+# Probes are the corpus's 3 most document-frequent token bigrams
+# (deterministic, replayed in SQL); the oracle recomputes the result
+# with a direct contains scan — a green hash proves index-accelerated
+# substring search equals the full scan.
+_SUBSTR_INDEX_CACHE: dict = {}
+
+
+def _char_trigram_index(spark: SparkSession, sf_dir: str):
+    """Three-batch unit='char' PhraseIndexStore over the documents
+    table (ingest → compact → ingest → replay no-op guard → ingest),
+    cached per fixture generation."""
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = (sf_dir, os.path.getmtime(src) if os.path.exists(src) else None)
+    if key not in _SUBSTR_INDEX_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        from etl_database_spark.operators.phraseindex import PhraseIndexStore
+
+        for old_key in [k for k in _SUBSTR_INDEX_CACHE if k[0] == sf_dir and k != key]:
+            old = _SUBSTR_INDEX_CACHE.pop(old_key)
+            shutil.rmtree(old.path, ignore_errors=True)
+        d = table(spark, sf_dir, "documents")
+        store = PhraseIndexStore(
+            spark, tempfile.mkdtemp(prefix="spark_graft_chartrgm_"), n=3, unit="char"
+        )
+        b1 = d.where(F.col("doc_id") % 3 == 0)
+        store.ingest(b1, batch="day1")
+        store.compact()
+        store.ingest(d.where(F.col("doc_id") % 3 == 1), batch="day2")
+        if store.ingest(b1, batch="day1") is not False:
+            raise RuntimeError(
+                "char-trigram index re-ingested an already-compacted batch"
+            )
+        store.ingest(d.where(F.col("doc_id") % 3 == 2), batch="day3")
+        atexit.register(shutil.rmtree, store.path, ignore_errors=True)
+        _SUBSTR_INDEX_CACHE[key] = store
+    return _SUBSTR_INDEX_CACHE[key]
+
+
+_SUBSTR_ORACLE = f"""
+    WITH d AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    tok AS (SELECT doc_id, string_split(t, ' ') AS w FROM d),
+    g2 AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))])) AS bg
+      FROM tok WHERE len(w) >= 2
+    ),
+    probes AS (
+      SELECT bg FROM (SELECT bg, COUNT(*) AS c FROM g2 GROUP BY bg) z
+      ORDER BY c DESC, bg LIMIT 3)
+    SELECT p.bg AS probe, d.doc_id
+    FROM d CROSS JOIN probes p
+    WHERE contains(d.t, p.bg)
+    ORDER BY probe, doc_id
+    """
+
+
+@register("substring_index_search", oracle=_SUBSTR_ORACLE)
+def substring_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(probe, doc_id) for the corpus's 3 most document-frequent token
+    bigrams, served as substring queries from the persisted char-
+    trigram index: conjunctive posting-list intersection + a contains
+    verify on the candidate slice. The oracle is a direct corpus
+    contains scan."""
+    d = table(spark, sf_dir, "documents")
+    store = _char_trigram_index(spark, sf_dir)
+    toks = F.split(F.col("_norm"), " ")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    from etl_database_spark.functions.text import normalize_text
+
+    probes = [
+        r.bg
+        for r in d.select(normalize_text(F.col("text")).alias("_norm"))
+        .select(F.explode(bigrams).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "bg")
+        .limit(3)
+        .collect()
+    ]
+    return store.substring_search(probes, corpus=d).orderBy("probe", "doc_id")
+
+
 # Stream-maintained phrase index: documents delivered as a
 # two-micro-batch stream into the checkpoint-bound PhraseIndexStore,
 # then the same top-df trigram posting lists served from the streamed
