@@ -156,3 +156,53 @@ def _pagerank_local(
     return spark.createDataFrame(
         [(int(v), float(ranks[idx[v]])) for v in ids], "_id long, rank double"
     )
+
+
+def pagerank_portable(
+    pairs: DataFrame, damping: float = 0.85, iters: int = 5
+) -> DataFrame:
+    """(_id, rank) — PageRank over an undirected pair graph with a
+    FULLY cross-engine-replayable trajectory (the decimal-sum recipe
+    the trained classifier uses, functions/classifier.py): per-edge
+    contributions ``rank/deg`` are rounded to 12 digits and summed as
+    DECIMAL(38,12) — order-independent exact sums, so every iteration
+    is deterministic under any partitioning — and each new rank is
+    rounded to 9 digits. There are NO transcendentals anywhere, so the
+    replay is exact arithmetic end to end (no ulp guard needed).
+
+    The pair graph is symmetric (both directions of every verified
+    near-dup pair), so every node has degree >= 1 and receives
+    contributions each round — no dangling-mass term. Fixed
+    ``iters`` (the checkable contract; the production pagerank in
+    this module iterates to convergence instead).
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    edges = edges.localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    n = deg.count()
+    r = deg.select(
+        F.col("src").alias("_id"),
+        F.round(F.lit(1.0) / F.lit(float(n)), 9).alias("rank"),
+    ).localCheckpoint(eager=True)
+    base = F.lit(1.0 - damping) / F.lit(float(n))
+    for _ in range(iters):
+        contrib = (
+            edges.join(r, edges.src == r._id)
+            .join(deg, "src")
+            .select(
+                "dst",
+                F.round(F.col("rank") / F.col("deg"), 12)
+                .cast("decimal(38,12)")
+                .alias("c"),
+            )
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        r = sums.select(
+            F.col("dst").alias("_id"),
+            F.round(base + F.lit(damping) * F.col("s").cast("double"), 9).alias(
+                "rank"
+            ),
+        ).localCheckpoint(eager=True)
+    return r

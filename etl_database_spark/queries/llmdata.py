@@ -620,6 +620,70 @@ def dedup_clusters_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# PageRank made checkable too — the last major rows-only family:
+# portable-MinHash verified pairs (the same edge source as the
+# clusters twin) ranked by a FIXED-iteration PageRank whose per-edge
+# contributions are rounded to 12 digits and summed as DECIMAL(38,12)
+# (order-independent), every rank rounded to 9 — the trained
+# classifier's decimal-GD recipe applied to graph centrality. No
+# transcendentals anywhere, so the DuckDB replay is exact arithmetic
+# end to end: a green hash certifies pairs AND five ranking
+# iterations. The production doc_similarity_pagerank keeps the
+# xxhash64 edge store + convergence iteration as the fast path.
+_PR_CHK_DAMPING, _PR_CHK_ITERS = 0.85, 5
+
+
+def _pagerank_checkable_select() -> str:
+    d = _PR_CHK_DAMPING
+    base_lit, d_lit = repr(1.0 - d), repr(d)
+    parts = [
+        """,
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM verified
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM verified
+    ),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+    r0 AS (SELECT src AS id, ROUND(1.0 / nn.n, 9) AS rank FROM deg, nn)"""
+    ]
+    for t in range(1, _PR_CHK_ITERS + 1):
+        parts.append(f""",
+    c{t} AS (
+      SELECT e.dst, ROUND(r.rank / d.deg, 12)::DECIMAL(38,12) AS c
+      FROM edges e JOIN r{t - 1} r ON r.id = e.src JOIN deg d ON d.src = e.src
+    ),
+    s{t} AS (SELECT dst, SUM(c) AS s FROM c{t} GROUP BY dst),
+    r{t} AS (
+      SELECT s.dst AS id,
+             ROUND({base_lit} / nn.n + {d_lit} * CAST(s.s AS DOUBLE), 9) AS rank
+      FROM s{t} s, nn
+    )""")
+    parts.append(f"""
+    SELECT id AS doc_id, ROUND(rank, 6) AS rank
+    FROM r{_PR_CHK_ITERS} ORDER BY doc_id""")
+    return "".join(parts)
+
+
+@register(
+    "pagerank_checkable",
+    oracle=_minhash_checkable_oracle(select=_pagerank_checkable_select()),
+)
+def pagerank_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five fixed PageRank iterations over the portable-MinHash
+    verified pair graph, decimal-exact contributions — the whole
+    centrality computation (edges + ranking trajectory) replays
+    bit-for-bit in DuckDB."""
+    from etl_database_spark.functions.graph import pagerank_portable
+
+    d = table(spark, sf_dir, "documents")
+    pairs = D.minhash_near_duplicates(d, "text", "doc_id", portable=True, **_MH_CHK)
+    ranks = pagerank_portable(pairs, damping=_PR_CHK_DAMPING, iters=_PR_CHK_ITERS)
+    return ranks.select(
+        F.col("_id").alias("doc_id"), F.round("rank", 6).alias("rank")
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # SimHash fingerprints — rows-only (xxhash64-based).
 @register("simhash_fingerprints")

@@ -309,3 +309,33 @@ def test_streamed_edgestore_equals_one_shot_portable(spark, tmp_path):
             spark, spark.readStream.schema(d.schema).parquet(src),
             store_path, str(tmp_path / "ckpt2"), corpus=d, **params,
         )
+
+
+def test_pagerank_portable_matches_production_and_is_invariant(spark):
+    """pagerank_portable (the decimal-sum checkable trajectory): (a)
+    ranks agree with the production convergence pagerank on the same
+    edges to the damping fixpoint tolerance, (b) total mass ~= 1, (c)
+    bit-identical under repartitioning (order-independent sums)."""
+    from etl_database_spark.functions import dedup as D
+    from etl_database_spark.functions.graph import pagerank, pagerank_portable
+    from etl_database_spark.queries import table
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = D.minhash_near_duplicates(
+        d, "text", "doc_id", portable=True, n=7, num_perm=32, bands=8, threshold=0.5
+    ).localCheckpoint(eager=True)
+    got = {r._id: r.rank for r in pagerank_portable(pairs, iters=25).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+    prod = {
+        r._id: r.rank
+        for r in pagerank(pairs, damping=0.85, max_iter=50).collect()
+    }
+    # production ranks sum to the NODE COUNT (its convention) — rescale
+    scale = len(got)
+    assert got.keys() == prod.keys()
+    assert all(abs(got[i] - prod[i] / scale) < 1e-5 for i in got)
+    again = {
+        r._id: r.rank
+        for r in pagerank_portable(pairs.repartition(7), iters=25).collect()
+    }
+    assert got == again
