@@ -448,6 +448,93 @@ def _argmin_assign(vecs: DataFrame, centroids: list[list[float]]) -> DataFrame:
     )
 
 
+def kmeans_fit_portable(
+    df: DataFrame,
+    dim: int,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Fixed-iteration Lloyd's k-means whose ENTIRE training
+    trajectory is cross-engine replayable (the decimal-sum recipe of
+    functions/classifier.py applied to clustering): seeds are the k
+    lowest-id vectors (the PQ/IVF twin seed rule), assignment is the
+    bit-deterministic ``_argmin_assign`` fold, and each centroid
+    update sums ROUND(component, 12) as DECIMAL(38,12) (exact,
+    order-independent) then rounds the mean to 9 digits. No
+    transcendentals — squared-L2 Lloyd is pure arithmetic — so a SQL
+    engine reproduces every iteration exactly (the
+    ``kmeans_assign_checkable`` oracle). Empty clusters keep their
+    previous centroid. The production ``kmeans_fit`` (float avg,
+    convergence stop, fit-sample gate) stays the fast path."""
+    seeds = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(_to_double(F.col(vec_col)).alias("c"))
+        .collect()
+    )
+    centroids = [list(r.c) for r in seeds]
+    vecs = df.select(
+        F.col(id_col).alias("_id"), _to_double(F.col(vec_col)).alias("v")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        assigned = _argmin_assign(vecs, centroids)
+        rows = (
+            assigned.select("centroid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("centroid", "pos")
+            .agg(
+                F.round(
+                    F.sum(
+                        F.round(F.col("val"), 12).cast("decimal(38,12)")
+                    ).cast("double")
+                    / F.count("*"),
+                    9,
+                ).alias("m")
+            )
+            .collect()
+        )
+        new_centroids = [list(c) for c in centroids]
+        for r in rows:
+            new_centroids[r.centroid][r.pos] = r.m
+        centroids = new_centroids
+    return centroids
+
+
+def kmeans_assign_portable(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster, dist_r6): the final assignment against a
+    trained (or literal) centroid list, with the rounded squared-L2
+    distance carried so the oracle certifies the geometry, not just
+    the labels."""
+    vecs = df.select(
+        F.col(id_col).alias("vec_id"), _to_double(F.col(vec_col)).alias("v")
+    )
+    cdf = df.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cluster int, cvec array<double>",
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = vecs.join(F.broadcast(cdf)).withColumn("_dist", dist)
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("_dist", "cluster")).alias("_m"))
+        .select(
+            "vec_id",
+            F.col("_m.cluster").alias("cluster"),
+            F.round(F.col("_m._dist"), 6).alias("dist_r6"),
+        )
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[list[float]],

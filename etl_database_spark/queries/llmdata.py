@@ -620,6 +620,85 @@ def dedup_clusters_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Lloyd k-means TRAINING made checkable — the same decimal-trajectory
+# move as logreg/pagerank applied to clustering (the semdedup/IVF
+# substrate): frozen lowest-id seeds (the PQ twin's rule), 3 Lloyd
+# iterations with ROUND-12 DECIMAL component sums and ROUND-9 means,
+# squared-L2 assignment via the bit-deterministic left-to-right fold.
+# No transcendentals — the oracle replays seeding, every assignment,
+# every centroid update, and the final labeled geometry exactly. The
+# production kmeans_fit (float avg, convergence stop, sample gate)
+# stays the fast path.
+_KM_CHK_K, _KM_CHK_ITERS, _KM_CHK_DIM = 8, 3, 64
+
+
+def _kmeans_checkable_oracle() -> str:
+    k, iters, dim = _KM_CHK_K, _KM_CHK_ITERS, _KM_CHK_DIM
+
+    def dims_of(arr: str) -> str:
+        # SELECT-list unnest (FROM-clause lateral unnest cannot
+        # correlate into the list comprehension)
+        return f"unnest([{{'d': i, 'x': {arr}[i+1]}} for i in range(0, {dim})]) AS u"
+
+    def dist(v: str, c: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({v}, {c}), "
+            "x -> (x[1] - x[2]) * (x[1] - x[2])))"
+        )
+
+    parts = [
+        f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, v AS cvec
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})),
+    cd0 AS (SELECT c, u['d'] AS d, u['x'] AS x
+            FROM (SELECT c, {dims_of('cvec')} FROM c0))"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f"""
+    a{t} AS (
+      SELECT vec_id, v, c FROM (
+        SELECT e.vec_id, e.v, cc.c,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {dist('e.v', 'cc.cvec')}, cc.c) AS rn
+        FROM e, c{t - 1} cc) z WHERE rn = 1),
+    m{t} AS (
+      SELECT c, u['d'] AS d,
+             SUM(ROUND(u['x'], 12)::DECIMAL(38,12)) AS s, COUNT(*) AS n
+      FROM (SELECT a.c, {dims_of('a.v')} FROM a{t} a)
+      GROUP BY c, u['d']),
+    cd{t} AS (
+      SELECT o.c, o.d, COALESCE(ROUND(CAST(m.s AS DOUBLE) / m.n, 9), o.x) AS x
+      FROM cd{t - 1} o LEFT JOIN m{t} m ON m.c = o.c AND m.d = o.d),
+    c{t} AS (SELECT c, list(x ORDER BY d) AS cvec FROM cd{t} GROUP BY c)""")
+    return f"""
+    WITH {','.join(parts)}
+    SELECT vec_id, c AS cluster, ROUND(dist, 6) AS dist_r6 FROM (
+      SELECT e.vec_id, cc.c, {dist('e.v', 'cc.cvec')} AS dist,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY {dist('e.v', 'cc.cvec')}, cc.c) AS rn
+      FROM e, c{iters} cc) z
+    WHERE rn = 1 ORDER BY vec_id
+    """
+
+
+@register("kmeans_assign_checkable", oracle=_kmeans_checkable_oracle())
+def kmeans_assign_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster assignments (+ rounded squared-L2 distance) after 3
+    decimal-exact Lloyd iterations from frozen lowest-id seeds — the
+    whole clustering TRAINING trajectory replays in DuckDB."""
+    from etl_database_spark.functions.similarity import (
+        kmeans_assign_portable,
+        kmeans_fit_portable,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit_portable(
+        emb, dim=_KM_CHK_DIM, k=_KM_CHK_K, iters=_KM_CHK_ITERS
+    )
+    return kmeans_assign_portable(emb, cents).orderBy("vec_id")
+
+
 # PageRank made checkable too — the last major rows-only family:
 # portable-MinHash verified pairs (the same edge source as the
 # clusters twin) ranked by a FIXED-iteration PageRank whose per-edge

@@ -478,3 +478,50 @@ def test_rp_project_matches_numpy_and_preserves_strong_pairs(spark):
     mask = (ce > 0.8) & ~np.eye(len(X), dtype=bool)
     assert mask.sum() > 0
     assert np.abs(cp[mask] - ce[mask]).max() < 0.06
+
+
+def test_kmeans_portable_matches_numpy_and_is_invariant(spark):
+    """kmeans_fit_portable: (a) the decimal-exact Lloyd trajectory
+    matches a pure-Python replay of the same rounding rules exactly,
+    (b) centroids are bit-identical under repartitioning
+    (order-independent sums)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from etl_database_spark.functions.similarity import kmeans_fit_portable
+
+    def r(v, d):
+        return float(Decimal(repr(v)).quantize(Decimal(f"1e-{d}"), ROUND_HALF_UP))
+
+    rng = np.random.default_rng(1)
+    X = rng.normal(size=(90, DIM)).astype(np.float32).astype(np.float64)
+    rows = [(i, [float(x) for x in X[i]]) for i in range(len(X))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    k, iters = 4, 3
+    got = kmeans_fit_portable(df, dim=DIM, k=k, iters=iters)
+    again = kmeans_fit_portable(df.repartition(7), dim=DIM, k=k, iters=iters)
+    assert got == again
+
+    cents = [list(X[i]) for i in range(k)]
+    for _ in range(iters):
+        assign = []
+        for v in X:
+            dists = []
+            for ci, c in enumerate(cents):
+                acc = 0.0
+                for a, b in zip(v, c):
+                    acc = acc + (a - b) * (a - b)
+                dists.append((acc, ci))
+            assign.append(min(dists)[1])
+        new = [list(c) for c in cents]
+        for ci in range(k):
+            members = [X[i] for i in range(len(X)) if assign[i] == ci]
+            if not members:
+                continue
+            for d in range(DIM):
+                s = sum(Decimal(repr(r(float(v[d]), 12))) for v in members)
+                new[ci][d] = r(float(s) / len(members), 9)
+        cents = new
+    assert got == cents
