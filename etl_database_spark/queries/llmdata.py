@@ -620,6 +620,115 @@ def dedup_clusters_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# Data-observability: distribution-drift monitoring (PSI). At 100 TB a
+# pipeline watches every ingested source's feature distributions
+# against the corpus baseline — the population stability index
+# (Σ (p−q)·ln(p/q), the standard drift score in model monitoring) —
+# and alerts when a source's shape moves. Counts are exact integers
+# over fixed-width n_chars buckets with Laplace +1 smoothing (so
+# zero-count buckets stay exact rationals and ln is defined), the one
+# transcendental ln(p/q) is rounded to 9 digits (the BM25-idf guard),
+# and per-source PSI is an exact DECIMAL sum of rounded contributions
+# — the whole monitor replays in SQL.
+_PSI_BUCKETS, _PSI_LO, _PSI_HI = 20, 0, 1000
+
+_PSI_ORACLE = f"""
+    WITH d AS (
+      SELECT source,
+             LEAST(GREATEST(CAST(FLOOR((n_chars - {_PSI_LO}) * {_PSI_BUCKETS}
+                 / ({_PSI_HI} - {_PSI_LO})) AS BIGINT), 0), {_PSI_BUCKETS - 1}) AS b
+      FROM documents),
+    grid AS (
+      SELECT s.source, g.b
+      FROM (SELECT DISTINCT source FROM d) s,
+           (SELECT unnest(range({_PSI_BUCKETS})) AS b) g),
+    sc AS (SELECT source, b, COUNT(*) AS c FROM d GROUP BY source, b),
+    cc AS (SELECT b, COUNT(*) AS c FROM d GROUP BY b),
+    st AS (SELECT source, COUNT(*) AS t FROM d GROUP BY source),
+    ct AS (SELECT COUNT(*) AS t FROM d),
+    cells AS (
+      SELECT g.source, g.b,
+             CAST(COALESCE(sc.c, 0) + 1 AS DOUBLE)
+               / (st.t + {_PSI_BUCKETS}) AS p,
+             CAST(COALESCE(cc.c, 0) + 1 AS DOUBLE)
+               / (ct.t + {_PSI_BUCKETS}) AS q
+      FROM grid g
+      LEFT JOIN sc ON sc.source = g.source AND sc.b = g.b
+      LEFT JOIN cc ON cc.b = g.b
+      JOIN st ON st.source = g.source
+      CROSS JOIN ct),
+    contrib AS (
+      SELECT source, b,
+             ROUND((p - q) * ROUND(LN(p / q), 9), 12)::DECIMAL(38,12) AS w
+      FROM cells)
+    SELECT source, CAST(ROUND(SUM(w), 6) AS DOUBLE) AS psi
+    FROM contrib GROUP BY source ORDER BY source
+    """
+
+
+@register("source_length_drift_psi", oracle=_PSI_ORACLE)
+def source_length_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift of each source's document-
+    length distribution against the corpus baseline: 20 fixed-width
+    n_chars buckets, Laplace-smoothed exact-integer shares, ln rounded
+    to 9, per-source PSI as an exact decimal sum — the standard data
+    monitor, cross-engine certified. One scan + two count aggregates;
+    at scale the corpus baseline is a 20-row broadcast."""
+    d = table(spark, sf_dir, "documents")
+    nb, lo, hi = _PSI_BUCKETS, _PSI_LO, _PSI_HI
+    b = F.least(
+        F.greatest(
+            F.floor((F.col("n_chars") - F.lit(lo)) * nb / F.lit(hi - lo)).cast(
+                "long"
+            ),
+            F.lit(0).cast("long"),
+        ),
+        F.lit(nb - 1).cast("long"),
+    )
+    dd = d.select("source", b.alias("b"))
+    sc = dd.groupBy("source", "b").agg(F.count("*").alias("c"))
+    cc = dd.groupBy("b").agg(F.count("*").alias("cq"))
+    st = dd.groupBy("source").agg(F.count("*").alias("t"))
+    ct = dd.count()
+    grid = (
+        dd.select("source").distinct()
+        .crossJoin(spark.range(nb).select(F.col("id").alias("b")))
+    )
+    cells = (
+        grid.join(sc, ["source", "b"], "left")
+        .join(F.broadcast(cc), ["b"], "left")
+        .join(F.broadcast(st), ["source"])
+        .select(
+            "source",
+            "b",
+            (
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)).cast("double")
+                / (F.col("t") + F.lit(nb))
+            ).alias("p"),
+            (
+                (F.coalesce(F.col("cq"), F.lit(0)) + F.lit(1)).cast("double")
+                / F.lit(float(ct + nb))
+            ).alias("q"),
+        )
+    )
+    contrib = cells.select(
+        "source",
+        F.round(
+            (F.col("p") - F.col("q")) * F.round(F.log(F.col("p") / F.col("q")), 9),
+            12,
+        )
+        .cast("decimal(38,12)")
+        .alias("w"),
+    )
+    return (
+        contrib.groupBy("source")
+        .agg(F.round(F.sum("w"), 6).cast("double").alias("psi"))
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Lloyd k-means TRAINING made checkable — the same decimal-trajectory
 # move as logreg/pagerank applied to clustering (the semdedup/IVF
 # substrate): frozen lowest-id seeds (the PQ twin's rule), 3 Lloyd
