@@ -240,15 +240,23 @@ class PhraseIndexStore(BatchStore):
         never a corpus text scan."""
         if self.unit != "char":
             raise ValueError("substring_search() needs a unit='char' index")
-        rows = []
+        # dedupe by normalized probe: two input literals normalizing to
+        # the same probe would duplicate its (probe, gram) rows and the
+        # doubled per-doc hit count could never equal n_req — every
+        # match silently lost
+        by_probe: dict[str, list[str]] = {}
         for lit in literals:
             p = _norm_py(lit)
             if len(p) < self.n:
                 raise ValueError(
                     f"literal needs >= n={self.n} chars to probe the index: {lit!r}"
                 )
-            grams = sorted({p[i : i + self.n] for i in range(len(p) - self.n + 1)})
-            rows.extend((p, g, len(grams)) for g in grams)
+            by_probe[p] = sorted(
+                {p[i : i + self.n] for i in range(len(p) - self.n + 1)}
+            )
+        rows = [
+            (p, g, len(grams)) for p, grams in by_probe.items() for g in grams
+        ]
         probes = self.spark.createDataFrame(
             rows, "probe string, gram string, n_req int"
         )

@@ -95,8 +95,11 @@ def test_char_trigram_substring_search_equals_contains_scan(spark, tmp_path):
     # a real cross-token substring from some document's normalized text
     doc = d.select(normalize_text("text").alias("t")).first().t
     lit = doc[3:15]
+    # duplicate literals must not double-count gram hits (the dedupe
+    # guard): same result as the single-literal probe
     got = sorted(
-        r.doc_id for r in store.substring_search([lit], corpus=d).collect()
+        r.doc_id
+        for r in store.substring_search([lit, lit, lit.upper()], corpus=d).collect()
     )
     want = sorted(
         r.doc_id
