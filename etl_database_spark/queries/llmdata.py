@@ -621,6 +621,99 @@ def dedup_clusters_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Collocation mining: top pointwise-mutual-information bigrams (Church
+# & Hanks 1990) — the phrase-discovery pass a tokenizer/vocab pipeline
+# runs before merging multi-word units. PMI(a,b) =
+# ln((c_ab/N_bi) / ((c_a/N_uni)(c_b/N_uni))) is ln of an exact
+# rational (integer occurrence counts), rounded to 9 digits (the
+# BM25-idf guard), so the whole miner replays in SQL. Two count
+# shuffles + a 20-row TakeOrdered; min-count 5 drops the noise tail.
+_PMI_MIN_COUNT, _PMI_TOP = 5, 20
+
+_PMI_ORACLE = f"""
+    WITH d AS (SELECT {_NORM_SQL} AS t FROM documents),
+    tok AS (SELECT string_split(t, ' ') AS w FROM d WHERE t <> ''),
+    uni AS (
+      SELECT unnest(w) AS tokn FROM tok),
+    uc AS (SELECT tokn, COUNT(*) AS c FROM uni GROUP BY tokn),
+    nu AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM uni),
+    bi AS (
+      SELECT u['a'] AS w1, u['b'] AS w2
+      FROM (SELECT unnest([{{'a': w[i], 'b': w[i+1]}}
+                          for i in range(1, len(w))]) AS u
+            FROM tok WHERE len(w) >= 2)),
+    bc AS (SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY w1, w2),
+    nb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM bi),
+    scored AS (
+      SELECT bc.w1 || ' ' || bc.w2 AS bigram, bc.c AS n_pair,
+             ROUND(LN((CAST(bc.c AS DOUBLE) / nb.n)
+               / ((CAST(ua.c AS DOUBLE) / nu.n)
+                  * (CAST(ub.c AS DOUBLE) / nu.n))), 9) AS pmi
+      FROM bc
+      JOIN uc ua ON ua.tokn = bc.w1
+      JOIN uc ub ON ub.tokn = bc.w2
+      CROSS JOIN nu CROSS JOIN nb
+      WHERE bc.c >= {_PMI_MIN_COUNT})
+    SELECT bigram, n_pair, pmi
+    FROM scored ORDER BY pmi DESC, bigram LIMIT {_PMI_TOP}
+    """
+
+
+@register("bigram_pmi_collocations", oracle=_PMI_ORACLE)
+def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PMI bigram collocations (occurrence counts, min pair
+    count 5, ln of exact rationals rounded to 9): the multi-word-unit
+    discovery pass, cross-engine certified. Two count shuffles and a
+    broadcast unigram join; top-k is a TakeOrdered, never a global
+    sort."""
+    from etl_database_spark.functions.text import normalize_text
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.split(normalize_text(F.col("text")), " ").alias("w")).where(
+        F.col("w") != F.array(F.lit(""))
+    )
+    uni = toks.select(F.explode("w").alias("tokn"))
+    uc = uni.groupBy("tokn").agg(F.count("*").alias("c"))
+    n_uni = uni.count()
+    bi = toks.where(F.size("w") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - F.lit(1)),
+                lambda i: F.struct(
+                    F.element_at("w", i).alias("w1"),
+                    F.element_at("w", i + F.lit(1)).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bc = bi.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    n_bi = bi.count()
+    ua = uc.select(F.col("tokn").alias("w1"), F.col("c").alias("ca"))
+    ub = uc.select(F.col("tokn").alias("w2"), F.col("c").alias("cb"))
+    pmi = F.round(
+        F.log(
+            (F.col("n_pair").cast("double") / F.lit(float(n_bi)))
+            / (
+                (F.col("ca").cast("double") / F.lit(float(n_uni)))
+                * (F.col("cb").cast("double") / F.lit(float(n_uni)))
+            )
+        ),
+        9,
+    )
+    scored = (
+        bc.where(F.col("n_pair") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            "n_pair",
+            pmi.alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "bigram").limit(_PMI_TOP)
+
+
+# ---------------------------------------------------------------------------
 # Data-observability: distribution-drift monitoring (PSI). At 100 TB a
 # pipeline watches every ingested source's feature distributions
 # against the corpus baseline — the population stability index
