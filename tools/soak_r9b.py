@@ -77,6 +77,22 @@ def run_suite(spark, sf_dir: str, label: str) -> None:
             f"top3-serve {t_serve:.1f}s ({n_served} rows), "
             f"probe {t_probe:.2f}s ({n_probe} docs)"
         )
+        # 1a. char-trigram substring probe: build once, probe a fixed
+        # cross-token literal — the conjunctive intersection must stay
+        # posting-list-bound (pushed In(gram) filter)
+        cstore = PhraseIndexStore(spark, os.path.join(work, "chidx"), n=3, unit="char")
+        t0 = time.monotonic()
+        cstore.ingest(d, "all")
+        t_cingest = time.monotonic() - t0
+        lit = (
+            d.select(F.lower(F.col("text")).substr(3, 12).alias("l")).first().l
+        )
+        t_cprobe = best2(lambda: cstore.substring_search([lit], corpus=d).count())
+        n_cprobe = cstore.substring_search([lit], corpus=d).count()
+        print(
+            f"{label}: char-trigram ingest {t_cingest:.1f}s, "
+            f"substring probe {t_cprobe:.2f}s ({n_cprobe} docs)"
+        )
         # 1b. token index: 3-batch ingest + BM25 serve from the index
         from etl_database_spark.operators.tokenindex import TokenIndexStore
 
@@ -101,6 +117,17 @@ def run_suite(spark, sf_dir: str, label: str) -> None:
             .agg(F.sum("pred")).first()
         )
         print(f"{label}: logreg train(10 iters) {t_train:.1f}s, score-pass {t_score:.1f}s")
+        # 2b. PMI collocations + PSI drift (one-pass analysis rows)
+        from etl_database_spark.queries import load_all
+
+        reg = load_all()
+        t_pmi = best2(
+            lambda: reg["bigram_pmi_collocations"].fn(spark, sf_dir).count()
+        )
+        t_psi = best2(
+            lambda: reg["source_length_drift_psi"].fn(spark, sf_dir).count()
+        )
+        print(f"{label}: pmi top-20 {t_pmi:.1f}s, psi monitor {t_psi:.1f}s")
         # 3. JL projection + top-k
         emb = table(spark, sf_dir, "embeddings")
 
