@@ -2867,47 +2867,53 @@ def winnow_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINNOW_STORE_CACHE: dict = {}
 
 
-def _winnow_store(spark: SparkSession, sf_dir: str):
-    """Three-batch WinnowStore over the documents table (ingest →
-    compact → ingest → replay no-op guard → ingest), cached per
-    fixture generation — the span-store setup discipline applied to
-    the winnowing fingerprint layer."""
+def _fixture_store(cache: dict, spark: SparkSession, sf_dir: str, prefix: str, make):
+    """Shared per-fixture-generation store cache + the three-batch
+    ingest discipline (ingest → compact → ingest → replay no-op guard
+    → ingest) used by every registered store-serving row. ``make``
+    builds the empty store from (spark, temp_path); the modulo-3
+    document batches, the compaction and the replay guard are THE one
+    lifecycle, so the four store families cannot drift apart in what
+    their "incremental build" means. Keyed on the fixture's mtime;
+    stale generations are deleted, temp dirs removed atexit."""
     import os
 
     src = os.path.join(sf_dir, "documents.parquet")
     key = (sf_dir, os.path.getmtime(src) if os.path.exists(src) else None)
-    if key not in _WINNOW_STORE_CACHE:
+    if key not in cache:
         import atexit
         import shutil
         import tempfile
 
-        from etl_database_spark.operators.winnowstore import WinnowStore
-
-        for old_key in [k for k in _WINNOW_STORE_CACHE if k[0] == sf_dir and k != key]:
-            old = _WINNOW_STORE_CACHE.pop(old_key)
+        for old_key in [k for k in cache if k[0] == sf_dir and k != key]:
+            old = cache.pop(old_key)
             shutil.rmtree(old.path, ignore_errors=True)
         d = table(spark, sf_dir, "documents")
-        store = WinnowStore(
-            spark,
-            tempfile.mkdtemp(prefix="spark_graft_winnow_"),
-            k=_WINNOW_K,
-            w=_WINNOW_W,
-        )
+        store = make(spark, tempfile.mkdtemp(prefix=prefix))
         b1 = d.where(F.col("doc_id") % 3 == 0)
-        b2 = d.where(F.col("doc_id") % 3 == 1)
-        b3 = d.where(F.col("doc_id") % 3 == 2)
         store.ingest(b1, batch="day1")
         store.compact()
-        store.ingest(b2, batch="day2")
+        store.ingest(d.where(F.col("doc_id") % 3 == 1), batch="day2")
         if store.ingest(b1, batch="day1") is not False:
             raise RuntimeError(
-                "winnow store re-ingested an already-compacted batch; "
-                "served pairs would double-count day1 postings"
+                f"{type(store).__name__} re-ingested an already-compacted "
+                "batch; served state would double-count day1"
             )
-        store.ingest(b3, batch="day3")
+        store.ingest(d.where(F.col("doc_id") % 3 == 2), batch="day3")
         atexit.register(shutil.rmtree, store.path, ignore_errors=True)
-        _WINNOW_STORE_CACHE[key] = store
-    return _WINNOW_STORE_CACHE[key]
+        cache[key] = store
+    return cache[key]
+
+
+def _winnow_store(spark: SparkSession, sf_dir: str):
+    """Three-batch WinnowStore over the documents table, cached per
+    fixture generation (_fixture_store)."""
+    from etl_database_spark.operators.winnowstore import WinnowStore
+
+    return _fixture_store(
+        _WINNOW_STORE_CACHE, spark, sf_dir, "spark_graft_winnow_",
+        lambda sp, path: WinnowStore(sp, path, k=_WINNOW_K, w=_WINNOW_W),
+    )
 
 
 @register("winnowstore_incremental_pairs", oracle=_WINNOW_PAIRS_ORACLE)
@@ -3079,40 +3085,13 @@ _PHRASE_INDEX_CACHE: dict = {}
 
 
 def _phrase_index(spark: SparkSession, sf_dir: str):
-    """Three-batch PhraseIndexStore over the documents table (ingest →
-    compact → ingest → replay no-op guard → ingest), cached per
-    fixture generation — the winnow-store setup discipline."""
-    import os
+    """Three-batch PhraseIndexStore, cached per fixture generation."""
+    from etl_database_spark.operators.phraseindex import PhraseIndexStore
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    key = (sf_dir, os.path.getmtime(src) if os.path.exists(src) else None)
-    if key not in _PHRASE_INDEX_CACHE:
-        import atexit
-        import shutil
-        import tempfile
-
-        from etl_database_spark.operators.phraseindex import PhraseIndexStore
-
-        for old_key in [k for k in _PHRASE_INDEX_CACHE if k[0] == sf_dir and k != key]:
-            old = _PHRASE_INDEX_CACHE.pop(old_key)
-            shutil.rmtree(old.path, ignore_errors=True)
-        d = table(spark, sf_dir, "documents")
-        store = PhraseIndexStore(
-            spark, tempfile.mkdtemp(prefix="spark_graft_phraseidx_"), n=_PHRASE_N
-        )
-        b1 = d.where(F.col("doc_id") % 3 == 0)
-        store.ingest(b1, batch="day1")
-        store.compact()
-        store.ingest(d.where(F.col("doc_id") % 3 == 1), batch="day2")
-        if store.ingest(b1, batch="day1") is not False:
-            raise RuntimeError(
-                "phrase index re-ingested an already-compacted batch; "
-                "served postings would double-count day1"
-            )
-        store.ingest(d.where(F.col("doc_id") % 3 == 2), batch="day3")
-        atexit.register(shutil.rmtree, store.path, ignore_errors=True)
-        _PHRASE_INDEX_CACHE[key] = store
-    return _PHRASE_INDEX_CACHE[key]
+    return _fixture_store(
+        _PHRASE_INDEX_CACHE, spark, sf_dir, "spark_graft_phraseidx_",
+        lambda sp, path: PhraseIndexStore(sp, path, n=_PHRASE_N),
+    )
 
 
 _PHRASE_ORACLE = f"""
@@ -3156,39 +3135,14 @@ _SUBSTR_INDEX_CACHE: dict = {}
 
 
 def _char_trigram_index(spark: SparkSession, sf_dir: str):
-    """Three-batch unit='char' PhraseIndexStore over the documents
-    table (ingest → compact → ingest → replay no-op guard → ingest),
-    cached per fixture generation."""
-    import os
+    """Three-batch unit='char' PhraseIndexStore, cached per fixture
+    generation."""
+    from etl_database_spark.operators.phraseindex import PhraseIndexStore
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    key = (sf_dir, os.path.getmtime(src) if os.path.exists(src) else None)
-    if key not in _SUBSTR_INDEX_CACHE:
-        import atexit
-        import shutil
-        import tempfile
-
-        from etl_database_spark.operators.phraseindex import PhraseIndexStore
-
-        for old_key in [k for k in _SUBSTR_INDEX_CACHE if k[0] == sf_dir and k != key]:
-            old = _SUBSTR_INDEX_CACHE.pop(old_key)
-            shutil.rmtree(old.path, ignore_errors=True)
-        d = table(spark, sf_dir, "documents")
-        store = PhraseIndexStore(
-            spark, tempfile.mkdtemp(prefix="spark_graft_chartrgm_"), n=3, unit="char"
-        )
-        b1 = d.where(F.col("doc_id") % 3 == 0)
-        store.ingest(b1, batch="day1")
-        store.compact()
-        store.ingest(d.where(F.col("doc_id") % 3 == 1), batch="day2")
-        if store.ingest(b1, batch="day1") is not False:
-            raise RuntimeError(
-                "char-trigram index re-ingested an already-compacted batch"
-            )
-        store.ingest(d.where(F.col("doc_id") % 3 == 2), batch="day3")
-        atexit.register(shutil.rmtree, store.path, ignore_errors=True)
-        _SUBSTR_INDEX_CACHE[key] = store
-    return _SUBSTR_INDEX_CACHE[key]
+    return _fixture_store(
+        _SUBSTR_INDEX_CACHE, spark, sf_dir, "spark_graft_chartrgm_",
+        lambda sp, path: PhraseIndexStore(sp, path, n=3, unit="char"),
+    )
 
 
 _SUBSTR_ORACLE = f"""
@@ -3523,90 +3477,13 @@ _TOKEN_INDEX_CACHE: dict = {}
 
 
 def _token_index(spark: SparkSession, sf_dir: str):
-    """Three-batch TokenIndexStore over the documents table (ingest →
-    compact → ingest → replay no-op guard → ingest), cached per
-    fixture generation — the winnow/phrase store setup discipline."""
-    import os
+    """Three-batch TokenIndexStore, cached per fixture generation."""
+    from etl_database_spark.operators.tokenindex import TokenIndexStore
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    key = (sf_dir, os.path.getmtime(src) if os.path.exists(src) else None)
-    if key not in _TOKEN_INDEX_CACHE:
-        import atexit
-        import shutil
-        import tempfile
-
-        from etl_database_spark.operators.tokenindex import TokenIndexStore
-
-        for old_key in [k for k in _TOKEN_INDEX_CACHE if k[0] == sf_dir and k != key]:
-            old = _TOKEN_INDEX_CACHE.pop(old_key)
-            shutil.rmtree(old.path, ignore_errors=True)
-        d = table(spark, sf_dir, "documents")
-        store = TokenIndexStore(
-            spark, tempfile.mkdtemp(prefix="spark_graft_tokenidx_")
-        )
-        b1 = d.where(F.col("doc_id") % 3 == 0)
-        store.ingest(b1, batch="day1")
-        store.compact()
-        store.ingest(d.where(F.col("doc_id") % 3 == 1), batch="day2")
-        if store.ingest(b1, batch="day1") is not False:
-            raise RuntimeError(
-                "token index re-ingested an already-compacted batch; "
-                "served tf would double-count day1"
-            )
-        store.ingest(d.where(F.col("doc_id") % 3 == 2), batch="day3")
-        atexit.register(shutil.rmtree, store.path, ignore_errors=True)
-        _TOKEN_INDEX_CACHE[key] = store
-    return _TOKEN_INDEX_CACHE[key]
-
-
-# Stream-maintained token index: documents delivered as a
-# two-micro-batch stream into the checkpoint-bound TokenIndexStore,
-# then the SAME top-5-term BM25 ranking served from the streamed
-# postings — the one-shot oracle certifies stream==batch for ranked
-# retrieval end to end.
-@register("streaming_bm25_index_scores", oracle=_BM25_ORACLE)
-def streaming_bm25_index_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_bm25_scores served from a stream-maintained token index;
-    must equal the one-shot full-corpus computation."""
-    import os
-    import shutil
-    import tempfile
-
-    from etl_database_spark.functions.rank import ranked_topk_small
-    from etl_database_spark.streaming.tokenidx import run_tokenidx_once
-
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    work = tempfile.mkdtemp(prefix="spark_graft_stream_tokenidx_")
-    src = os.path.join(work, "src")
-    store_path = os.path.join(work, "store")
-    ckpt = os.path.join(work, "ckpt")
-    try:
-        d.where(F.col("doc_id") % 2 == 0).write.parquet(src)
-        run_tokenidx_once(
-            spark, spark.readStream.schema(d.schema).parquet(src), store_path, ckpt
-        )
-        d.where(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
-        store = run_tokenidx_once(
-            spark, spark.readStream.schema(d.schema).parquet(src), store_path, ckpt
-        )
-        top = store.top_terms(_BM25_TOP_TERMS)
-        scored = store.bm25_serve(top)
-        topk = scored.orderBy(F.desc("bm25_dec"), F.asc("_id")).limit(_BM25_TOP_DOCS)
-        ranked = ranked_topk_small(
-            topk, [F.desc("bm25_dec"), F.asc("_id")], "bm25_rank"
-        )
-        out = (
-            ranked.select(
-                F.col("_id").alias("doc_id"),
-                F.round(F.col("bm25_dec"), 4).cast("double").alias("bm25"),
-                "bm25_rank",
-            )
-            .orderBy("bm25_rank")
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
-    return out
+    return _fixture_store(
+        _TOKEN_INDEX_CACHE, spark, sf_dir, "spark_graft_tokenidx_",
+        lambda sp, path: TokenIndexStore(sp, path),
+    )
 
 
 @register("bm25_index_scores", oracle=_BM25_ORACLE)
