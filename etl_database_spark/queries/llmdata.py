@@ -3511,6 +3511,56 @@ def bm25_index_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Stream-maintained token index: documents delivered as a
+# two-micro-batch stream into the checkpoint-bound TokenIndexStore,
+# then the SAME top-5-term BM25 ranking served from the streamed
+# postings — the one-shot oracle certifies stream==batch for ranked
+# retrieval end to end.
+@register("streaming_bm25_index_scores", oracle=_BM25_ORACLE)
+def streaming_bm25_index_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_bm25_scores served from a stream-maintained token index;
+    must equal the one-shot full-corpus computation."""
+    import os
+    import shutil
+    import tempfile
+
+    from etl_database_spark.functions.rank import ranked_topk_small
+    from etl_database_spark.streaming.tokenidx import run_tokenidx_once
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="spark_graft_stream_tokenidx_")
+    src = os.path.join(work, "src")
+    store_path = os.path.join(work, "store")
+    ckpt = os.path.join(work, "ckpt")
+    try:
+        d.where(F.col("doc_id") % 2 == 0).write.parquet(src)
+        run_tokenidx_once(
+            spark, spark.readStream.schema(d.schema).parquet(src), store_path, ckpt
+        )
+        d.where(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+        store = run_tokenidx_once(
+            spark, spark.readStream.schema(d.schema).parquet(src), store_path, ckpt
+        )
+        top = store.top_terms(_BM25_TOP_TERMS)
+        scored = store.bm25_serve(top)
+        topk = scored.orderBy(F.desc("bm25_dec"), F.asc("_id")).limit(_BM25_TOP_DOCS)
+        ranked = ranked_topk_small(
+            topk, [F.desc("bm25_dec"), F.asc("_id")], "bm25_rank"
+        )
+        out = (
+            ranked.select(
+                F.col("_id").alias("doc_id"),
+                F.round(F.col("bm25_dec"), 4).cast("double").alias("bm25"),
+                "bm25_rank",
+            )
+            .orderBy("bm25_rank")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Semantic dedup (SemDeDup, arXiv:2303.09540): cluster embeddings,
 # prune cosine-near-duplicates within each cluster. Two tiers: the
