@@ -89,8 +89,17 @@ class BatchStore:
             return
         stored = self._read_json(self.CONFIG_FILE)
         current = self._config()
-        if stored is not None and stored != current:
-            raise ValueError(self._config_mismatch(stored, current))
+        if stored is not None:
+            stored = self._upgrade_stored_config(dict(stored))
+            if stored != current:
+                raise ValueError(self._config_mismatch(stored, current))
+
+    def _upgrade_stored_config(self, stored: dict) -> dict:
+        """Subclass hook: default config keys that were added AFTER
+        stores of this kind first persisted to disk, so pre-existing
+        stores keep opening instead of failing the identity check on a
+        key they could not have written."""
+        return stored
 
     # -- write path ---------------------------------------------------------
 

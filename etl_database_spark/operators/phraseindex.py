@@ -54,8 +54,16 @@ from etl_database_spark.operators.batchstore import BatchStore
 
 
 def _norm_py(s: str) -> str:
-    """Driver-side mirror of functions.text.normalize_text."""
-    return re.sub(r"\s+", " ", s.lower()).strip()
+    """Driver-side mirror of functions.text.normalize_text.
+
+    Must match the JVM semantics exactly, not Python's: Java's ``\\s``
+    is ASCII-only (``[ \\t\\n\\x0B\\f\\r]``) and Spark SQL ``trim()``
+    strips ONLY the space character, while Python's ``\\s``/``strip()``
+    are Unicode-aware — a probe containing e.g. a non-breaking space
+    would otherwise normalize differently from the indexed text and
+    silently return no matches (parity pinned against the real JVM
+    expression in tests/test_phraseindex.py)."""
+    return re.sub(r"[ \t\n\x0b\f\r]+", " ", s.lower()).strip(" ")
 
 
 class PhraseIndexStore(BatchStore):
@@ -79,9 +87,9 @@ class PhraseIndexStore(BatchStore):
 
     def _config_mismatch(self, stored: dict, current: dict) -> str:
         return (
-            f"phrase index {self.path} was built with n={stored.get('n')}; "
-            f"reopening with n={current.get('n')} would merge postings of "
-            "different gram widths — pass the original n or rebuild"
+            f"phrase index {self.path} was built with {stored}; "
+            f"reopening with {current} would merge postings of a "
+            "different gram scheme — pass the original n/unit or rebuild"
         )
 
     # -- write path -------------------------------------------------------

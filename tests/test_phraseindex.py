@@ -122,3 +122,38 @@ def test_char_trigram_substring_search_equals_contains_scan(spark, tmp_path):
     # config identity: reopening the char store as token must refuse
     with pytest.raises(ValueError, match="merge"):
         PhraseIndexStore(spark, str(tmp_path / "idx"), n=3, unit="token")
+
+
+def test_norm_py_matches_jvm_normalize_text(spark):
+    """_norm_py is the driver-side probe normalizer; if it diverges
+    from the JVM normalize_text the probe grams stop matching the
+    indexed grams and search silently returns nothing. Java's \\s is
+    ASCII-only and Spark SQL trim() strips only spaces, while Python's
+    \\s/strip() are Unicode-aware — pin parity on exactly the inputs
+    where they diverge (NBSP, ideographic space, control chars at the
+    edges)."""
+    from etl_database_spark.operators.phraseindex import _norm_py
+
+    cases = [
+        "Plain  Text",
+        "non breaking space",   # U+00A0: Java \s does NOT match
+        "ideographic\u3000space",     # U+3000: same
+        " \t\r\n edge whitespace \x0b ",
+        "\x01control edges\x1f",  # SQL trim keeps non-space controls
+        " leading nbsp",              # Java trim does NOT strip
+        "tabs\tand\nnewlines\fmixed",
+        "",
+    ]
+    df = spark.createDataFrame([(s,) for s in cases], "text string")
+    jvm = [r.n for r in df.select(normalize_text(F.col("text")).alias("n")).collect()]
+    assert [_norm_py(s) for s in cases] == jvm
+
+
+def test_config_mismatch_names_unit_not_just_n(spark, tmp_path):
+    """Reopening a unit='char' store as unit='token' with the SAME n
+    must produce a message that shows the actual differing key."""
+    PhraseIndexStore(spark, str(tmp_path / "c"), n=3, unit="char").ingest(
+        spark.createDataFrame([(1, "abcdef")], "doc_id long, text string"), "b0"
+    )
+    with pytest.raises(ValueError, match="unit.*char") :
+        PhraseIndexStore(spark, str(tmp_path / "c"), n=3, unit="token")
