@@ -159,6 +159,12 @@ WINDOW_PROMOTED = (
     "bm25_index_scores",
     "phrase_index_search",
     "logreg_classifier_scores",
+    # round-10 (VERDICT r9 ask #5): the remaining iterative-training
+    # twins certified by the driver's own artifact — the 5-iteration
+    # PageRank trajectory and the 3-iteration Lloyd k-means
+    # assignment, both replayed end-to-end as decimal-sum SQL CTEs
+    "pagerank_checkable",
+    "kmeans_assign_checkable",
 )
 WINDOW_DEMOTED = (
     "approx_distinct_parts",
@@ -224,4 +230,18 @@ WINDOW_DEMOTED = (
     "segment_metrics_unpivot",
     "cube_doc_counts",
     "order_price_histogram",
+    # round-10: yield two slots to the iterative-training promotions
+    # above. Redundant with window coverage that stays:
+    # - customer_running_revenue (running window aggregate; the window
+    #   family keeps customer_spend_quartiles' exact partition-offset
+    #   ntile, latest_event_per_user's row_number snapshot and
+    #   top_orders_per_segment's windowed top-n in-window)
+    # - daily_click_purchase_recon (two daily aggregates joined on a
+    #   date key; daily_purchase_gapfill keeps the date-spine family,
+    #   regional_revenue keeps aggregate-over-join, and
+    #   windowed_event_counts keeps time bucketing in-window)
+    # Both remain pytest-oracle-verified
+    # (tests/test_oracle_equivalence.py).
+    "customer_running_revenue",
+    "daily_click_purchase_recon",
 )
