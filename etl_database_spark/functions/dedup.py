@@ -256,8 +256,12 @@ def lsh_candidate_pairs_incremental(
     """Banded LSH candidates between a NEW signature batch and the
     full signature table (``sigs_all`` must already CONTAIN the new
     batch) → canonical (id_a < id_b) pairs with at least one new
-    endpoint — the incremental discovery step of
-    :class:`~etl_database_spark.operators.edgestore.EdgeStore`.
+    endpoint — the REFERENCE SPEC for the incremental discovery step
+    of :class:`~etl_database_spark.operators.edgestore.EdgeStore`.
+    The store's production path (``EdgeStore._candidate_pairs``)
+    computes the same pair set from its persisted band rows and
+    signed bucket counts without re-banding the corpus; the
+    equivalence is pinned in tests/test_graph.py.
 
     Identical band construction to :func:`lsh_candidate_pairs` (the
     shared :func:`band_table`), bucket sizes and the ``max_bucket``

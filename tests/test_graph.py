@@ -339,3 +339,108 @@ def test_pagerank_portable_matches_production_and_is_invariant(spark):
         for r in pagerank_portable(pairs.repartition(7), iters=25).collect()
     }
     assert got == again
+
+
+def test_edgestore_opens_stores_persisted_before_portable_key(spark, tmp_path):
+    """'portable' joined the config identity in round 9; a store whose
+    on-disk config predates the key must still open (defaulting to
+    portable=False) instead of failing the identity check, and must
+    still refuse a REAL mismatch (reopening as portable=True)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_database_spark.operators.edgestore import EdgeStore
+    from etl_database_spark.queries import table
+
+    P = dict(n=5, num_perm=32, bands=32, threshold=0.3, min_agree=3)
+    d = table(spark, "/root/testdata/sf0.001", "documents").where(F.col("doc_id") < 60)
+    store = EdgeStore(spark, str(tmp_path / "edges"), **P)
+    assert store.ingest(d, "b0", corpus=d)
+    # simulate a pre-round-9 store: drop the key from the stored config
+    cfg_path = os.path.join(store.path, store.CONFIG_FILE)
+    cfg = json.load(open(cfg_path))
+    del cfg["portable"]
+    tmp = cfg_path + ".tmp"
+    json.dump(cfg, open(tmp, "w"))
+    os.replace(tmp, cfg_path)
+
+    reopened = EdgeStore(spark, str(tmp_path / "edges"), **P)  # must not raise
+    assert reopened.edges().count() == store.edges().count()
+    with pytest.raises(ValueError):
+        EdgeStore(spark, str(tmp_path / "edges"), portable=True, **P)
+
+
+def test_edgestore_candidates_match_reference_incremental(spark, tmp_path):
+    """The store's persisted-band candidate path must produce exactly
+    the pair set of the reference spec
+    (dedup.lsh_candidate_pairs_incremental: re-band the full merged
+    signature table, full-table bucket sizes, in-join agree cut) for
+    the same batch — the band/count row kinds are a cost optimization,
+    not a semantics change."""
+    from pyspark.sql import functions as F
+
+    from etl_database_spark.functions import dedup as D
+    from etl_database_spark.operators.edgestore import EdgeStore
+    from etl_database_spark.queries import table
+
+    P = dict(n=5, num_perm=32, bands=32, threshold=0.3, min_agree=3)
+    d = table(spark, "/root/testdata/sf0.001", "documents").where(
+        F.col("doc_id") < 300
+    )
+    store = EdgeStore(spark, str(tmp_path / "edges"), **P)
+    b0, b1 = d.where(F.col("doc_id") % 2 == 0), d.where(F.col("doc_id") % 2 == 1)
+    assert store.ingest(b0, "b0", corpus=b0)
+    assert store.ingest(b1, "b1", corpus=d)
+
+    sigs_b1 = D.minhash_signatures(D.shingles(b1, "text", "doc_id", P["n"]), P["num_perm"])
+    ref = D.lsh_candidate_pairs_incremental(
+        sigs_b1,
+        store.signatures(),
+        num_perm=P["num_perm"],
+        bands=P["bands"],
+        max_bucket=store.max_bucket,
+        min_agree=P["min_agree"],
+    )
+    banded_b1 = D.band_table(sigs_b1, P["num_perm"], P["bands"])
+    got = store._candidate_pairs(banded_b1)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_edgestore_band_backfill_migrates_legacy_store(spark, tmp_path):
+    """A store persisted BEFORE the band/count row kinds (simulated by
+    deleting those side tables) must heal on the next ingest via the
+    one-time backfill and produce the same edges as a never-migrated
+    store."""
+    import shutil as sh
+
+    from pyspark.sql import functions as F
+
+    from etl_database_spark.operators.edgestore import EdgeStore
+    from etl_database_spark.queries import table
+
+    P = dict(n=5, num_perm=32, bands=32, threshold=0.3, min_agree=3)
+    d = table(spark, "/root/testdata/sf0.001", "documents").where(
+        F.col("doc_id") < 300
+    )
+
+    def pairset(s):
+        return sorted(map(tuple, s.edges().collect()))
+
+    fresh = EdgeStore(spark, str(tmp_path / "fresh"), **P)
+    legacy = EdgeStore(spark, str(tmp_path / "legacy"), **P)
+    for i in range(2):
+        part = d.where(F.col("doc_id") % 3 == i)
+        corpus = d.where(F.col("doc_id") % 3 <= i)
+        assert fresh.ingest(part, f"b{i}", corpus=corpus)
+        assert legacy.ingest(part, f"b{i}", corpus=corpus)
+    # strip the new row kinds -> pre-migration on-disk layout
+    import os
+
+    for sub in (EdgeStore.BANDS_SUBDIR, EdgeStore.COUNTS_SUBDIR):
+        sh.rmtree(os.path.join(legacy.path, sub))
+    last = d.where(F.col("doc_id") % 3 == 2)
+    assert fresh.ingest(last, "b2", corpus=d)
+    assert legacy.ingest(last, "b2", corpus=d)  # triggers backfill
+    assert pairset(legacy) == pairset(fresh)
