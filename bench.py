@@ -78,6 +78,11 @@ HEADLINE = [
     # after the first repeat; the measured row is |Q| posting-list
     # folds + the shared scoring tail)
     "bm25_index_scores",
+    # round-10 addition: the curation pipeline with its near-dup stage
+    # served from the persisted EdgeStore (store build cached after
+    # the first repeat; the measured row is gates + exact-dedup +
+    # component removal off the stored edge list + split counts)
+    "corpus_curation_served",
 ]
 
 
