@@ -148,6 +148,17 @@ class PhraseIndexStore(BatchStore):
     ) -> bool:
         if not self._begin_batch(batch):
             return False
+        # The gram projection multiplies each document ~n_chars-fold
+        # (char mode), so its parallelism is pinned by the SCAN's
+        # partition count — a batch that arrives as one or two parquet
+        # splits runs the heavy explode on 2 of N cores (measured at
+        # sf1: 50s/batch on 2 tasks → 4.4s on 32). Rebalance only when
+        # the input is UNDER-partitioned; a real day-batch at scale
+        # already has >= cluster-parallelism splits and skips the
+        # shuffle (the shuffled payload is the raw batch, pre-explode).
+        n = self.spark.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < n:
+            docs = docs.repartition(n)
         postings = self._batch_postings(docs, text_col, id_col).select(
             "gram", "_id", F.lit(sign).cast("int").alias("sign")
         )
