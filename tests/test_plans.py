@@ -318,3 +318,29 @@ def test_partitioned_day_slice_is_partition_pruned(spark, registry):
     assert touched_days == {
         f"day={(d0 + dt.timedelta(days=off)).isoformat()}" for off in range(7, 14)
     }
+
+
+def test_plan_audit_artifact_matches_registry():
+    """PLAN_AUDIT.md is the committed no-row-UDF / pushed-filter
+    evidence; round 9 showed it can silently go stale (it listed a
+    deleted row and missed two live ones, including a driver-window
+    row). Pin: the artifact's row set must equal the live registry, so
+    any registry change without a regeneration turns pytest red."""
+    import os
+    import re
+
+    from etl_database_spark.queries import load_all
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLAN_AUDIT.md")
+    assert os.path.exists(path), "PLAN_AUDIT.md missing — run tools/plan_audit.py"
+    rows = set()
+    for ln in open(path):
+        m = re.match(r"\|\s*([a-z0-9_]+)\s*\|", ln)
+        if m and m.group(1) != "query":
+            rows.add(m.group(1))
+    registry = set(load_all())
+    assert rows == registry, (
+        f"PLAN_AUDIT.md stale: missing={sorted(registry - rows)} "
+        f"deleted={sorted(rows - registry)} — regenerate with "
+        "`python tools/plan_audit.py > PLAN_AUDIT.md`"
+    )

@@ -37,9 +37,11 @@ def main() -> int:
     print("| query | exchanges | broadcasts | pushed filters | scan cols | python row-UDFs | checkpointed |")
     print("|---|---|---|---|---|---|---|")
     bad_udf = []
+    audited = []
     for name, rq in registry.items():
         if only and name not in only:
             continue
+        audited.append(name)
         try:
             df = rq.fn(spark, sf_dir)
             plan = formatted_plan(df)
@@ -67,6 +69,17 @@ def main() -> int:
         )
         spark.catalog.clearCache()
     print()
+    # Self-check (VERDICT r9 ask #4): a full run must cover the registry
+    # exactly — a stale artifact regenerated from a drifted registry
+    # fails here instead of silently listing deleted/missing rows.
+    if not only and set(audited) != set(registry):
+        print(
+            "AUDIT/REGISTRY MISMATCH: "
+            f"missing={sorted(set(registry) - set(audited))} "
+            f"extra={sorted(set(audited) - set(registry))}"
+        )
+        return 1
+    print(f"Audited {len(audited)} queries == registry {len(registry)}.")
     if bad_udf:
         print(f"Python row-UDFs found in: {', '.join(bad_udf)} (investigate!)")
         return 1
