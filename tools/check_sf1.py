@@ -72,14 +72,24 @@ def main() -> int:
     from etl_database_spark.session import get_spark
 
     spark = get_spark("check_sf1")
-    con = duck_connect(sf1_dir)
-    # The heaviest oracle (leakage_safe_splits: portable k=64 LSH +
-    # closure over 50k docs) runs ~49 min and spills ~11 GB; cap
-    # DuckDB's memory and give it a spill directory so the row
-    # completes under load instead of drawing the OOM killer.
-    con.execute("SET memory_limit='40GB'")
     os.makedirs("/tmp/duck_spill", exist_ok=True)
-    con.execute("SET temp_directory='/tmp/duck_spill'")
+
+    def fresh_con():
+        # One connection PER ROW (round 10): a single long-lived
+        # connection accumulates buffer-pool/temp state across 167
+        # heavy oracles — pagerank_checkable OOM'd at the shared 40GB
+        # cap and corpus_curation_full filled the spill disk inside
+        # the matrix, while BOTH pass solo in under 35s on a fresh
+        # default-limit connection. Per-row isolation releases memory
+        # and temp deterministically; the 64GB cap (vs the 48GB JVM)
+        # keeps the two engines co-resident, and the spill directory
+        # still catches the genuinely large oracles
+        # (leakage_safe_splits spills ~11GB).
+        c = duck_connect(sf1_dir)
+        c.execute("SET memory_limit='64GB'")
+        c.execute("SET temp_directory='/tmp/duck_spill'")
+        return c
+
     registry = load_all()
 
     bad: list[str] = []
@@ -96,7 +106,11 @@ def main() -> int:
             import dataclasses
 
             rq = dataclasses.replace(rq, oracle=None)
-        status, detail, el = check_one(spark, con, rq, sf1_dir)
+        con = fresh_con()
+        try:
+            status, detail, el = check_one(spark, con, rq, sf1_dir)
+        finally:
+            con.close()
         if name in EXPECTED_REFUSALS:
             sibling = EXPECTED_REFUSALS[name]
             if status == "fail" and "spark error" in detail and sibling in detail:
