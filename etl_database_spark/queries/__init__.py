@@ -165,6 +165,17 @@ WINDOW_PROMOTED = (
     # assignment, both replayed end-to-end as decimal-sum SQL CTEs
     "pagerank_checkable",
     "kmeans_assign_checkable",
+    # round-11 (VERDICT r10 ask #1): the stream-maintained stores
+    # certified by the driver's own artifact — the last major serving
+    # components never in a CORRECTNESS_rN window. Each delivers the
+    # documents table as a two-micro-batch stream into its
+    # checkpoint-bound store and serves from the streamed postings /
+    # edges; the one-shot full-corpus oracle hash IS the stream==batch
+    # proof. streaming_bm25_index_scores is also the row that silently
+    # vanished in r9, so driver-side certification has proven value.
+    "streaming_bm25_index_scores",
+    "streaming_phrase_search",
+    "streaming_edgestore_pairs",
 )
 WINDOW_DEMOTED = (
     "approx_distinct_parts",
@@ -244,4 +255,22 @@ WINDOW_DEMOTED = (
     # (tests/test_oracle_equivalence.py).
     "customer_running_revenue",
     "daily_click_purchase_recon",
+    # round-11: yield three slots to the stream-maintained store
+    # promotions above. Redundant with window coverage that stays:
+    # - orders_prev_busday (W1 previous-business-day window is held by
+    #   business_calendar, which computes the same busday spine; the
+    #   J5 correlated/as-of lookup family keeps
+    #   clicks_last_purchase_asof in-window)
+    # - ship_latency_by_priority (date/time fns family; business
+    #   _calendar, daily_purchase_gapfill and windowed_event_counts
+    #   all keep date arithmetic / truncation / bucketing in-window)
+    # - event_type_counts (A6 value_counts = groupBy-count-orderBy;
+    #   the grouped-count family keeps part_type_prefix_stats'
+    #   expression-key counts, orders_profile's COUNT(*) guards and
+    #   document_width_profile in-window)
+    # All three remain pytest-oracle-verified
+    # (tests/test_oracle_equivalence.py).
+    "orders_prev_busday",
+    "ship_latency_by_priority",
+    "event_type_counts",
 )

@@ -100,9 +100,23 @@ def test_driver_window_holds_every_core_query_and_only_oracle_backed():
     assert not rows_only, f"window slots without an oracle: {rows_only}"
     missing_promoted = [n for n in WINDOW_PROMOTED if n not in window]
     assert not missing_promoted, f"promoted queries fell out: {missing_promoted}"
-    # demoted queries stay registered (covered by pytest, just not by
-    # the driver's capped gate)
-    assert all(n in registry for n in WINDOW_DEMOTED)
+    # demoted queries stay registered AND oracle-backed (each demotion
+    # receipt in queries/__init__.py promises pytest DuckDB
+    # equivalence; a rename/deletion or a dropped oracle would orphan
+    # that receipt silently without this pin)
+    orphaned = [n for n in WINDOW_DEMOTED if n not in registry]
+    assert not orphaned, f"demoted queries no longer registered: {orphaned}"
+    # the only demoted rows allowed to lack an oracle are the two
+    # engine-native sketches (xxhash64 HLL registers have no DuckDB
+    # twin); their receipts are the property tests in
+    # tests/test_properties.py
+    rows_only_demoted = {"approx_distinct_parts", "approx_price_percentiles"}
+    receiptless = [
+        n
+        for n in WINDOW_DEMOTED
+        if registry[n].oracle is None and n not in rows_only_demoted
+    ]
+    assert not receiptless, f"demoted queries without an oracle: {receiptless}"
 
 
 @pytest.mark.parametrize("name,rq", _QUERIES, ids=[n for n, _ in _QUERIES])
