@@ -21,6 +21,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Pinned reference for the host-speed calibration probe: the probe's
+# best-of-3 on this box in a quiet state across rounds 8-10 measured
+# 0.289-0.324s. value_norm = value * (REFERENCE_CALIBRATION_SEC /
+# calibration_sec) deflates a headline taken on a degraded host back
+# to quiet-host terms (round 10: probe 0.584s, headline 34.37s on a
+# ~1.8x-loaded box vs 32.18s quiet on identical code), so BENCH_rN
+# artifacts compare across rounds without forensics.
+REFERENCE_CALIBRATION_SEC = 0.30
+
 HEADLINE = [
     "event_changes",
     "pricing_summary",
@@ -194,6 +203,44 @@ def main() -> None:
         setup["pagerank_edge_store_error"] = str(e)[:200]
         print(f"# WARNING: pagerank-edge-store setup failed: {e}", file=sys.stderr)
     try:
+        # Steady-state EdgeStore posture on the record (round-10
+        # verdict ask #6): the pagerank_edge_store line above measures
+        # the 3x33%-batch bulk build, which is verify-dominated and
+        # unrepresentative of production maintenance (a corpus
+        # day-batch is ~100 docs against a full-size store). Build a
+        # store on 98% of the corpus (reported separately), then time
+        # ONE 100-doc day-batch ingest — the number the
+        # batch-proportional design actually claims (~flat across
+        # store sizes, ROADMAP's day-batch soak).
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from etl_database_spark.operators.edgestore import EdgeStore
+        from etl_database_spark.queries import table as _table
+
+        ddir = tempfile.mkdtemp(prefix="bench_day_batch_")
+        d = _table(spark, sf_dir, "documents").select("doc_id", "text")
+        store = EdgeStore(
+            spark,
+            os.path.join(ddir, "edges"),
+            n=5, num_perm=32, bands=32, threshold=0.3, min_agree=3,
+        )
+        t0 = time.time()
+        store.ingest(d.where(F.col("doc_id") % 50 != 0), "bulk", corpus=d)
+        setup["day_batch_store_build"] = round(time.time() - t0, 3)
+        day = d.where(F.col("doc_id") % 50 == 0)
+        n_day = day.count()
+        t0 = time.time()
+        store.ingest(day, "day", corpus=d)
+        setup["day_batch_ingest"] = round(time.time() - t0, 3)
+        setup["day_batch_docs"] = int(n_day)
+        shutil.rmtree(ddir, ignore_errors=True)
+    except Exception as e:
+        setup["day_batch_ingest_error"] = str(e)[:200]
+        print(f"# WARNING: day-batch setup failed: {e}", file=sys.stderr)
+    try:
         # Same treatment for the incremental rollup store: built at
         # ingest time in production, so report the build separately and
         # let the timed repeats measure serving.
@@ -364,10 +411,19 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
+    # Host-independent headline (round-10 verdict ask #2): deflate by
+    # the calibration probe so a run on a loaded box compares with a
+    # quiet-host run directly. On a quiet host value_norm ~= value.
+    value_norm = (
+        round(total * (REFERENCE_CALIBRATION_SEC / calibration_sec), 3)
+        if calibration_sec > 0
+        else None
+    )
     line = json.dumps(
         {
             "metric": "headline_query_wall_seconds",
             "value": total,
+            "value_norm": value_norm,
             "unit": "sec",
             "queries": timings,
             "queries_p50": p50,
@@ -375,6 +431,7 @@ def main() -> None:
             "queries_value_forced": forced,
             "setup": setup,
             "calibration_sec": calibration_sec,
+            "reference_calibration_sec": REFERENCE_CALIBRATION_SEC,
             "sf": sf,
         }
     )
@@ -442,6 +499,7 @@ def _wrapper() -> int:
             {
                 "metric": full.get("metric", "headline_query_wall_seconds"),
                 "value": full.get("value"),
+                "value_norm": full.get("value_norm"),
                 "unit": full.get("unit", "sec"),
                 "sf": full.get("sf"),
                 "calibration_sec": full.get("calibration_sec"),
