@@ -19,8 +19,11 @@ FOUR signed row kinds:
 - band rows under ``_bands`` — ``(_id, band_id, band_hash, sign)``:
   the banded LSH bucket keys, computed ONCE per document at ingest
   (the same :func:`~etl_database_spark.functions.dedup.band_table`
-  construction as the one-shot path) and persisted, so later ingests
-  never re-band the corpus;
+  construction as the one-shot path) and persisted, hash-bucketed by
+  ``pmod(xxhash64(band_id, band_hash), band_buckets)`` so the
+  candidate join's stored-side scan partition-prunes to the buckets
+  the batch touches, so later ingests never re-band — and small
+  batches never fully re-scan — the corpus;
 - bucket-count deltas under ``_bucket_counts`` —
   ``(band_id, band_hash, cnt, sign)``: per-batch per-bucket row
   counts; the merged sign-sum is the EXACT live bucket size, so the
@@ -86,6 +89,7 @@ class EdgeStore(BatchStore):
     SIGS_SUBDIR = "_sigs"
     BANDS_SUBDIR = "_bands"
     COUNTS_SUBDIR = "_bucket_counts"
+    BAND_LAYOUT_FILE = "_band_layout.json"
 
     def __init__(
         self,
@@ -98,16 +102,30 @@ class EdgeStore(BatchStore):
         min_agree: int = 3,
         max_bucket: int = 200,
         portable: bool = False,
+        band_buckets: int = 64,
     ):
         """Defaults are the pagerank edge graph's parameters (r=1
         banding for low-threshold recall, ≥3/32 agreement cut — see
-        queries/llmdata.py's edge-source rationale). All seven are
-        store identity: edges of different shingle/banding/threshold/
-        hashing schemes must never merge. ``portable=True`` swaps the
-        shingle and band hashes for the md5-derived cross-engine forms
-        (functions.dedup ``portable``) so a store built with the
-        checkable-twin parameters serves edges a DuckDB oracle can
-        replay bit-for-bit."""
+        queries/llmdata.py's edge-source rationale). The first seven
+        are store identity: edges of different shingle/banding/
+        threshold/hashing schemes must never merge. ``portable=True``
+        swaps the shingle and band hashes for the md5-derived
+        cross-engine forms (functions.dedup ``portable``) so a store
+        built with the checkable-twin parameters serves edges a DuckDB
+        oracle can replay bit-for-bit.
+
+        ``band_buckets`` is a PHYSICAL layout knob, not identity: the
+        stored band table is hash-partitioned by
+        ``pmod(xxhash64(band_id, band_hash), band_buckets)`` so the
+        per-ingest candidate join prunes its stored-side scan to the
+        partitions the batch's buckets actually touch — a small
+        maintenance batch (single-doc upsert, fixup) reads a fraction
+        of the band table instead of all of it, and at 100 TB the
+        bucket count rises with the store so day-batches prune too.
+        The layout in force is pinned per store by a sidecar at first
+        band write; stores persisted before the sidecar existed keep
+        their unpartitioned layout (0), so reopening them with any
+        ``band_buckets`` value is safe."""
         super().__init__(spark, path)
         self.n = n
         self.num_perm = num_perm
@@ -116,6 +134,7 @@ class EdgeStore(BatchStore):
         self.min_agree = min_agree
         self.max_bucket = max_bucket
         self.portable = portable
+        self.band_buckets = band_buckets
         self._check_config()
 
     def _config(self) -> dict:
@@ -180,7 +199,7 @@ class EdgeStore(BatchStore):
         banded_new = D.band_table(
             sigs_new, self.num_perm, self.bands, portable=self.portable
         ).localCheckpoint(eager=True)
-        self._write_side(banded_new, self.BANDS_SUBDIR, batch, sign=1)
+        self._write_bands(banded_new, batch, sign=1)
         self._write_side(
             banded_new.groupBy("band_id", "band_hash").agg(
                 F.count("*").cast("long").alias("cnt")
@@ -210,28 +229,45 @@ class EdgeStore(BatchStore):
             if os.path.isdir(stale):
                 shutil.rmtree(stale)
 
+    def _has_committed_parquet(self, subdir: str) -> bool:
+        """True iff the side table holds at least one COMMITTED parquet
+        file. Directory existence is not enough: Spark creates the
+        dataset directory before the job commits, so a crash mid-write
+        leaves the dir present with only ``_temporary`` debris — a
+        state that must read as 'no data' (round-10 advisor
+        finding)."""
+        root = os.path.join(self.path, subdir)
+        if not os.path.isdir(root):
+            return False
+        for dirpath, dirs, files in os.walk(root):
+            dirs[:] = [d for d in dirs if d != "_temporary"]
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
     def _ensure_band_backfill(self) -> None:
         """One-time migration for stores persisted before the band /
         bucket-count row kinds: derive both from the merged signature
         table into ``batch=base`` partitions. Idempotent (dynamic
-        overwrite of the base partition), and re-run whenever either
-        side table is missing, so a crash between the two writes heals
-        on the next call."""
-        sigs_dir = os.path.join(self.path, self.SIGS_SUBDIR)
-        bands_dir = os.path.join(self.path, self.BANDS_SUBDIR)
-        counts_dir = os.path.join(self.path, self.COUNTS_SUBDIR)
-        if not os.path.isdir(sigs_dir):
+        overwrite of the base partition). Keyed on committed DATA, not
+        directory existence: a crash between the two side writes (or
+        mid-write, leaving an empty dataset dir) re-runs the backfill
+        on the next call, and a signature-table read error PROPAGATES
+        — swallowing it and proceeding would ingest a batch whose
+        band table misses the whole old corpus, silently and
+        permanently losing every old–new candidate pair (round-10
+        advisor finding)."""
+        if not self._has_committed_parquet(self.SIGS_SUBDIR):
+            return  # fresh store, or only cleared partials: nothing to migrate
+        if self._has_committed_parquet(self.BANDS_SUBDIR) and self._has_committed_parquet(
+            self.COUNTS_SUBDIR
+        ):
             return
-        if os.path.isdir(bands_dir) and os.path.isdir(counts_dir):
-            return
-        try:
-            sigs = self.signatures()
-        except Exception:
-            return  # sig dir holds no readable data (cleared partials)
+        sigs = self.signatures()
         banded = D.band_table(
             sigs, self.num_perm, self.bands, portable=self.portable
         ).localCheckpoint(eager=True)
-        self._write_side(banded, self.BANDS_SUBDIR, self.BASE_BATCH, sign=1)
+        self._write_bands(banded, self.BASE_BATCH, sign=1)
         self._write_side(
             banded.groupBy("band_id", "band_hash").agg(
                 F.count("*").cast("long").alias("cnt")
@@ -242,6 +278,43 @@ class EdgeStore(BatchStore):
         )
         banded.unpersist()
 
+    def _band_layout(self) -> int:
+        """Bucket-partition count of the stored band table (0 =
+        unpartitioned legacy layout). Pinned per store by a sidecar at
+        first band write; stores persisted before the sidecar existed
+        (band data, no sidecar) stay on layout 0 — the layout is
+        physical, so reopening them with any requested
+        ``band_buckets`` never mis-reads."""
+        stored = self._read_json(self.BAND_LAYOUT_FILE)
+        if stored is not None:
+            return int(stored["band_buckets"])
+        if self._has_committed_parquet(self.BANDS_SUBDIR):
+            return 0
+        return max(int(self.band_buckets), 0)
+
+    def _band_mod(self, buckets: int):
+        return F.pmod(F.xxhash64(F.col("band_id"), F.col("band_hash")), F.lit(buckets))
+
+    def _write_bands(self, df: DataFrame, batch: str, sign: int) -> None:
+        """Band-row write honoring the store's pinned physical layout:
+        hash-bucketed by band key so candidate joins prune their
+        stored-side scan to touched buckets."""
+        buckets = self._band_layout()
+        if self._read_json(self.BAND_LAYOUT_FILE) is None:
+            self._write_raw(self.BAND_LAYOUT_FILE, {"band_buckets": buckets})
+        if buckets <= 0:
+            self._write_side(df, self.BANDS_SUBDIR, batch, sign)
+            return
+        (
+            df.withColumn("bh_mod", self._band_mod(buckets))
+            .withColumn("sign", F.lit(sign).cast("int"))
+            .withColumn("batch", F.lit(batch))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch", "bh_mod")
+            .parquet(os.path.join(self.path, self.BANDS_SUBDIR))
+        )
+
     def _candidate_pairs(self, banded_new: DataFrame) -> DataFrame:
         """Canonical (id_a < id_b) candidate pairs with at least one
         endpoint in ``banded_new``: the batch's band rows joined
@@ -250,23 +323,39 @@ class EdgeStore(BatchStore):
         whose merged live size is under the skew cap, then the
         ``min_agree`` signature-agreement cut on merged signatures.
 
-        The stored band table is read RAW (no sign-fold shuffle):
-        duplicate rows from retract/re-ingest cycles collapse in the
-        pair ``distinct()``, and pairs whose old endpoint is retracted
-        are dropped by the inner join against the MERGED signature
-        slice (min_agree > 1) or by the exact verify's inner join
-        against the live corpus — both equivalences the lifecycle
-        tests pin. Same cap + cut semantics as the one-shot
+        The stored-side scan prunes to the bucket partitions the batch
+        touches (layout > 0): the batch's distinct ``bh_mod`` values —
+        a driver list bounded by the constant bucket count — become an
+        IN filter on the partition column, so a small maintenance
+        batch reads a fraction of the band table. The rows themselves
+        are read RAW (no sign-fold shuffle): duplicate rows from
+        retract/re-ingest cycles collapse in the pair ``distinct()``,
+        and pairs whose old endpoint is retracted are dropped
+        STRUCTURALLY at every ``min_agree`` — by the inner join
+        against the MERGED signature slice when the agreement cut runs
+        (min_agree > 1), or by the live-endpoint semi-join below when
+        it doesn't (min_agree <= 1) — so retract-exactness never rests
+        on the caller's corpus hygiene (round-10 advisor finding).
+        Same cap + cut semantics as the one-shot
         :func:`~etl_database_spark.functions.dedup.lsh_candidate_pairs`."""
         capped = (
             self.bucket_sizes()
             .where(F.col("bucket_n") <= self.max_bucket)
             .select("band_id", "band_hash")
         )
-        stored = self.spark.read.parquet(
-            os.path.join(self.path, self.BANDS_SUBDIR)
-        ).select("_id", "band_id", "band_hash")
-        stored = stored.join(capped, ["band_id", "band_hash"])
+        stored = self.spark.read.parquet(os.path.join(self.path, self.BANDS_SUBDIR))
+        buckets = self._band_layout()
+        if buckets > 0:
+            mods = [
+                r.m
+                for r in banded_new.select(self._band_mod(buckets).alias("m"))
+                .distinct()
+                .collect()
+            ]
+            stored = stored.where(F.col("bh_mod").isin(mods))
+        stored = stored.select("_id", "band_id", "band_hash").join(
+            capped, ["band_id", "band_hash"]
+        )
         a = banded_new.alias("a")
         b = stored.alias("b")
         pairs = (
@@ -282,13 +371,22 @@ class EdgeStore(BatchStore):
             )
             .distinct()
         )
-        if self.min_agree <= 1:
-            return pairs
         ids = (
             pairs.select(F.col("id_a").alias("_id"))
             .union(pairs.select(F.col("id_b").alias("_id")))
             .distinct()
         )
+        if self.min_agree <= 1:
+            # No agreement cut runs, so exclude retracted endpoints
+            # here: semi-join both ends against the live signature
+            # fold of the candidate id slice (candidate-proportional,
+            # same discipline as _signatures_slice).
+            live = self._live_ids(ids)
+            return (
+                pairs.join(
+                    live.select(F.col("_id").alias("id_a")), "id_a", "left_semi"
+                ).join(live.select(F.col("_id").alias("id_b")), "id_b", "left_semi")
+            )
         sl = self._signatures_slice(ids)
         sa = sl.select(
             F.col("_id").alias("id_a"),
@@ -307,6 +405,22 @@ class EdgeStore(BatchStore):
             .join(sb, "id_b")
             .where(agree >= self.min_agree)
             .select("id_a", "id_b")
+        )
+
+    def _live_ids(self, ids: DataFrame) -> DataFrame:
+        """The subset of ``ids`` whose documents are live (signature
+        sign-sum > 0): semi-join-pruned FIRST, so the fold shuffle is
+        candidate-proportional. Ingest writes one signature row per
+        doc per batch and retract negates the one folded live row, so
+        the per-id sign-sum is live-occurrence count minus
+        retractions."""
+        raw = self.spark.read.parquet(os.path.join(self.path, self.SIGS_SUBDIR))
+        return (
+            raw.join(ids, "_id", "left_semi")
+            .groupBy("_id")
+            .agg(F.sum("sign").alias("s"))
+            .where(F.col("s") > 0)
+            .select("_id")
         )
 
     def _signatures_slice(self, ids: DataFrame) -> DataFrame:
@@ -348,7 +462,7 @@ class EdgeStore(BatchStore):
             .select("_id", "band_id", "band_hash")
             .localCheckpoint(eager=True)
         )
-        self._write_side(doc_bands, self.BANDS_SUBDIR, batch, sign=-1)
+        self._write_bands(doc_bands, batch, sign=-1)
         self._write_side(
             doc_bands.groupBy("band_id", "band_hash").agg(
                 F.count("*").cast("long").alias("cnt")
@@ -464,7 +578,15 @@ class EdgeStore(BatchStore):
             .withColumn("sign", F.lit(1).cast("int"))
             .withColumn("batch", F.lit(self.BASE_BATCH))
         )
-        folded_bands.write.mode("overwrite").partitionBy("batch").parquet(
+        # preserve the store's pinned physical layout across compaction
+        # (the sidecar itself rides the underscore-file carry in
+        # BatchStore.compact)
+        buckets = self._band_layout()
+        band_parts = ["batch"]
+        if buckets > 0:
+            folded_bands = folded_bands.withColumn("bh_mod", self._band_mod(buckets))
+            band_parts.append("bh_mod")
+        folded_bands.write.mode("overwrite").partitionBy(*band_parts).parquet(
             os.path.join(tmp, self.BANDS_SUBDIR)
         )
         folded_counts = (

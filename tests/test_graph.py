@@ -444,3 +444,224 @@ def test_edgestore_band_backfill_migrates_legacy_store(spark, tmp_path):
     assert fresh.ingest(last, "b2", corpus=d)
     assert legacy.ingest(last, "b2", corpus=d)  # triggers backfill
     assert pairset(legacy) == pairset(fresh)
+
+
+def test_edgestore_retraction_excluded_at_min_agree_1(spark, tmp_path):
+    """Structural retract-exactness when NO agreement cut runs
+    (min_agree=1): after retracting a document, a later ingest whose
+    corpus still carries the retracted document's text (the data-lake
+    posture — ingest's corpus contract only requires previously
+    ingested docs plus the batch) must NOT store any edge incident to
+    it. Before round 11 the min_agree<=1 candidate path skipped the
+    live-signature fold entirely, so exclusion rested on the caller
+    passing a retracted-free corpus — a contract, not an invariant
+    (round-10 advisor finding)."""
+    from pyspark.sql import functions as F
+
+    from etl_database_spark.functions import dedup as D
+    from etl_database_spark.operators.edgestore import EdgeStore
+    from etl_database_spark.queries import table
+
+    P = dict(n=5, num_perm=32, bands=32, threshold=0.3, min_agree=1)
+    d = table(spark, "/root/testdata/sf0.001", "documents").where(
+        F.col("doc_id") < 300
+    )
+    one = D.minhash_near_duplicates(d, "text", "doc_id", est_margin=None, **P)
+    # pick a doc that participates in at least one verified edge, so
+    # the retraction has something to exclude
+    victim = one.select(F.col("id_a").alias("v")).union(
+        one.select(F.col("id_b").alias("v"))
+    ).groupBy("v").count().orderBy(F.desc("count"), "v").first().v
+
+    store = EdgeStore(spark, str(tmp_path / "edges"), **P)
+    b0 = d.where(F.col("doc_id") % 2 == 0)
+    assert store.ingest(b0, "b0", corpus=b0)
+    assert store.retract(d.where(F.col("doc_id") == victim), "rm")
+    assert store.edges().where(
+        (F.col("id_a") == victim) | (F.col("id_b") == victim)
+    ).count() == 0
+    # second batch: corpus deliberately still contains the retracted
+    # doc's text — exclusion must come from the store, not the caller
+    assert store.ingest(d.where(F.col("doc_id") % 2 == 1), "b1", corpus=d)
+    incident = store.edges().where(
+        (F.col("id_a") == victim) | (F.col("id_b") == victim)
+    )
+    assert incident.count() == 0
+    # and the rest of the graph equals the one-shot build on the
+    # remaining corpus (the retraction removed exactly one node)
+    rest = d.where(F.col("doc_id") != victim)
+    want = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in D.minhash_near_duplicates(
+            rest, "text", "doc_id", est_margin=None, **P
+        ).collect()
+    )
+    got = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 9)) for r in store.edges().collect()
+    )
+    assert got == want
+
+
+def test_edgestore_backfill_heals_uncommitted_counts_dir(spark, tmp_path):
+    """Crash-mid-write heal: a _bucket_counts directory that EXISTS
+    but holds no committed parquet (Spark creates the dataset dir
+    before the job commits) must read as 'missing' and re-trigger the
+    backfill — under the old os.path.isdir guard it permanently
+    blocked migration while bucket_sizes() failed on every read
+    (round-10 advisor finding)."""
+    import os
+    import shutil as sh
+
+    from pyspark.sql import functions as F
+
+    from etl_database_spark.operators.edgestore import EdgeStore
+    from etl_database_spark.queries import table
+
+    P = dict(n=5, num_perm=32, bands=32, threshold=0.3, min_agree=3)
+    d = table(spark, "/root/testdata/sf0.001", "documents").where(
+        F.col("doc_id") < 300
+    )
+    fresh = EdgeStore(spark, str(tmp_path / "fresh"), **P)
+    crashed = EdgeStore(spark, str(tmp_path / "crashed"), **P)
+    b0 = d.where(F.col("doc_id") % 2 == 0)
+    assert fresh.ingest(b0, "b0", corpus=b0)
+    assert crashed.ingest(b0, "b0", corpus=b0)
+    # simulate the crash state: bands gone, counts dir present but
+    # empty of committed data
+    sh.rmtree(os.path.join(crashed.path, EdgeStore.BANDS_SUBDIR))
+    sh.rmtree(os.path.join(crashed.path, EdgeStore.COUNTS_SUBDIR))
+    os.makedirs(
+        os.path.join(crashed.path, EdgeStore.COUNTS_SUBDIR, "_temporary", "0")
+    )
+    b1 = d.where(F.col("doc_id") % 2 == 1)
+    assert fresh.ingest(b1, "b1", corpus=d)
+    assert crashed.ingest(b1, "b1", corpus=d)  # must heal, not skip
+    assert sorted(map(tuple, crashed.edges().collect())) == sorted(
+        map(tuple, fresh.edges().collect())
+    )
+
+
+def test_edgestore_backfill_read_error_propagates(spark, tmp_path):
+    """A signature-table read failure during the backfill must RAISE:
+    swallowing it and proceeding would band only the new batch and the
+    dir-existence guard would then block the backfill forever — every
+    old-new pair silently and permanently lost (round-10 advisor
+    finding)."""
+    import glob
+    import os
+    import shutil as sh
+
+    from pyspark.sql import functions as F
+
+    from etl_database_spark.operators.edgestore import EdgeStore
+    from etl_database_spark.queries import table
+
+    P = dict(n=5, num_perm=32, bands=32, threshold=0.3, min_agree=3)
+    d = table(spark, "/root/testdata/sf0.001", "documents").where(
+        F.col("doc_id") < 120
+    )
+    store = EdgeStore(spark, str(tmp_path / "edges"), **P)
+    b0 = d.where(F.col("doc_id") % 2 == 0)
+    assert store.ingest(b0, "b0", corpus=b0)
+    # legacy layout with a corrupt signature table: bands/counts gone,
+    # sig parquet replaced by garbage bytes
+    for sub in (EdgeStore.BANDS_SUBDIR, EdgeStore.COUNTS_SUBDIR):
+        sh.rmtree(os.path.join(store.path, sub))
+    parts = glob.glob(
+        os.path.join(store.path, EdgeStore.SIGS_SUBDIR, "batch=*", "*.parquet")
+    )
+    assert parts
+    for p in parts:
+        with open(p, "wb") as fh:
+            fh.write(b"not parquet")
+    with pytest.raises(Exception):
+        store.ingest(d.where(F.col("doc_id") % 2 == 1), "b1", corpus=d)
+    # and the failed attempt must not have committed the batch
+    assert "b1" not in store.batches()
+
+
+def test_edgestore_band_scan_prunes_to_touched_buckets(spark, tmp_path):
+    """The candidate join's stored-side scan partition-prunes to the
+    bucket partitions the batch touches: for a single-document batch
+    against a populated store, the files actually read from _bands
+    are a strict subset of the files on disk, and the physical plan
+    carries the bh_mod partition filter."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import input_file_name
+
+    from etl_database_spark.functions import dedup as D
+    from etl_database_spark.operators.edgestore import EdgeStore
+    from etl_database_spark.queries import table
+
+    P = dict(n=5, num_perm=32, bands=4, threshold=0.3, min_agree=3)
+    d = table(spark, "/root/testdata/sf0.001", "documents").where(
+        F.col("doc_id") < 300
+    )
+    store = EdgeStore(spark, str(tmp_path / "edges"), band_buckets=64, **P)
+    assert store.ingest(d, "bulk", corpus=d)
+
+    one_doc = D.minhash_signatures(
+        D.shingles(d.where(F.col("doc_id") == 3), "text", "doc_id", P["n"]),
+        P["num_perm"],
+    )
+    banded = D.band_table(one_doc, P["num_perm"], P["bands"])
+    # a 1-doc batch touches <= bands distinct buckets -> <= 4 of 64
+    pairs = store._candidate_pairs(banded)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "bh_mod" in plan, plan
+    on_disk = {
+        os.path.dirname(p)
+        for p in glob.glob(
+            os.path.join(store.path, EdgeStore.BANDS_SUBDIR, "batch=*", "bh_mod=*", "*.parquet")
+        )
+    }
+    assert len(on_disk) > 8, "fixture must spread across many bucket partitions"
+    mods = {
+        r.m
+        for r in banded.select(
+            store._band_mod(64).alias("m")
+        ).distinct().collect()
+    }
+    assert len(mods) <= P["bands"]
+    read_dirs = {
+        os.path.dirname(r.f)
+        for r in store.spark.read.parquet(
+            os.path.join(store.path, EdgeStore.BANDS_SUBDIR)
+        )
+        .where(F.col("bh_mod").isin(list(mods)))
+        .select(input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert read_dirs and len(read_dirs) < len(on_disk)
+
+
+def test_edgestore_layout_zero_equals_bucketed(spark, tmp_path):
+    """band_buckets is physical only: a store written with the
+    unpartitioned layout (0) serves exactly the edges of the default
+    bucketed store across the same lifecycle."""
+    from pyspark.sql import functions as F
+
+    from etl_database_spark.operators.edgestore import EdgeStore
+    from etl_database_spark.queries import table
+
+    P = dict(n=5, num_perm=32, bands=32, threshold=0.3, min_agree=3)
+    d = table(spark, "/root/testdata/sf0.001", "documents").where(
+        F.col("doc_id") < 300
+    )
+    flat = EdgeStore(spark, str(tmp_path / "flat"), band_buckets=0, **P)
+    bucketed = EdgeStore(spark, str(tmp_path / "bucketed"), **P)
+    for i in range(2):
+        part = d.where(F.col("doc_id") % 2 == i)
+        corpus = d.where(F.col("doc_id") % 2 <= i)
+        assert flat.ingest(part, f"b{i}", corpus=corpus)
+        assert bucketed.ingest(part, f"b{i}", corpus=corpus)
+    assert sorted(map(tuple, flat.edges().collect())) == sorted(
+        map(tuple, bucketed.edges().collect())
+    )
+    # the pinned layouts differ and survive reopening
+    assert flat._band_layout() == 0
+    assert bucketed._band_layout() == 64
