@@ -394,8 +394,13 @@ def _evict_stale(cache: dict, sf_dir: str, key: tuple) -> None:
     for old_key in [k for k in cache if k[0] == sf_dir and k != key]:
         entry = cache.pop(old_key)
         path = entry if isinstance(entry, str) else entry.path  # store objects
-        shutil.rmtree(os.path.dirname(path) if path.endswith("/sigs") else path,
-                      ignore_errors=True)
+        # stores live one level under their mkdtemp dir (…/sigs,
+        # …/edges); remove the mkdtemp parent, not just the leaf, or
+        # long-lived sessions that cycle fixtures accumulate empty
+        # spark_graft_* dirs in /tmp (round-10 advisor finding)
+        parent = os.path.dirname(path)
+        target = parent if os.path.basename(parent).startswith("spark_graft_") else path
+        shutil.rmtree(target, ignore_errors=True)
 
 
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1994,6 +1999,28 @@ def _curation_edge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             store.ingest(surv.where(F.col("doc_id") % 2 == i), f"b{i}", corpus=surv)
         if store.ingest(surv.limit(1), "b0", corpus=surv) is not False:
             raise RuntimeError("curation edge store replayed an absorbed batch")
+        # Oracle-equality guard (round-10 advisor finding): the store
+        # evaluates max_bucket against bucket sizes AT EACH INGEST,
+        # the DuckDB oracle against full-corpus sizes, so the
+        # incremental edge set is a strict SUPERSET whenever a bucket
+        # crosses the cap between batches (the extra pairs are true
+        # positives — dedup.py's cap-semantics note). Sizes only grow,
+        # so final-size ≤ cap ⟺ never crossed: assert it here so a
+        # data-shape change breaks LOUDLY at build instead of turning
+        # the registered hash gate red on a correct engine.
+        crossed = (
+            store.bucket_sizes()
+            .where(F.col("bucket_n") > _MH_MAX_BUCKET)
+            .count()
+        )
+        if crossed:
+            raise RuntimeError(
+                f"corpus_curation_served fixture: {crossed} LSH bucket(s) "
+                f"crossed max_bucket={_MH_MAX_BUCKET} between batches — "
+                "the incremental store legitimately finds MORE verified "
+                "pairs than the one-shot oracle can; re-derive the "
+                "oracle or raise the cap for this fixture"
+            )
         surv.unpersist()
         _CURATION_EDGE_STORE[key] = store
     return _CURATION_EDGE_STORE[key].edges()
