@@ -63,6 +63,11 @@ def main() -> int:
         i = args.index("--from")
         start_from = args[i + 1]
         del args[i : i + 2]
+    only: set[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
     sf1_dir = args[0] if args else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".localdata", "sf1"
     )
@@ -97,6 +102,8 @@ def main() -> int:
     t_start = time.time()
     skipping = start_from is not None
     for name, rq in registry.items():
+        if only is not None and name not in only:
+            continue
         if skipping:
             if name == start_from:
                 skipping = False
