@@ -149,11 +149,18 @@ def main() -> int:
     if bad:
         print(f"NOT OK: {bad}")
         return 1
-    if start_from is None and n_refused != len(EXPECTED_REFUSALS):
-        print(f"NOT OK: expected {len(EXPECTED_REFUSALS)} refusals, saw {n_refused}")
+    expected_refusals = (
+        {n for n in EXPECTED_REFUSALS if n in only} if only is not None
+        else set(EXPECTED_REFUSALS)
+    )
+    if start_from is None and n_refused != len(expected_refusals):
+        print(f"NOT OK: expected {len(expected_refusals)} refusals, saw {n_refused}")
         return 1
     if start_from is not None:
         print(f"OK (partial, from {start_from}): no failures in the replayed tail")
+        return 0
+    if only is not None:
+        print(f"OK (subset --only {','.join(sorted(only))}): all selected rows green")
         return 0
     print("OK: sf1 matrix matches the expected green/refusal pattern")
     return 0
