@@ -92,6 +92,13 @@ HEADLINE = [
     # the first repeat; the measured row is gates + exact-dedup +
     # component removal off the stored edge list + split counts)
     "corpus_curation_served",
+    # round-11 additions: hybrid retrieval (BM25 top-k + cosine top-k
+    # fused by exact-integer reciprocal rank — both toplist builds are
+    # the measured cost), greedy MMR diversity selection over the
+    # cosine shortlist, and the k-anonymity governance profile
+    "hybrid_retrieval_rrf",
+    "mmr_diverse_topk_checkable",
+    "customer_kanonymity_profile",
 ]
 
 

@@ -3510,8 +3510,11 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TOP_TERMS = 5
 _BM25_TOP_DOCS = 100
 
-_BM25_ORACLE = f"""
-    WITH tok AS (
+# The CTE chain up to the per-doc exact-decimal score sums (``w``) is
+# shared verbatim with the hybrid-retrieval RRF oracle at the end of
+# this module, so the lexical side of the fusion replays EXACTLY the
+# scoring this row certifies.
+_BM25_CTES = f"""tok AS (
       SELECT doc_id, u.token
       FROM documents, unnest(string_split_regex(TRIM(LOWER(text)), '\\s+')) AS u(token)
       WHERE u.token <> ''),
@@ -3534,7 +3537,10 @@ _BM25_ORACLE = f"""
                  + 0.75 * dl.dl * CAST(s.n AS DOUBLE) / CAST(s.t AS DOUBLE))))
                AS DECIMAL(28,10)) AS sterm
       FROM tf JOIN idf USING (token) JOIN dl USING (doc_id) CROSS JOIN s),
-    w AS (SELECT doc_id, SUM(sterm) AS s_dec FROM sc GROUP BY doc_id)
+    w AS (SELECT doc_id, SUM(sterm) AS s_dec FROM sc GROUP BY doc_id)"""
+
+_BM25_ORACLE = f"""
+    WITH {_BM25_CTES}
     SELECT doc_id, CAST(ROUND(s_dec, 4) AS DOUBLE) AS bm25, bm25_rank
     FROM (
       SELECT doc_id, s_dec,
@@ -3545,14 +3551,11 @@ _BM25_ORACLE = f"""
     """
 
 
-@register("doc_bm25_scores", oracle=_BM25_ORACLE)
-def doc_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-100 documents by BM25 (k1=1.2, b=0.75) against the
-    corpus's 5 most common tokens: one tokenize pass, query-term
-    filter BEFORE the tf shuffle, |Q|-row broadcast idf,
-    exact-decimal per-doc sums with the top-k ordered on the exact
-    decimal — the whole score replays bit-for-bit in the DuckDB
-    oracle."""
+def _bm25_ranked_topk(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """Shared BM25 ranking pipeline → the top-``k`` docs with
+    (_id, bm25_dec exact decimal, bm25_rank). Used by doc_bm25_scores
+    and by the hybrid-retrieval RRF fusion (same k), so both rows
+    certify the same lexical scoring path."""
     from etl_database_spark.functions.bm25 import bm25_scores, tokenize_docs
     from etl_database_spark.functions.rank import ranked_topk_small
 
@@ -3576,10 +3579,20 @@ def doc_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-partition global sort; ranked_topk_small then numbers the
     # k-row result with no window at all (same pattern + rationale as
     # functions/dsir.py _rank_topk).
-    topk = scored.orderBy(F.desc("bm25_dec"), F.asc("_id")).limit(_BM25_TOP_DOCS)
-    ranked = ranked_topk_small(topk, [F.desc("bm25_dec"), F.asc("_id")], "bm25_rank")
+    topk = scored.orderBy(F.desc("bm25_dec"), F.asc("_id")).limit(k)
+    return ranked_topk_small(topk, [F.desc("bm25_dec"), F.asc("_id")], "bm25_rank")
+
+
+@register("doc_bm25_scores", oracle=_BM25_ORACLE)
+def doc_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 documents by BM25 (k1=1.2, b=0.75) against the
+    corpus's 5 most common tokens: one tokenize pass, query-term
+    filter BEFORE the tf shuffle, |Q|-row broadcast idf,
+    exact-decimal per-doc sums with the top-k ordered on the exact
+    decimal — the whole score replays bit-for-bit in the DuckDB
+    oracle."""
     return (
-        ranked
+        _bm25_ranked_topk(spark, sf_dir, _BM25_TOP_DOCS)
         .select(
             F.col("_id").alias("doc_id"),
             # decimal-space rounding: exact-decimal sums tie on the
@@ -5253,3 +5266,318 @@ def streaming_spanstore_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical ranking
+# and an embedding-cosine semantic ranking (Cormack, Clarke & Buettcher,
+# SIGIR 2009). RRF(d) = sum over lists of 1/(C + rank_d); the industry-
+# standard way to combine a keyword index with a vector index without
+# score calibration. Both input rankings are already certified by their
+# own rows (doc_bm25_scores, cosine_topk_bruteforce); this row certifies
+# the FUSION: each contribution is computed as an exact integer
+# floor(SCALE / (C + rank)) via exact_idiv, so the fused ordering is a
+# BIGINT total order with no float summation anywhere — identical in
+# every engine. At 100 TB both inputs are k-row toplists (the lexical
+# one served from the token index, the semantic one from IVF/PQ), so
+# the fusion joins two k-row frames regardless of corpus size.
+_RRF_POOL = 100  # == _BM25_TOP_DOCS: the lexical list reuses _bm25_ranked_topk
+_RRF_K = 50
+_RRF_C = 60  # the standard RRF damping constant
+_RRF_SCALE = 1_000_000_000_000
+_RRF_QVEC = 0  # semantic query: embedding of vec_id 0 (deterministic)
+
+_RRF_ORACLE = f"""
+    WITH {_BM25_CTES},
+    bmr AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY s_dec DESC, doc_id) AS bm25_rank
+      FROM w),
+    bm AS (SELECT doc_id, bm25_rank FROM bmr WHERE bm25_rank <= {_RRF_POOL}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    qv AS (SELECT v AS q_vec FROM e WHERE vec_id = {_RRF_QVEC}),
+    cs AS (
+      SELECT e.vec_id AS doc_id,
+             ROUND(
+               list_sum(list_transform(list_zip(qv.q_vec, e.v), x -> x[1] * x[2]))
+               / (SQRT(list_sum(list_transform(qv.q_vec, x -> x * x)))
+                  * SQRT(list_sum(list_transform(e.v, x -> x * x)))),
+             4) AS cos_sim
+      FROM e CROSS JOIN qv
+      WHERE e.vec_id <> {_RRF_QVEC}),
+    crk AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS cos_rank
+      FROM cs),
+    cq AS (SELECT doc_id, cos_rank FROM crk WHERE cos_rank <= {_RRF_POOL}),
+    fused AS (
+      SELECT COALESCE(bm.doc_id, cq.doc_id) AS doc_id,
+             COALESCE(bm.bm25_rank, 0) AS bm25_rank,
+             COALESCE(cq.cos_rank, 0) AS cos_rank
+      FROM bm FULL OUTER JOIN cq ON bm.doc_id = cq.doc_id),
+    scored AS (
+      SELECT doc_id, bm25_rank, cos_rank,
+             CAST(CASE WHEN bm25_rank > 0
+                       THEN {_RRF_SCALE} // (bm25_rank + {_RRF_C}) ELSE 0 END
+                + CASE WHEN cos_rank > 0
+                       THEN {_RRF_SCALE} // (cos_rank + {_RRF_C}) ELSE 0 END
+               AS BIGINT) AS rrf_micro
+      FROM fused)
+    SELECT doc_id, bm25_rank, cos_rank, rrf_micro, rrf_rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id) AS rrf_rank
+      FROM scored) z
+    WHERE rrf_rank <= {_RRF_K}
+    ORDER BY rrf_rank
+    """
+
+
+@register("hybrid_retrieval_rrf", oracle=_RRF_ORACLE)
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 documents by reciprocal-rank fusion of (a) the BM25
+    top-100 against the corpus's 5 most common tokens and (b) the
+    cosine top-100 against vec_id 0's embedding. Contributions are
+    exact integers floor(1e12/(60+rank)) summed as BIGINTs (absent
+    rank contributes 0 and surfaces as rank=0), so fusion order is
+    engine-exact; the oracle replays BOTH rankings and the fusion."""
+    from etl_database_spark.functions.rank import ranked_topk_small
+
+    bm = _bm25_ranked_topk(spark, sf_dir, _RRF_POOL).select(
+        F.col("_id").alias("doc_id"), "bm25_rank"
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == _RRF_QVEC)
+    cos_list = S.cosine_topk(emb, q, k=_RRF_POOL)
+    cq = ranked_topk_small(
+        cos_list, [F.desc("cos_sim"), F.asc("neighbor_id")], "cos_rank"
+    ).select(F.col("neighbor_id").alias("doc_id"), "cos_rank")
+
+    def contrib(rank_col: str):
+        return F.when(
+            F.col(rank_col) > 0,
+            T.exact_idiv(F.lit(_RRF_SCALE), F.col(rank_col) + F.lit(_RRF_C)),
+        ).otherwise(F.lit(0).cast("long"))
+
+    # two k-row frames: the full-outer join is trivially broadcastable
+    # and corpus-size-independent
+    fused = (
+        bm.join(cq, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("bm25_rank", F.lit(0)).alias("bm25_rank"),
+            F.coalesce("cos_rank", F.lit(0)).alias("cos_rank"),
+        )
+        .withColumn("rrf_micro", contrib("bm25_rank") + contrib("cos_rank"))
+    )
+    topk = fused.orderBy(F.desc("rrf_micro"), F.asc("doc_id")).limit(_RRF_K)
+    return (
+        ranked_topk_small(topk, [F.desc("rrf_micro"), F.asc("doc_id")], "rrf_rank")
+        .select("doc_id", "bm25_rank", "cos_rank", "rrf_micro", "rrf_rank")
+        .orderBy("rrf_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity profile (Sweeney 2002) over the customer dimension: the
+# privacy-risk screen a training-data release runs before shipping
+# records keyed by quasi-identifiers. Equivalence classes are the
+# groupBy of the QID tuple (nation, market segment, account-balance
+# kiloband); the profile reports how many classes/records sit in each
+# re-identifiability band and the corpus k (the smallest class). One
+# shuffle on the QID tuple + a scalar broadcast — the same plan shape
+# at any scale.
+_KANON_BANDS = ((1, "1 (unique)"), (4, "2-4"), (9, "5-9"), (49, "10-49"))
+
+
+@register(
+    "customer_kanonymity_profile",
+    oracle=f"""
+    WITH cls AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             COUNT(*)::BIGINT AS class_size
+      FROM customer GROUP BY 1, 2, 3),
+    k AS (SELECT MIN(class_size) AS corpus_k FROM cls),
+    banded AS (
+      SELECT CASE WHEN class_size <= 1 THEN 1 WHEN class_size <= 4 THEN 2
+                  WHEN class_size <= 9 THEN 3 WHEN class_size <= 49 THEN 4
+                  ELSE 5 END AS band_order,
+             CASE WHEN class_size <= 1 THEN '1 (unique)'
+                  WHEN class_size <= 4 THEN '2-4'
+                  WHEN class_size <= 9 THEN '5-9'
+                  WHEN class_size <= 49 THEN '10-49'
+                  ELSE '50+' END AS class_size_band,
+             class_size
+      FROM cls)
+    SELECT band_order, class_size_band,
+           COUNT(*)::BIGINT AS n_classes,
+           CAST(SUM(class_size) AS BIGINT) AS n_records,
+           k.corpus_k
+    FROM banded CROSS JOIN k
+    GROUP BY 1, 2, k.corpus_k
+    ORDER BY band_order
+    """,
+)
+def customer_kanonymity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identifiability profile of customer under the QID tuple
+    (nation, segment, balance kiloband): per class-size band, the
+    number of equivalence classes and records, plus the corpus-wide
+    k-anonymity (min class size) on every row."""
+    c = table(spark, sf_dir, "customer")
+    cls = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long").alias("bal_band"),
+    ).agg(F.count("*").alias("class_size"))
+    k = cls.agg(F.min("class_size").alias("corpus_k"))
+
+    band_order = F.lit(len(_KANON_BANDS) + 1)
+    band_label = F.lit("50+")
+    for hi, label in reversed(_KANON_BANDS):
+        cond = F.col("class_size") <= hi
+        band_order = F.when(cond, F.lit(_KANON_BANDS.index((hi, label)) + 1)).otherwise(band_order)
+        band_label = F.when(cond, F.lit(label)).otherwise(band_label)
+
+    return (
+        cls.withColumn("band_order", band_order)
+        .withColumn("class_size_band", band_label)
+        .groupBy("band_order", "class_size_band")
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.sum("class_size").alias("n_records"),
+        )
+        .crossJoin(F.broadcast(k))
+        .orderBy("band_order")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MMR diverse top-k (Carbonell & Goldstein, SIGIR 1998): greedy
+# maximal-marginal-relevance selection over an ANN shortlist — the
+# standard diversity pass when building eval sets or few-shot pools,
+# where plain top-k returns k near-duplicates of the best hit.
+# score(d) = lambda*rel(d) - (1-lambda)*max_{s in S} sim(d, s), greedy.
+#
+# Scale posture: the corpus-sized work is the shortlist (top-_MMR_POOL
+# by cosine — at 100 TB that's the IVF/PQ serving path, here the exact
+# scan certified by cosine_topk_bruteforce) and the pool's pairwise
+# similarity matrix (POOL^2 = constant). The greedy argmax chain is
+# inherently sequential over k CONSTANT-size steps, so it runs on the
+# collected pool matrix (a bounded, corpus-size-independent collect —
+# same contract as the kmeans seed / ranked_topk_small collects).
+# Checkability: rel and sim are rounded-4 doubles, the MMR combination
+# lambda*rel - (1-lambda)*max_sim is a fixed 3-op IEEE chain, and the
+# DuckDB oracle unrolls all 5 greedy steps as CTEs — the whole
+# selection trajectory replays cross-engine.
+_MMR_POOL = 20
+_MMR_K = 5
+_MMR_QVEC = 0
+_MMR_LAMBDA = 0.7  # relevance weight
+_MMR_MU = 0.3  # diversity penalty: a LITERAL, not 1.0-lambda (whose
+# IEEE value is 0.30000000000000004 — the oracle's CAST(0.3 AS DOUBLE)
+# would diverge)
+
+
+def _mmr_oracle() -> str:
+    cos = (
+        "ROUND("
+        "list_sum(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]))"
+        " / (SQRT(list_sum(list_transform({a}, x -> x * x)))"
+        " * SQRT(list_sum(list_transform({b}, x -> x * x)))), 4)"
+    )
+    lam = "CAST(0.7 AS DOUBLE)"
+    mu = "CAST(0.3 AS DOUBLE)"
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"qv AS (SELECT v AS q_vec FROM e WHERE vec_id = {_MMR_QVEC})",
+        (
+            "rel AS (SELECT e.vec_id AS doc_id, "
+            + cos.format(a="qv.q_vec", b="e.v")
+            + f" AS rel FROM e CROSS JOIN qv WHERE e.vec_id <> {_MMR_QVEC})"
+        ),
+        f"pool AS (SELECT doc_id, rel FROM rel ORDER BY rel DESC, doc_id LIMIT {_MMR_POOL})",
+        "pv AS (SELECT p.doc_id, p.rel, e.v FROM pool p JOIN e ON e.vec_id = p.doc_id)",
+        (
+            "pp AS (SELECT a.doc_id AS ia, b.doc_id AS ib, "
+            + cos.format(a="a.v", b="b.v")
+            + " AS s FROM pv a CROSS JOIN pv b WHERE a.doc_id <> b.doc_id)"
+        ),
+        (
+            f"sel1 AS (SELECT doc_id, 1 AS mmr_step, "
+            f"{lam} * rel - {mu} * CAST(0.0 AS DOUBLE) AS mmr "
+            f"FROM pool ORDER BY rel DESC, doc_id LIMIT 1)"
+        ),
+    ]
+    prev = "sel1"
+    for n in range(2, _MMR_K + 1):
+        ctes.append(
+            f"cand{n} AS (SELECT pv.doc_id, {lam} * pv.rel - {mu} * MAX(pp.s) AS mmr "
+            f"FROM pv JOIN pp ON pp.ia = pv.doc_id "
+            f"JOIN {prev} s ON pp.ib = s.doc_id "
+            f"WHERE pv.doc_id NOT IN (SELECT doc_id FROM {prev}) "
+            f"GROUP BY pv.doc_id, pv.rel)"
+        )
+        ctes.append(
+            f"pick{n} AS (SELECT doc_id, {n} AS mmr_step, mmr "
+            f"FROM cand{n} ORDER BY mmr DESC, doc_id LIMIT 1)"
+        )
+        ctes.append(
+            f"sel{n} AS (SELECT doc_id, mmr_step, mmr FROM {prev} "
+            f"UNION ALL SELECT doc_id, mmr_step, mmr FROM pick{n})"
+        )
+        prev = f"sel{n}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT mmr_step, doc_id, ROUND(mmr, 6) AS mmr_score"
+        f" FROM {prev} ORDER BY mmr_step"
+    )
+
+
+@register("mmr_diverse_topk_checkable", oracle=_mmr_oracle())
+def mmr_diverse_topk_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy MMR selection (lambda=0.7, k=5) over the exact cosine
+    top-20 shortlist for vec_id 0: (mmr_step, doc_id, mmr_score).
+    Shortlist + pairwise sims are Spark jobs; the 5-step greedy runs
+    on the collected constant-size pool matrix; the oracle unrolls
+    every greedy step as SQL CTEs."""
+    from etl_database_spark.functions.similarity import cosine
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == _MMR_QVEC)
+    pool = S.cosine_topk(emb, q, k=_MMR_POOL).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("cos_sim").alias("rel")
+    )
+    pv = pool.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    a = pv.select(
+        F.col("doc_id").alias("ia"), F.col("rel").alias("rel_a"), F.col("embedding").alias("va")
+    )
+    b = pv.select(F.col("doc_id").alias("ib"), F.col("embedding").alias("vb"))
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("ia") != F.col("ib"))
+        .select("ia", "ib", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("s"))
+    )
+    # bounded collects: POOL rows + POOL*(POOL-1) pair rows, both
+    # constants independent of corpus size
+    rel = {r["ia"]: r["rel_a"] for r in a.select("ia", "rel_a").collect()}
+    sim = {(r["ia"], r["ib"]): r["s"] for r in pairs.collect()}
+
+    selected: list[int] = []
+    rows = []
+    for step in range(1, _MMR_K + 1):
+        best_id, best_score = None, None
+        for d in sorted(rel):  # ascending id = the SQL tie-break
+            if d in selected:
+                continue
+            m = max((sim[(d, s)] for s in selected), default=0.0)
+            score = _MMR_LAMBDA * rel[d] - _MMR_MU * m
+            if best_score is None or score > best_score:
+                best_id, best_score = d, score
+        selected.append(best_id)
+        rows.append((step, best_id, best_score))
+
+    out = spark.createDataFrame(rows, "mmr_step int, doc_id long, mmr_score double")
+    return out.withColumn("mmr_score", F.round("mmr_score", 6)).orderBy("mmr_step")

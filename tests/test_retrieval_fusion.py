@@ -1,0 +1,109 @@
+"""Properties of the round-11 retrieval/governance extension rows:
+hybrid RRF fusion, MMR diverse top-k, and the k-anonymity profile.
+
+Cross-engine equality is covered by tests/test_oracle_equivalence.py
+(all three rows carry full DuckDB oracles); these tests pin the
+SEMANTIC guarantees a hash can't express — fusion arithmetic
+consistency, the greedy-MMR invariants, and class-count conservation.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason=f"testdata {SF_DIR} not present"
+)
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from etl_database_spark.queries import load_all
+
+    return load_all()
+
+
+def test_rrf_fusion_arithmetic_and_membership(spark, registry):
+    """Every fused row recomputes from its own ranks: rrf_micro ==
+    floor(1e12/(60+r_bm25)) + floor(1e12/(60+r_cos)) with absent
+    ranks (0) contributing nothing, and at least one list must have
+    contributed to every selected doc."""
+    rows = registry["hybrid_retrieval_rrf"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 50
+    seen_ranks = set()
+    for r in rows:
+        expect = 0
+        if r.bm25_rank > 0:
+            expect += 1_000_000_000_000 // (60 + r.bm25_rank)
+        if r.cos_rank > 0:
+            expect += 1_000_000_000_000 // (60 + r.cos_rank)
+        assert r.rrf_micro == expect, r
+        assert r.bm25_rank > 0 or r.cos_rank > 0, r
+        seen_ranks.add(r.rrf_rank)
+    # rrf_rank is a 1..50 permutation and rrf_micro is non-increasing
+    assert seen_ranks == set(range(1, 51))
+    ordered = sorted(rows, key=lambda r: r.rrf_rank)
+    micros = [r.rrf_micro for r in ordered]
+    assert micros == sorted(micros, reverse=True)
+    # both lists actually contribute to the fused head (a fusion that
+    # degenerates to one input means the other list broke silently)
+    head = ordered[:10]
+    assert any(r.bm25_rank > 0 for r in head)
+    assert any(r.cos_rank > 0 for r in head)
+
+
+def test_mmr_greedy_invariants(spark, registry):
+    """Greedy MMR: pick 1 is the relevance argmax, picked scores are
+    non-increasing (the diversity penalty only grows and losers stay
+    losers), and the k picks are distinct pool members."""
+    from pyspark.sql import functions as F
+
+    from etl_database_spark.functions import similarity as S
+    from etl_database_spark.queries import table
+    from etl_database_spark.queries.llmdata import _MMR_POOL, _MMR_QVEC
+
+    rows = registry["mmr_diverse_topk_checkable"].fn(spark, SF_DIR).collect()
+    assert [r.mmr_step for r in rows] == [1, 2, 3, 4, 5]
+    ids = [r.doc_id for r in rows]
+    assert len(set(ids)) == 5
+    scores = [r.mmr_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+    emb = table(spark, SF_DIR, "embeddings")
+    q = emb.where(F.col("vec_id") == _MMR_QVEC)
+    pool = S.cosine_topk(emb, q, k=_MMR_POOL).collect()
+    pool_ids = [r.neighbor_id for r in pool]
+    assert set(ids) <= set(pool_ids)
+    # pick 1 = argmax relevance = the pool's first entry (cosine_topk
+    # orders by rounded cos desc, id asc — the same tie-break)
+    assert ids[0] == pool_ids[0]
+
+
+def test_kanonymity_profile_conserves_classes_and_records(spark, registry):
+    """Band counts must conserve the underlying equivalence classes:
+    sum(n_records) == |customer|, sum(n_classes) == #distinct QID
+    tuples, and corpus_k == the true minimum class size."""
+    from pyspark.sql import functions as F
+
+    from etl_database_spark.queries import table
+
+    rows = registry["customer_kanonymity_profile"].fn(spark, SF_DIR).collect()
+    c = table(spark, SF_DIR, "customer")
+    cls = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long"),
+    ).count()
+    n_customers = c.count()
+    n_classes = cls.count()
+    true_k = cls.agg(F.min("count")).first()[0]
+    assert sum(r.n_records for r in rows) == n_customers
+    assert sum(r.n_classes for r in rows) == n_classes
+    assert all(r.corpus_k == true_k for r in rows)
+    # bands are disjoint, ordered, and labeled
+    orders = [r.band_order for r in rows]
+    assert orders == sorted(orders) and len(set(orders)) == len(orders)
