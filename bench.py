@@ -99,6 +99,9 @@ HEADLINE = [
     "hybrid_retrieval_rrf",
     "mmr_diverse_topk_checkable",
     "customer_kanonymity_profile",
+    # the Markov transition-matrix view of the event stream: one
+    # user_id window shuffle + a tiny (|types|^2) normalizer join
+    "event_transition_matrix",
 ]
 
 

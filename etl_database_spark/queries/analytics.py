@@ -1231,3 +1231,71 @@ def approx_distinct_parts_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = kmv_distinct(li, "l_partkey", ["l_returnflag"], k=_KMV_K)
     counts = li.groupBy("l_returnflag").agg(F.count("*").alias("n_rows"))
     return est.join(counts, "l_returnflag").orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# First-order event-transition matrix (the Markov-chain view of the
+# event stream): per-user consecutive event-type pairs under the
+# total order (ts, event_id), counted and row-normalized. The last
+# sequence-analytics staple missing next to funnel / cohort /
+# sessionization. The probability is ONE integer/integer double
+# division of two exact BIGINT aggregates, so it is bit-identical
+# across engines — no float summation anywhere.
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    t AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS transitions
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type),
+    r AS (
+      SELECT prev_type, CAST(SUM(transitions) AS BIGINT) AS row_total
+      FROM t GROUP BY prev_type)
+    SELECT t.prev_type, t.next_type, t.transitions,
+           CAST(t.transitions AS DOUBLE) / CAST(r.row_total AS DOUBLE)
+             AS transition_prob
+    FROM t JOIN r USING (prev_type)
+    ORDER BY prev_type, next_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition counts + probabilities between
+    consecutive event types per user.
+
+    One shuffle on user_id for the LAG, then a map-side-combinable
+    count on (prev, next) — the (prev -> row_total) normalizer is a
+    second aggregate over the TINY transition matrix (|event_types|^2
+    rows), not over events, so at 100 TB the only data-sized exchange
+    is the user_id window. Ties in ts are broken by the unique
+    event_id so both engines see the same sequence. Reference scope:
+    xnlou/etl-database reports stop at flat event aggregates
+    (storedprocs.sql); this is the standard warehouse add-on."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type"), F.col("event_type").alias("next_type"))
+        .agg(F.count("*").cast("long").alias("transitions"))
+    )
+    row_tot = t.groupBy("prev_type").agg(
+        F.sum("transitions").cast("long").alias("row_total")
+    )
+    return (
+        t.join(F.broadcast(row_tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "transitions",
+            (F.col("transitions").cast("double") / F.col("row_total").cast("double")).alias(
+                "transition_prob"
+            ),
+        )
+        .orderBy("prev_type", "next_type")
+    )

@@ -107,3 +107,31 @@ def test_kanonymity_profile_conserves_classes_and_records(spark, registry):
     # bands are disjoint, ordered, and labeled
     orders = [r.band_order for r in rows]
     assert orders == sorted(orders) and len(set(orders)) == len(orders)
+
+
+def test_transition_matrix_conservation(spark, registry):
+    """Transition counts conserve events (sum == N - active_users),
+    every probability row-normalizes to 1, and each (prev, next)
+    count recomputes from a direct pandas replay of the sequence."""
+    import pandas as pd
+
+    out = registry["event_transition_matrix"].fn(spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(os.path.join(SF_DIR, "events.parquet"))
+
+    n_users = ev["user_id"].nunique()
+    assert out["transitions"].sum() == len(ev) - n_users
+
+    row_sums = out.groupby("prev_type")["transition_prob"].sum()
+    assert (abs(row_sums - 1.0) < 1e-12).all()
+
+    seq = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    seq["prev_type"] = seq.groupby("user_id")["event_type"].shift(1)
+    ref = (
+        seq.dropna(subset=["prev_type"])
+        .groupby(["prev_type", "event_type"])
+        .size()
+        .reset_index(name="transitions")
+        .rename(columns={"event_type": "next_type"})
+    )
+    merged = out.merge(ref, on=["prev_type", "next_type"], suffixes=("", "_ref"), how="outer")
+    assert merged["transitions"].equals(merged["transitions_ref"].astype("int64"))
