@@ -1253,14 +1253,12 @@ def approx_distinct_parts_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT prev_type, event_type AS next_type,
              CAST(COUNT(*) AS BIGINT) AS transitions
       FROM seq WHERE prev_type IS NOT NULL
-      GROUP BY prev_type, event_type),
-    r AS (
-      SELECT prev_type, CAST(SUM(transitions) AS BIGINT) AS row_total
-      FROM t GROUP BY prev_type)
-    SELECT t.prev_type, t.next_type, t.transitions,
-           CAST(t.transitions AS DOUBLE) / CAST(r.row_total AS DOUBLE)
+      GROUP BY prev_type, event_type)
+    SELECT prev_type, next_type, transitions,
+           CAST(transitions AS DOUBLE)
+             / CAST(SUM(transitions) OVER (PARTITION BY prev_type) AS DOUBLE)
              AS transition_prob
-    FROM t JOIN r USING (prev_type)
+    FROM t
     ORDER BY prev_type, next_type
     """,
 )
@@ -1269,12 +1267,13 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     consecutive event types per user.
 
     One shuffle on user_id for the LAG, then a map-side-combinable
-    count on (prev, next) — the (prev -> row_total) normalizer is a
-    second aggregate over the TINY transition matrix (|event_types|^2
-    rows), not over events, so at 100 TB the only data-sized exchange
-    is the user_id window. Ties in ts are broken by the unique
-    event_id so both engines see the same sequence. Reference scope:
-    xnlou/etl-database reports stop at flat event aggregates
+    count on (prev, next) — the row normalizer is a window SUM over
+    the TINY transition matrix (|event_types|^2 rows), not a second
+    aggregate + self-join (which would duplicate the events-sized
+    upstream DAG in the plan), so at 100 TB the only data-sized
+    exchange is the user_id window. Ties in ts are broken by the
+    unique event_id so both engines see the same sequence. Reference
+    scope: xnlou/etl-database reports stop at flat event aggregates
     (storedprocs.sql); this is the standard warehouse add-on."""
     ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1284,18 +1283,12 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("prev_type"), F.col("event_type").alias("next_type"))
         .agg(F.count("*").cast("long").alias("transitions"))
     )
-    row_tot = t.groupBy("prev_type").agg(
-        F.sum("transitions").cast("long").alias("row_total")
-    )
     return (
-        t.join(F.broadcast(row_tot), "prev_type")
-        .select(
-            "prev_type",
-            "next_type",
-            "transitions",
-            (F.col("transitions").cast("double") / F.col("row_total").cast("double")).alias(
-                "transition_prob"
-            ),
+        t.withColumn(
+            "transition_prob",
+            F.col("transitions").cast("double")
+            / F.sum("transitions").over(W.partitionBy("prev_type")).cast("double"),
         )
+        .select("prev_type", "next_type", "transitions", "transition_prob")
         .orderBy("prev_type", "next_type")
     )
