@@ -157,6 +157,43 @@ def main() -> None:
             best = min(best, time.time() - t0)
         return round(best, 3)
 
+    # IO/shuffle-side calibration probe (round-11 close finding): this
+    # session produced the first run where the CPU probe read quiet
+    # (0.316 vs 0.315 mid-round) while byte-identical Spark rows ran a
+    # uniform 1.65× slower (regional_revenue 0.72→2.64s on code
+    # untouched since r6) — host degradation living entirely in the
+    # shuffle/temp-write path, invisible to a codegen aggregate. This
+    # probe times a pinned shuffle + parquet write + read-back so the
+    # recorded artifact can separate "code got slower" from "the
+    # box's IO path got slower" without forensics. Reported alongside
+    # calibration_sec; once two-plus rounds of quiet-host samples
+    # exist, value_norm can start deflating by both.
+    def _calibrate_io() -> float:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as CF
+
+        best = float("inf")
+        for _ in range(3):
+            d = tempfile.mkdtemp(prefix="bench_iocal_")
+            p = os.path.join(d, "t")
+            t0 = time.time()
+            (
+                spark.range(0, 8_000_000, 1, 32)
+                .select(
+                    CF.col("id"),
+                    CF.xxhash64(CF.col("id")).alias("k"),
+                    CF.md5(CF.col("id").cast("string")).alias("pad"),
+                )
+                .repartition(32, "k")
+                .write.mode("overwrite").parquet(p)
+            )
+            spark.read.parquet(p).select(CF.sum("id")).collect()
+            best = min(best, time.time() - t0)
+            shutil.rmtree(d, ignore_errors=True)
+        return round(best, 3)
+
     # Warm up the JVM/codegen path so query 1 doesn't absorb startup:
     # one pass of every headline query at the smallest SF compiles the
     # generated code for each plan shape (C2 JIT) without touching the
@@ -181,7 +218,12 @@ def main() -> None:
         gc.collect()
 
     calibration_sec = _calibrate()
-    print(f"# calibration: {calibration_sec:.2f}s", file=sys.stderr)
+    calibration_io_sec = _calibrate_io()
+    print(
+        f"# calibration: {calibration_sec:.2f}s cpu, "
+        f"{calibration_io_sec:.2f}s shuffle+parquet",
+        file=sys.stderr,
+    )
 
     # Persisted-index setup (reported, not hidden): the minhash
     # signature store is built once per corpus at ingest time in
@@ -441,6 +483,7 @@ def main() -> None:
             "queries_value_forced": forced,
             "setup": setup,
             "calibration_sec": calibration_sec,
+            "calibration_io_sec": calibration_io_sec,
             "reference_calibration_sec": REFERENCE_CALIBRATION_SEC,
             "sf": sf,
         }
@@ -513,6 +556,7 @@ def _wrapper() -> int:
                 "unit": full.get("unit", "sec"),
                 "sf": full.get("sf"),
                 "calibration_sec": full.get("calibration_sec"),
+                "calibration_io_sec": full.get("calibration_io_sec"),
                 "n_queries": len(full.get("queries", {})) or None,
             }
         )
