@@ -106,6 +106,76 @@ def shingles(
     # duplicate-insensitive, so we skip a corpus-wide distinct shuffle.
 
 
+def _shingle_hash_array(n: int, portable: bool, norm_col: str = "_norm"):
+    """Column expression: the array of hashed n-gram shingles of a
+    normalized-text column (one entry per position, repeats kept).
+    Shared by the array-set and exploded-row shingle producers so the
+    hash family can never drift between them."""
+    if portable:
+        def hash_fn(g):
+            return F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+    else:
+        hash_fn = F.xxhash64
+
+    return F.transform(
+        F.sequence(F.lit(1), F.length(norm_col) - F.lit(n - 1)),
+        lambda i: hash_fn(F.col(norm_col).substr(i, F.lit(n))),
+    )
+
+
+def _normalized_base(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    from etl_database_spark.functions.partitioning import spread_scan
+    from etl_database_spark.functions.text import normalize_text
+
+    return (
+        spread_scan(df.select(F.col(id_col), F.col(text_col)))
+        .select(
+            F.col(id_col).alias("_id"),
+            normalize_text(F.col(text_col)).alias("_norm"),
+        )
+        .where(F.length("_norm") >= n)
+    )
+
+
+def shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, n: int = 5, portable: bool = False
+) -> DataFrame:
+    """(_id, _sh array<long>) — the DISTINCT hashed n-gram shingles of
+    each document as a row-local array: transform + array_distinct,
+    the :func:`winnow_fingerprint_sets` shape. No explode and no
+    shuffle — per-doc distinctness never needs a corpus-wide exchange,
+    it is a property of the row. Hash values are identical to
+    :func:`shingles` (xxhash64, or md5-32 when ``portable``).
+
+    To get row grain, use :func:`distinct_shingles` — do NOT
+    ``select(explode("_sh"))`` over this frame in a hot path: a
+    Generate over a previously-projected array column re-copies the
+    full array per OUTPUT row (~20× slower, measured at sf0.1:
+    16.2s vs 0.73s with the explode inline over the expression)."""
+    base = _normalized_base(df, text_col, id_col, n)
+    return base.select(
+        "_id", F.array_distinct(_shingle_hash_array(n, portable)).alias("_sh")
+    )
+
+
+def distinct_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 5, portable: bool = False
+) -> DataFrame:
+    """(_id, shingle) — one row per DISTINCT shingle per document,
+    produced by a single inline ``explode(array_distinct(...))``
+    Generate: bit-identical rows to ``shingles(...).distinct()`` with
+    ZERO corpus-wide exchange on the producing side (the distinct is
+    row-local). The explode stays inline over the expression — see
+    the :func:`shingle_sets` performance note."""
+    base = _normalized_base(df, text_col, id_col, n)
+    return base.select(
+        "_id",
+        F.explode(F.array_distinct(_shingle_hash_array(n, portable))).alias(
+            "shingle"
+        ),
+    )
+
+
 def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact-duplicate groups: (content_hash, n_dups, canonical_id).
 
@@ -353,13 +423,14 @@ def _finish_eager(result: DataFrame, caches: list[DataFrame]) -> DataFrame:
 
 def jaccard_verify(
     pairs: DataFrame,
-    sh: DataFrame,
+    sh: DataFrame | None,
     threshold: float = 0.5,
     n_pairs: int | None = None,
     release: list[DataFrame] | None = None,
+    sets_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs via per-document shingle sets:
-    join each pair to its two collect_set arrays, |A∩B| =
+    join each pair to its two shingle-set arrays, |A∩B| =
     size(array_intersect), |A∪B| = |A|+|B|−|A∩B|.
 
     The set table is first semi-joined down to documents that occur in
@@ -371,7 +442,15 @@ def jaccard_verify(
     above it the joins fall back to shuffle hash joins on ``_id``.
 
     ``n_pairs``: pass the already-materialized candidate count to skip
-    a recount (callers that cache+count the pair frame have it)."""
+    a recount (callers that cache+count the pair frame have it).
+
+    ``sets_df``: optional precomputed (_id, shset array<long>) set
+    frame (e.g. :func:`shingle_sets` — row-local array_distinct).
+    When given, ``sh`` is ignored and the explode + collect_set
+    shuffle disappears entirely: per-doc sets are a ROW property, so
+    building them never needs a corpus exchange (r11 optimization —
+    the collect_set path shuffled every candidate-doc shingle once
+    just to regroup rows the scan already had together)."""
     if n_pairs is None:
         n_pairs = pairs.count()
     pair_ids = (
@@ -379,12 +458,19 @@ def jaccard_verify(
         .union(pairs.select(F.col("id_b").alias("_id")))
         .distinct()
     )
-    sets = (
-        sh.join(_maybe_broadcast(pair_ids, 2 * n_pairs, BROADCAST_MAX_ID_ROWS), "_id", "left_semi")
-        .groupBy("_id")
-        .agg(F.collect_set("shingle").alias("shset"))
-        .cache()
-    )
+    if sets_df is not None:
+        sets = sets_df.join(
+            _maybe_broadcast(pair_ids, 2 * n_pairs, BROADCAST_MAX_ID_ROWS),
+            "_id",
+            "left_semi",
+        ).cache()
+    else:
+        sets = (
+            sh.join(_maybe_broadcast(pair_ids, 2 * n_pairs, BROADCAST_MAX_ID_ROWS), "_id", "left_semi")
+            .groupBy("_id")
+            .agg(F.collect_set("shingle").alias("shset"))
+            .cache()
+        )
     # Materialize once (both join branches below reuse this subtree)
     # and measure the total array payload for the broadcast gate.
     n_sets, n_entries = sets.agg(
@@ -512,9 +598,10 @@ def minhash_near_duplicates(
     n_est = est.count()  # materialize: verify fans this into 3 plan branches
     # Exact verify re-shingles ONLY the candidate documents: semi-join
     # the doc table down to ids that appear in a surviving pair, then
-    # explode just those. The full-corpus explode happens at most once
-    # (inside the signature build above) instead of living cached
-    # through the whole pipeline.
+    # build their shingle SETS row-locally (array_distinct — no
+    # explode, no collect_set shuffle; per-doc sets are a row
+    # property). The full-corpus explode happens at most once (inside
+    # the signature build above).
     pair_ids = (
         est.select(F.col("id_a").alias(id_col))
         .union(est.select(F.col("id_b").alias(id_col)))
@@ -523,8 +610,12 @@ def minhash_near_duplicates(
     cand_docs = df.join(
         _maybe_broadcast(pair_ids, 2 * n_est, BROADCAST_MAX_ID_ROWS), id_col, "left_semi"
     )
-    sh_cand = shingles(cand_docs, text_col, id_col, n, portable=portable)
-    verified = jaccard_verify(est, sh_cand, threshold, n_pairs=n_est, release=release)
+    sets_cand = shingle_sets(cand_docs, text_col, id_col, n, portable=portable).select(
+        "_id", F.col("_sh").alias("shset")
+    )
+    verified = jaccard_verify(
+        est, None, threshold, n_pairs=n_est, release=release, sets_df=sets_cand
+    )
     if not n_capped:
         return verified
     # Exact tier over just the capped-bucket slice: both endpoints of
@@ -912,24 +1003,35 @@ def contamination_check(
 
     → (doc_id, n_shingles, n_contaminated, contamination_bp). Shape at
     scale: the eval side reduces to a distinct shingle set (tiny next
-    to the train corpus); the membership test is a left-semi join on
+    to the train corpus); the membership test is a broadcast join on
     the 8-byte shingle hash — no row of eval text ever joins train
     text, and the train side aggregates with map-side partials.
+
+    The train side's per-doc distinctness is computed ROW-LOCALLY
+    (:func:`shingle_sets`: array_distinct, no exchange) — the old
+    ``shingles(train).distinct()`` shuffled every (id, shingle) row of
+    the train corpus once just to dedup within documents. With the
+    eval set under the broadcast gate the whole train side now runs
+    scan → explode → broadcast-join → partial agg in ONE stage, and
+    the only train-sized shuffle left is the doc-count-sized aggregate
+    output.
     """
-    tr = shingles(train, text_col, id_col, n).distinct()
+    tr = distinct_shingles(train, text_col, id_col, n)
     # Distinct eval shingles are unique join keys, so a LEFT join
     # cannot duplicate train rows — one pass computes both the shingle
-    # count and the hit count. (The previous semi-join + second
-    # aggregate + re-join shape re-ran the train shingle explode —
-    # the expensive stage — once per branch.)
+    # count and the hit count. Materialize the (small) eval set once:
+    # it both sizes the broadcast gate and keeps the join from
+    # replaying the eval shingle pass.
     ev = (
-        shingles(eval_df, text_col, id_col, n)
+        distinct_shingles(eval_df, text_col, id_col, n)
         .select("shingle")
         .distinct()
         .withColumn("_hit", F.lit(1))
+        .localCheckpoint(eager=True)
     )
+    n_ev = ev.count()
     return (
-        tr.join(ev, "shingle", "left")
+        tr.join(_maybe_broadcast(ev, n_ev, BROADCAST_MAX_SET_ENTRIES), "shingle", "left")
         .groupBy("_id")
         .agg(
             F.count("*").alias("n_shingles"),

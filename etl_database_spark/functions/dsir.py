@@ -40,25 +40,38 @@ DSIR_BUCKETS_DEFAULT = 10_000
 
 def _doc_features(
     df: DataFrame, text_col: str, id_col: str, n_buckets: int,
-    portable_hash: bool = False,
+    portable_hash: bool = False, flag=None,
 ) -> DataFrame:
     """(doc, bucket, cnt): hashed unigram+bigram feature counts per
     document. Tokenization = the repo-wide normalize + whitespace
     split; hashing = xxhash64 mod buckets (JVM-side, vectorized).
     ``portable_hash`` uses the first 32 md5 bits instead so an
     engine-independent reference (hashlib) reproduces the buckets —
-    the cross-check lever, same move as the checkable dedup twins."""
+    the cross-check lever, same move as the checkable dedup twins.
+
+    ``flag``: optional boolean Column over ``df``; when given, the
+    output carries it as ``_tgt`` (constant per doc, rides through the
+    aggregate as a grouping key). This is how a target-is-a-subset
+    caller gets BOTH corpora's features from ONE tokenize pass —
+    ``feats.where("_tgt")`` is bit-identical to tokenizing the
+    filtered slice separately, because tokenization is per-row."""
     from etl_database_spark.functions.partitioning import spread_scan
     from etl_database_spark.functions.text import normalize_text
 
+    sel = [F.col(id_col), F.col(text_col)]
+    if flag is not None:
+        sel.append(flag.alias("_tgt"))
+    carry = ["_tgt"] if flag is not None else []
     # tokenize is the CPU-dominant stage: make sure a single-row-group
     # input doesn't serialize it (no-op on well-split inputs)
-    toks = spread_scan(df.select(F.col(id_col), F.col(text_col))).select(
+    toks = spread_scan(df.select(*sel)).select(
         F.col(id_col).alias("doc"),
         F.split(normalize_text(F.col(text_col)), " ").alias("ts"),
+        *carry,
     ).where(F.size("ts") > 0)
     grams = toks.select(
         "doc",
+        *carry,
         F.explode(
             F.concat(
                 F.col("ts"),
@@ -79,7 +92,7 @@ def _doc_features(
     )
     return (
         grams.withColumn("bucket", F.pmod(gram_hash, F.lit(n_buckets)))
-        .groupBy("doc", "bucket")
+        .groupBy("doc", "bucket", *carry)
         .agg(F.count("*").cast("long").alias("cnt"))
     )
 
@@ -120,6 +133,7 @@ def dsir_weights(
     id_col: str = "doc_id",
     n_buckets: int = DSIR_BUCKETS_DEFAULT,
     portable_hash: bool = False,
+    target_pred=None,
 ) -> DataFrame:
     """Per-document DSIR log importance weights of ``raw`` against
     ``target`` → (doc_id, n_grams, log_weight). Higher = more
@@ -131,15 +145,27 @@ def dsir_weights(
     bucket counter tables inside :func:`_bucket_log_probs` are
     checkpointed, so the target pool is read once as well. Before the
     round-7 fix the three downstream actions each replayed the full
-    tokenize+explode lineage (~3× the dominant cost at sf1)."""
+    tokenize+explode lineage (~3× the dominant cost at sf1).
+
+    ``target_pred``: when the target corpus is a FILTER of ``raw``
+    (the common DSIR setup — select from the pool what looks like its
+    own high-quality slice), pass the boolean Column instead of a
+    ``target`` frame and the whole pipeline runs ONE tokenize pass:
+    the flag rides through the feature aggregate and the target LM
+    counts are ``feats.where("_tgt")`` — bit-identical to tokenizing
+    the slice separately, for one corpus scan instead of two."""
     raw_feats = _doc_features(
-        raw, text_col, id_col, n_buckets, portable_hash
+        raw, text_col, id_col, n_buckets, portable_hash,
+        flag=target_pred,
     ).persist()
     try:
+        tgt_feats = (
+            raw_feats.where(F.col("_tgt"))
+            if target_pred is not None
+            else _doc_features(target, text_col, id_col, n_buckets, portable_hash)
+        )
         ratio = (
-            _bucket_log_probs(
-                _doc_features(target, text_col, id_col, n_buckets, portable_hash),
-                n_buckets, "t")
+            _bucket_log_probs(tgt_feats, n_buckets, "t")
             .join(_bucket_log_probs(raw_feats, n_buckets, "r"), "bucket")
             .select(
                 "bucket", (F.col("log_p_t") - F.col("log_p_r")).alias("log_ratio")
@@ -170,6 +196,7 @@ def dsir_select(
     n_buckets: int = DSIR_BUCKETS_DEFAULT,
     resample: bool = False,
     seed: int = 42,
+    target_pred=None,
 ) -> DataFrame:
     """Select ``k`` documents from ``raw`` by DSIR weight →
     (doc_id, n_grams, log_weight, dsir_rank).
@@ -178,8 +205,13 @@ def dsir_select(
     tie-break). ``resample=True``: the paper's importance resampling
     via seeded Gumbel-top-k — rank by log_w + Gumbel(0,1) noise where
     the noise derives from md5(seed, doc id) (reproducible, no RNG
-    state, still a one-pass rank)."""
-    w = dsir_weights(raw, target, text_col, id_col, n_buckets)
+    state, still a one-pass rank).
+
+    ``target_pred``: target-is-a-subset fast path (one tokenize pass
+    instead of two) — see :func:`dsir_weights`."""
+    w = dsir_weights(
+        raw, target, text_col, id_col, n_buckets, target_pred=target_pred
+    )
     return select_from_weights(w, k, id_col, resample, seed)
 
 
@@ -190,6 +222,7 @@ def dsir_select_portable(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = DSIR_BUCKETS_DEFAULT,
+    target_pred=None,
 ) -> DataFrame:
     """Engine-portable DSIR twin → (doc_id, n_grams, log_weight,
     dsir_rank): the same hashed-ngram importance-weight selection as
@@ -211,14 +244,20 @@ def dsir_select_portable(
     The emitted ``log_weight`` is the decimal cast back to double and
     rounded to 6 digits. Same physical shape as the fast path (one
     tokenize pass per corpus, counter-sized checkpoints, broadcast
-    ratio, one (doc,bucket) shuffle)."""
+    ratio, one (doc,bucket) shuffle).
+
+    ``target_pred``: target-is-a-subset fast path (one tokenize pass
+    instead of two) — see :func:`dsir_weights`."""
     raw_feats = _doc_features(
-        raw, text_col, id_col, n_buckets, portable_hash=True
+        raw, text_col, id_col, n_buckets, portable_hash=True,
+        flag=target_pred,
     ).persist()
     try:
         spark = raw.sparkSession
-        tgt_feats = _doc_features(
-            target, text_col, id_col, n_buckets, portable_hash=True
+        tgt_feats = (
+            raw_feats.where(F.col("_tgt"))
+            if target_pred is not None
+            else _doc_features(target, text_col, id_col, n_buckets, portable_hash=True)
         )
         tc = (
             tgt_feats.groupBy("bucket").agg(F.sum("cnt").alias("c"))

@@ -211,11 +211,21 @@ class EdgeStore(BatchStore):
         # materialize candidates once: jaccard_verify counts them and
         # joins them, which would otherwise run the banded join twice
         cands = self._candidate_pairs(banded_new).localCheckpoint(eager=True)
+        # r11: per-doc shingle SETS built row-locally (array_distinct)
+        # instead of shingles()+collect_set — the old path repartition-
+        # shuffled and exploded the FULL corpus text on every ingest
+        # just to regroup shingles the scan already had together;
+        # jaccard_verify's pair-id semi-join now prunes the corpus scan
+        # before any shingle is computed (PushDownLeftSemiAntiJoin
+        # moves it below the array projection).
         verified = D.jaccard_verify(
             cands,
-            D.shingles(corpus, text_col, id_col, self.n, portable=self.portable),
+            None,
             threshold=self.threshold,
             release=[cands],
+            sets_df=D.shingle_sets(
+                corpus, text_col, id_col, self.n, portable=self.portable
+            ).select("_id", F.col("_sh").alias("shset")),
         )
         self._write_batch(verified.withColumn("sign", F.lit(1).cast("int")), batch)
         banded_new.unpersist()

@@ -2659,11 +2659,15 @@ def dsir_target_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_database_spark.functions import dsir as DS
 
     d = table(spark, sf_dir, "documents")
+    # target = a FILTER of the pool → target_pred runs ONE tokenize
+    # pass and derives both LMs from the flagged feature frame (the
+    # tokenize stage is the measured CPU-dominant cost of this row)
     return DS.dsir_select(
         d,
-        d.where(F.col("lang") == "en"),
+        None,
         k=_DSIR_K,
         n_buckets=_DSIR_BUCKETS,
+        target_pred=F.col("lang") == "en",
     ).withColumn("log_weight", F.round("log_weight", 6))
 
 
@@ -2733,11 +2737,13 @@ def dsir_selection_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_database_spark.functions.dsir import dsir_select_portable
 
     d = table(spark, sf_dir, "documents")
+    # same one-tokenize-pass subset fast path as the flagship row
     return dsir_select_portable(
         d,
-        d.where(F.col("lang") == "en"),
+        None,
         k=_DSIR_K,
         n_buckets=_DSIR_BUCKETS,
+        target_pred=F.col("lang") == "en",
     )
 
 
@@ -5545,24 +5551,35 @@ def mmr_diverse_topk_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") == _MMR_QVEC)
-    pool = S.cosine_topk(emb, q, k=_MMR_POOL).select(
-        F.col("neighbor_id").alias("doc_id"), F.col("cos_sim").alias("rel")
+    # ONE corpus scan: the shortlist is localCheckpointed (20 rows)
+    # before fan-out — the previous shape re-ran the whole
+    # cosine_topk pipeline (scan + window) once per downstream
+    # collect (rel, pairs), ~4 corpus passes for one query
+    pool = (
+        S.cosine_topk(emb, q, k=_MMR_POOL)
+        .select(F.col("neighbor_id").alias("doc_id"), F.col("cos_sim").alias("rel"))
+        .localCheckpoint(eager=True)
     )
-    pv = pool.join(
-        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    rel = {r["doc_id"]: r["rel"] for r in pool.collect()}
+    ids = sorted(int(i) for i in rel)
+    # the 20 pool vectors: one pushed-In-filter scan, bounded collect;
+    # the pairwise sims then run over a POOL-row local frame with the
+    # SAME JVM cosine+round expressions (bit-identical scores)
+    proj = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    pv = spark.createDataFrame(
+        emb.where(F.col("vec_id").isin(ids)).select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        ).collect(),
+        proj.schema,
     )
-    a = pv.select(
-        F.col("doc_id").alias("ia"), F.col("rel").alias("rel_a"), F.col("embedding").alias("va")
-    )
+    a = pv.select(F.col("doc_id").alias("ia"), F.col("embedding").alias("va"))
     b = pv.select(F.col("doc_id").alias("ib"), F.col("embedding").alias("vb"))
     pairs = (
         a.crossJoin(F.broadcast(b))
         .where(F.col("ia") != F.col("ib"))
         .select("ia", "ib", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("s"))
     )
-    # bounded collects: POOL rows + POOL*(POOL-1) pair rows, both
-    # constants independent of corpus size
-    rel = {r["ia"]: r["rel_a"] for r in a.select("ia", "rel_a").collect()}
+    # bounded collect: POOL*(POOL-1) pair rows, constant in corpus size
     sim = {(r["ia"], r["ib"]): r["s"] for r in pairs.collect()}
 
     selected: list[int] = []

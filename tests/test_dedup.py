@@ -215,3 +215,62 @@ def test_contamination_check_counts_shared_ngrams(spark):
     assert out[2].n_contaminated == 0 and out[2].contamination_bp == 0
     # bp is exact integer basis points
     assert out[1].contamination_bp == out[1].n_contaminated * 10_000 // out[1].n_shingles
+
+
+def test_shingle_sets_match_exploded_distinct(spark):
+    """shingle_sets (row-local array_distinct, the r11 zero-shuffle
+    contamination shape) must reproduce shingles(...).distinct()
+    exactly, for both hash families."""
+    from pyspark.sql import functions as F
+
+    from etl_database_spark.functions.dedup import shingle_sets, shingles
+
+    docs = [
+        (1, "abcabcabc"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "aaaaa"),
+        (4, "xy"),  # shorter than n: dropped by both paths
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for portable in (False, True):
+        want = {
+            (r._id, r.shingle)
+            for r in shingles(df, "text", "doc_id", n=5, portable=portable)
+            .distinct()
+            .collect()
+        }
+        got = {
+            (r._id, r.shingle)
+            for r in shingle_sets(df, "text", "doc_id", n=5, portable=portable)
+            .select("_id", F.explode("_sh").alias("shingle"))
+            .collect()
+        }
+        assert got == want
+
+
+def test_distinct_shingles_match_exploded_distinct(spark):
+    """distinct_shingles (inline explode(array_distinct), the actual
+    contamination hot path) must also reproduce
+    shingles(...).distinct() exactly."""
+    from etl_database_spark.functions.dedup import distinct_shingles, shingles
+
+    docs = [
+        (1, "abcabcabc"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "aaaaa"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for portable in (False, True):
+        want = {
+            (r._id, r.shingle)
+            for r in shingles(df, "text", "doc_id", n=5, portable=portable)
+            .distinct()
+            .collect()
+        }
+        got = {
+            (r._id, r.shingle)
+            for r in distinct_shingles(
+                df, "text", "doc_id", n=5, portable=portable
+            ).collect()
+        }
+        assert got == want

@@ -129,3 +129,35 @@ def test_registered_query_runs(spark):
     # weights descend with rank
     ws = [r.log_weight for r in rows]
     assert all(a >= b for a, b in zip(ws, ws[1:]))
+
+
+def test_target_pred_subset_path_matches_two_pass(spark):
+    """The one-tokenize-pass subset fast path (target_pred) must be
+    bit-identical to tokenizing the filtered target separately, on
+    both the fast (xxhash64) and portable (md5) pipelines — the r11
+    optimization that halves the corpus scans of the DSIR rows."""
+    raw = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    pred = F.col("doc_id") <= 2
+    tgt = raw.where(pred)
+
+    two = {
+        r.doc_id: (r.n_grams, r.log_weight)
+        for r in DS.dsir_weights(raw, tgt, n_buckets=B).collect()
+    }
+    one = {
+        r.doc_id: (r.n_grams, r.log_weight)
+        for r in DS.dsir_weights(raw, None, n_buckets=B, target_pred=pred).collect()
+    }
+    assert one == two  # exact double equality: identical arithmetic
+
+    two_p = [
+        tuple(r)
+        for r in DS.dsir_select_portable(raw, tgt, k=4, n_buckets=B).collect()
+    ]
+    one_p = [
+        tuple(r)
+        for r in DS.dsir_select_portable(
+            raw, None, k=4, n_buckets=B, target_pred=pred
+        ).collect()
+    ]
+    assert one_p == two_p
