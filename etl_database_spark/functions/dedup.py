@@ -428,6 +428,7 @@ def jaccard_verify(
     n_pairs: int | None = None,
     release: list[DataFrame] | None = None,
     sets_df: DataFrame | None = None,
+    sets_df_pruned: bool = False,
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs via per-document shingle sets:
     join each pair to its two shingle-set arrays, |A∩B| =
@@ -450,20 +451,32 @@ def jaccard_verify(
     shuffle disappears entirely: per-doc sets are a ROW property, so
     building them never needs a corpus exchange (r11 optimization —
     the collect_set path shuffled every candidate-doc shingle once
-    just to regroup rows the scan already had together)."""
-    if n_pairs is None:
+    just to regroup rows the scan already had together).
+
+    ``sets_df_pruned``: the caller asserts ``sets_df`` already
+    contains ONLY documents that occur in a pair (it built the frame
+    from a pair-id semi-join itself), so the internal pair-id
+    union+distinct+semi-join re-prune is skipped — it was a no-op
+    re-filter costing one distinct exchange and one broadcast join
+    per call (r11)."""
+    if n_pairs is None and not (sets_df is not None and sets_df_pruned):
         n_pairs = pairs.count()
-    pair_ids = (
-        pairs.select(F.col("id_a").alias("_id"))
-        .union(pairs.select(F.col("id_b").alias("_id")))
-        .distinct()
-    )
+    pair_ids = None
+    if sets_df is None or not sets_df_pruned:
+        pair_ids = (
+            pairs.select(F.col("id_a").alias("_id"))
+            .union(pairs.select(F.col("id_b").alias("_id")))
+            .distinct()
+        )
     if sets_df is not None:
-        sets = sets_df.join(
-            _maybe_broadcast(pair_ids, 2 * n_pairs, BROADCAST_MAX_ID_ROWS),
-            "_id",
-            "left_semi",
-        ).cache()
+        if sets_df_pruned:
+            sets = sets_df.cache()
+        else:
+            sets = sets_df.join(
+                _maybe_broadcast(pair_ids, 2 * n_pairs, BROADCAST_MAX_ID_ROWS),
+                "_id",
+                "left_semi",
+            ).cache()
     else:
         sets = (
             sh.join(_maybe_broadcast(pair_ids, 2 * n_pairs, BROADCAST_MAX_ID_ROWS), "_id", "left_semi")
@@ -614,7 +627,16 @@ def minhash_near_duplicates(
         "_id", F.col("_sh").alias("shset")
     )
     verified = jaccard_verify(
-        est, None, threshold, n_pairs=n_est, release=release, sets_df=sets_cand
+        est,
+        None,
+        threshold,
+        n_pairs=n_est,
+        release=release,
+        sets_df=sets_cand,
+        # the semi-join above already restricted the sets to pair ids —
+        # skip the verify's internal re-prune (one distinct exchange +
+        # one broadcast join per call)
+        sets_df_pruned=True,
     )
     if not n_capped:
         return verified
@@ -1141,18 +1163,25 @@ def winnow_similarity_pairs(
     containment in integer basis points via the canonical exact_idiv
     (bit-identical in every engine). Everything replays in SQL."""
     sets = winnow_fingerprint_sets(df, text_col, id_col, k, w).cache()
-    # Materialize the postings ONCE: the pair math reads them four
-    # times (doc sizes, bucket sizes, both join sides), and each read
-    # would otherwise re-explode from the cached sets — at 100× sf0.1
-    # that's three redundant passes over ~4·10^8 rows. (The cache on
-    # sets keeps the explode itself from re-evaluating the md5 chain
-    # per output row while fp materializes.)
+    # Materialize the postings ONCE: the pair math reads them three
+    # times (bucket sizes, both join sides), and each read would
+    # otherwise re-explode from the cached sets — at 100× sf0.1 that's
+    # two redundant passes over ~4·10^8 rows. (The cache on sets keeps
+    # the explode itself from re-evaluating the md5 chain per output
+    # row while fp materializes.)
     fp = sets.select("_id", F.explode("_fps").alias("fp")).localCheckpoint(eager=True)
+    # Doc fingerprint-set size is a ROW property of the set frame —
+    # size(_fps) off the (cached) sets instead of a full groupBy
+    # re-count of the exploded postings (r11: one posting-table scan +
+    # exchange removed; the store path keeps the groupBy because its
+    # merged postings are the only thing it has).
+    sizes = sets.select("_id", F.size("_fps").cast("long").alias("n_fps"))
     out = winnow_pairs_from_postings(
         fp,
         min_shared=min_shared,
         min_containment_bp=min_containment_bp,
         max_bucket=max_bucket,
+        sizes=sizes,
     )
     out = out.localCheckpoint(eager=True)
     sets.unpersist()
@@ -1164,6 +1193,7 @@ def winnow_pairs_from_postings(
     min_shared: int = 2,
     min_containment_bp: int = 5000,
     max_bucket: int = 200,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """The serve half of :func:`winnow_similarity_pairs`, factored
     over a postings frame ``(_id, fp)`` (one row per document per
@@ -1172,10 +1202,18 @@ def winnow_pairs_from_postings(
     sizes from the UNCAPPED postings, the skew cap applied to bucket
     sizes at serve time (a corpus-level property, so batch-split
     invariant), bucket self-join, shared counts, exact-basis-point
-    containment."""
+    containment.
+
+    ``sizes``: optional precomputed (_id, n_fps) frame. A caller that
+    holds the fingerprint SETS passes ``size(_fps)`` — a row-local
+    projection — and the full posting scan + exchange this groupBy
+    costs disappears (counting exploded rows to recover a length the
+    array already knew). Must equal the groupBy exactly: one posting
+    row per (_id, DISTINCT fp)."""
     from etl_database_spark.functions.text import exact_idiv
 
-    sizes = fp.groupBy("_id").agg(F.count("*").cast("long").alias("n_fps"))
+    if sizes is None:
+        sizes = fp.groupBy("_id").agg(F.count("*").cast("long").alias("n_fps"))
     bucket_sizes = fp.groupBy("fp").agg(F.count("*").alias("bn"))
     capped = fp.join(bucket_sizes.where(F.col("bn") <= max_bucket), "fp").select(
         "_id", "fp"
