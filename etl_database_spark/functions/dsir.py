@@ -159,18 +159,51 @@ def dsir_weights(
         flag=target_pred,
     ).persist()
     try:
-        tgt_feats = (
-            raw_feats.where(F.col("_tgt"))
-            if target_pred is not None
-            else _doc_features(target, text_col, id_col, n_buckets, portable_hash)
-        )
-        ratio = (
-            _bucket_log_probs(tgt_feats, n_buckets, "t")
-            .join(_bucket_log_probs(raw_feats, n_buckets, "r"), "bucket")
-            .select(
-                "bucket", (F.col("log_p_t") - F.col("log_p_r")).alias("log_ratio")
+        if target_pred is not None:
+            # Subset fast path, merged-counter form (r11): BOTH bucket
+            # counter tables come out of ONE groupBy over the flagged
+            # feature frame (target counts as a conditional sum — _tgt
+            # is constant per doc, so sum(when(_tgt, cnt)) equals the
+            # filtered groupBy exactly), and both totals out of ONE
+            # scalar action. The previous subset path still ran two
+            # counter passes + two totals actions over the persisted
+            # features. Log-prob expressions are verbatim
+            # _bucket_log_probs, so the floats are bit-identical.
+            spark = raw.sparkSession
+            counts = (
+                raw_feats.groupBy("bucket")
+                .agg(
+                    F.sum("cnt").alias("cr"),
+                    F.sum(F.when(F.col("_tgt"), F.col("cnt"))).alias("ct"),
+                )
+                .localCheckpoint(eager=True)
             )
-        )
+            tot_r, tot_t = counts.agg(F.sum("cr"), F.sum("ct")).first()
+            tot_r, tot_t = tot_r or 0, tot_t or 0
+            all_buckets = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+            log_p_t = F.log(
+                (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                / F.lit(float(tot_t + n_buckets))
+            )
+            log_p_r = F.log(
+                (F.coalesce(F.col("cr"), F.lit(0)) + F.lit(1.0))
+                / F.lit(float(tot_r + n_buckets))
+            )
+            ratio = all_buckets.join(counts, "bucket", "left").select(
+                "bucket", (log_p_t - log_p_r).alias("log_ratio")
+            )
+        else:
+            tgt_feats = _doc_features(
+                target, text_col, id_col, n_buckets, portable_hash
+            )
+            ratio = (
+                _bucket_log_probs(tgt_feats, n_buckets, "t")
+                .join(_bucket_log_probs(raw_feats, n_buckets, "r"), "bucket")
+                .select(
+                    "bucket",
+                    (F.col("log_p_t") - F.col("log_p_r")).alias("log_ratio"),
+                )
+            )
         return (
             raw_feats.join(F.broadcast(ratio), "bucket")
             .groupBy(F.col("doc").alias(id_col))
@@ -254,22 +287,43 @@ def dsir_select_portable(
     ).persist()
     try:
         spark = raw.sparkSession
-        tgt_feats = (
-            raw_feats.where(F.col("_tgt"))
-            if target_pred is not None
-            else _doc_features(target, text_col, id_col, n_buckets, portable_hash=True)
-        )
-        tc = (
-            tgt_feats.groupBy("bucket").agg(F.sum("cnt").alias("c"))
-            .localCheckpoint(eager=True)
-        )
-        rc = (
-            raw_feats.groupBy("bucket").agg(F.sum("cnt").alias("c"))
-            .localCheckpoint(eager=True)
-        )
-        tot_t = tc.agg(F.sum("c")).first()[0] or 0
-        tot_r = rc.agg(F.sum("c")).first()[0] or 0
-        all_b = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+        if target_pred is not None:
+            # merged-counter subset fast path (r11): one groupBy yields
+            # both LMs' bucket counts (target as a conditional sum —
+            # _tgt is constant per doc), one scalar action yields both
+            # totals; the lr operands are identical to the two-table
+            # form, so the 9-digit rounded ratios are bit-identical
+            cc = (
+                raw_feats.groupBy("bucket")
+                .agg(
+                    F.sum("cnt").alias("cr"),
+                    F.sum(F.when(F.col("_tgt"), F.col("cnt"))).alias("ct"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            tot_r, tot_t = cc.agg(F.sum("cr"), F.sum("ct")).first()
+            tot_r, tot_t = tot_r or 0, tot_t or 0
+            joined = spark.range(n_buckets).select(
+                F.col("id").alias("bucket")
+            ).join(cc, "bucket", "left")
+        else:
+            tgt_feats = _doc_features(
+                target, text_col, id_col, n_buckets, portable_hash=True
+            )
+            tc = (
+                tgt_feats.groupBy("bucket").agg(F.sum("cnt").alias("c"))
+                .localCheckpoint(eager=True)
+            )
+            rc = (
+                raw_feats.groupBy("bucket").agg(F.sum("cnt").alias("c"))
+                .localCheckpoint(eager=True)
+            )
+            tot_t = tc.agg(F.sum("c")).first()[0] or 0
+            tot_r = rc.agg(F.sum("c")).first()[0] or 0
+            all_b = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+            joined = all_b.join(
+                tc.select("bucket", F.col("c").alias("ct")), "bucket", "left"
+            ).join(rc.select("bucket", F.col("c").alias("cr")), "bucket", "left")
         lr = F.round(
             F.log(F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
             - F.log(F.lit(float(tot_t + n_buckets)))
@@ -277,11 +331,7 @@ def dsir_select_portable(
             + F.log(F.lit(float(tot_r + n_buckets))),
             9,
         )
-        ratio = (
-            all_b.join(tc.select("bucket", F.col("c").alias("ct")), "bucket", "left")
-            .join(rc.select("bucket", F.col("c").alias("cr")), "bucket", "left")
-            .select("bucket", lr.alias("lr"))
-        )
+        ratio = joined.select("bucket", lr.alias("lr"))
         w = (
             raw_feats.join(F.broadcast(ratio), "bucket")
             .groupBy(F.col("doc").alias(id_col))

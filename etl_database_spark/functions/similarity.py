@@ -62,9 +62,17 @@ def cosine_topk(
     """
     from etl_database_spark.functions.partitioning import spread_scan
 
+    # Norms are per-VECTOR properties: compute each side's once before
+    # the pair fan-out instead of twice per (candidate, query) pair —
+    # the naive cosine() runs three zip_with folds per pair, this
+    # shape runs one (the dot) plus one fold per input row. The
+    # product na*nb has the same operands in the same order as
+    # norm(a)*norm(b), so cos_sim is bit-identical to the old formula
+    # (and to the SQL oracle) at ~1/3 the per-pair arithmetic — the
+    # semantic_assign treatment applied to the top-k scorer (r11).
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
+    ).withColumn("_qn", norm(F.col("q_vec")))
     # per (candidate, query) dot products are the CPU cost — spread the
     # candidate side so a one-row-group scan doesn't serialize them
     # (small bytes_per_task: each candidate row scores every query)
@@ -73,11 +81,17 @@ def cosine_topk(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
         ),
         bytes_per_task=16 * 1024,
-    )
+    ).withColumn("_cn", norm(F.col("c_vec")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec")) / (F.col("_qn") * F.col("_cn")),
+                round_digits,
+            ),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -1055,8 +1069,14 @@ def semantic_dedup(
     # (caches alone don't dedupe plan branches inside one action — see
     # functions/dedup._finish_eager). Cache + count forces one pass.
     assigned = semantic_assign(df, centroids, id_col, vec_col).cache()
-    assigned.count()
-    if max_pair_mass is not None:
+    if max_pair_mass is None:
+        assigned.count()
+    else:
+        # ONE job both materializes the assignment cache and computes
+        # the intra-cluster pair mass Σ nc·(nc−1)/2 — the old shape
+        # paid a count() pass and then a second mass pass (r11: 2
+        # actions over the assignment → 1; the groupBy is
+        # counter-sized, k rows).
         mass = (
             assigned.groupBy("cluster_id")
             .agg(F.count("*").alias("nc"))

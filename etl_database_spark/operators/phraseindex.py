@@ -303,14 +303,23 @@ class PhraseIndexStore(BatchStore):
         registered query serves. Probe selection is one aggregate over
         postings + a k-row TakeOrdered; serving is a broadcast join of
         the k probes against the posting lists (output-bound)."""
-        p = self.postings()
-        top = (
-            p.groupBy("gram")
+        # Probe selection collects the k winning grams (bounded,
+        # TakeOrdered) and the serve re-reads ONLY their posting lists
+        # through the pushed In(gram) scan filter — the old shape
+        # joined the probe frame against a second FULL-index sign-fold
+        # (r11: serve-side fold is now posting-list-sized instead of
+        # corpus-sized; the one full fold left is probe selection,
+        # which is the aggregate's job).
+        top = [
+            r.gram
+            for r in self.postings()
+            .groupBy("gram")
             .agg(F.count("*").alias("ndocs"))
             .orderBy(F.desc("ndocs"), F.asc("gram"))
             .limit(k)
-        )
-        return p.join(F.broadcast(top.select("gram")), "gram").select(
+            .collect()
+        ]
+        return self.postings(grams=top).select(
             F.col("gram").alias("phrase"), F.col("_id").alias("doc_id")
         )
 

@@ -169,11 +169,19 @@ class TokenIndexStore(BatchStore):
         """(_id, bm25_dec) from stored state only: filter the postings
         to the query's terms, read dl and the two corpus scalars from
         ``_doclens``, and run the ONE shared scoring tail
-        (bm25.bm25_from_stats)."""
-        dl = self.doclens()
+        (bm25.bm25_from_stats).
+
+        Both store reads are materialized ONCE: ``dl`` feeds the
+        scalar agg here AND the scoring join, ``tf`` feeds the df
+        aggregate AND the scoring join inside bm25_from_stats — each
+        consumer would otherwise re-run the parquet scan + sign-fold
+        groupBy (r11: 2 doclen folds + 2 posting folds per serve → 1
+        each; both frames are bounded — doc-count and |Q| posting
+        lists)."""
+        dl = self.doclens().localCheckpoint(eager=True)
         stats = dl.agg(F.count("*").alias("n"), F.sum("dl").alias("t")).first()
         n_docs, total_toks = int(stats["n"]), int(stats["t"] or 0)
-        tf = self.postings(toks=list(query_terms))
+        tf = self.postings(toks=list(query_terms)).localCheckpoint(eager=True)
         return B.bm25_from_stats(tf, dl, n_docs, total_toks, k1=k1, b=b)
 
     # -- maintenance ------------------------------------------------------

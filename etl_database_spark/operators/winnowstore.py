@@ -146,9 +146,17 @@ class WinnowStore(BatchStore):
     ) -> DataFrame:
         """MOSS similarity report from the stored postings — the same
         winnow_pairs_from_postings math as the one-shot path, with the
-        skew cap evaluated against CURRENT merged bucket sizes."""
+        skew cap evaluated against CURRENT merged bucket sizes.
+
+        The merged postings are materialized ONCE before the pair
+        math: winnow_pairs_from_postings fans its input into four plan
+        branches (doc sizes, bucket sizes, both self-join sides), and
+        each branch would otherwise re-run the parquet scan + sign-fold
+        groupBy — four full passes over the store per serve (r11: plan
+        shows 4 scan+fold subtrees → 1)."""
+        folded = self.postings().localCheckpoint(eager=True)
         return D.winnow_pairs_from_postings(
-            self.postings(),
+            folded,
             min_shared=min_shared,
             min_containment_bp=min_containment_bp,
             max_bucket=max_bucket,

@@ -5550,27 +5550,36 @@ def mmr_diverse_topk_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_database_spark.functions.similarity import cosine
 
     emb = table(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") == _MMR_QVEC)
-    # ONE corpus scan: the shortlist is localCheckpointed (20 rows)
-    # before fan-out — the previous shape re-ran the whole
-    # cosine_topk pipeline (scan + window) once per downstream
-    # collect (rel, pairs), ~4 corpus passes for one query
-    pool = (
-        S.cosine_topk(emb, q, k=_MMR_POOL)
-        .select(F.col("neighbor_id").alias("doc_id"), F.col("cos_sim").alias("rel"))
-        .localCheckpoint(eager=True)
+    # ONE corpus scan and ONE bounded collect: score every candidate
+    # against the single query vector (same cosine+round expressions
+    # and desc-score/asc-id order as cosine_topk, expressed as a
+    # TakeOrdered limit instead of a window — identical shortlist for
+    # one query), CARRYING the candidate vector on the shortlist rows.
+    # The previous shape collected the shortlist, then re-scanned the
+    # corpus with an In-filter just to fetch the same 20 vectors —
+    # two corpus passes and three actions for one query (r11: 2→1
+    # passes, 3→2 actions; pairwise sims still run over a POOL-row
+    # local frame with the same JVM cosine, so scores stay
+    # bit-identical to the oracle).
+    qrow = emb.where(F.col("vec_id") == _MMR_QVEC).select(
+        F.col("embedding").alias("q_vec")
     )
-    rel = {r["doc_id"]: r["rel"] for r in pool.collect()}
-    ids = sorted(int(i) for i in rel)
-    # the 20 pool vectors: one pushed-In-filter scan, bounded collect;
-    # the pairwise sims then run over a POOL-row local frame with the
-    # SAME JVM cosine+round expressions (bit-identical scores)
+    shortlist = (
+        emb.crossJoin(F.broadcast(qrow))
+        .where(F.col("vec_id") != _MMR_QVEC)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            "embedding",
+            F.round(cosine(F.col("q_vec"), F.col("embedding")), 4).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("doc_id"))
+        .limit(_MMR_POOL)
+        .collect()
+    )
+    rel = {r["doc_id"]: r["rel"] for r in shortlist}
     proj = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
     pv = spark.createDataFrame(
-        emb.where(F.col("vec_id").isin(ids)).select(
-            F.col("vec_id").alias("doc_id"), "embedding"
-        ).collect(),
-        proj.schema,
+        [(r["doc_id"], r["embedding"]) for r in shortlist], proj.schema
     )
     a = pv.select(F.col("doc_id").alias("ia"), F.col("embedding").alias("va"))
     b = pv.select(F.col("doc_id").alias("ib"), F.col("embedding").alias("vb"))
