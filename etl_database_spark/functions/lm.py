@@ -104,8 +104,15 @@ def bigram_lm_scores(
         .first()["v"]
     )
 
-    n_bigrams = bigram_counts.count()
-    n_contexts = context_counts.count()
+    # Broadcast-gate cardinalities in ONE action over the cached
+    # bigram stream (distinct (w1,w2) == bigram_counts.count(),
+    # distinct w1 == context_counts.count()) — the two separate
+    # count() materialization passes this replaces only existed for
+    # these gate numbers; the count tables themselves materialize
+    # into their caches during the scoring join (r11: 4 actions → 3).
+    n_bigrams, n_contexts = bg.agg(
+        F.countDistinct("w1", "w2"), F.countDistinct("w1")
+    ).first()
     joined = (
         bg.join(
             F.broadcast(bigram_counts)

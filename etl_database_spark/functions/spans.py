@@ -116,11 +116,18 @@ def duplicate_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     w: int = WINDOW,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal duplicated spans (doc_id, s, e) — token runs of length
     >= w whose every w-window occurs more than once corpus-wide
-    (across documents or repeated within one)."""
-    wins = window_hashes(tokenized(docs, text_col, id_col), w)
+    (across documents or repeated within one).
+
+    ``toks``: optional pre-built ``tokenized()`` frame — a caller that
+    also needs the token arrays (duplicate_span_stats) passes its own
+    so the corpus is tokenized once, not once per consumer."""
+    if toks is None:
+        toks = tokenized(docs, text_col, id_col)
+    wins = window_hashes(toks, w)
     dup_h = (
         wins.groupBy("h")
         .agg(F.count("*").alias("c"))
@@ -139,18 +146,28 @@ def duplicate_span_stats(
 ) -> DataFrame:
     """Per-document duplication profile: (doc_id, n_tokens, dup_tokens,
     n_spans) — all exact BIGINTs, zero rows for clean documents kept
-    (dup_tokens = 0) so the output is a full-corpus scorecard."""
-    toks = tokenized(docs, text_col, id_col)
-    spans = duplicate_spans(docs, text_col, id_col, w)
+    (dup_tokens = 0) so the output is a full-corpus scorecard.
+
+    The corpus is tokenized ONCE: the token-array frame is cached and
+    shared by the window-hash pipeline and the n_tokens projection —
+    previously each consumer carried its own tokenize subtree, i.e.
+    two full normalize+split passes per evaluation (r11). The
+    doc-count-sized result is materialized so the cache can be
+    released before the caller's sort/collect."""
+    toks = tokenized(docs, text_col, id_col).cache()
+    spans = duplicate_spans(docs, text_col, id_col, w, toks=toks)
     per_doc = spans.groupBy("doc_id").agg(
         F.sum(F.col("e") - F.col("s")).cast("long").alias("dup_tokens"),
         F.count("*").cast("long").alias("n_spans"),
     )
-    return (
+    out = (
         toks.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
         .join(per_doc, "doc_id", "left")
         .fillna(0, subset=["dup_tokens", "n_spans"])
+        .localCheckpoint(eager=True)
     )
+    toks.unpersist()
+    return out
 
 
 def cut_duplicate_spans(
