@@ -148,26 +148,25 @@ def duplicate_span_stats(
     n_spans) — all exact BIGINTs, zero rows for clean documents kept
     (dup_tokens = 0) so the output is a full-corpus scorecard.
 
-    The corpus is tokenized ONCE: the token-array frame is cached and
-    shared by the window-hash pipeline and the n_tokens projection —
-    previously each consumer carried its own tokenize subtree, i.e.
-    two full normalize+split passes per evaluation (r11). The
-    doc-count-sized result is materialized so the cache can be
-    released before the caller's sort/collect."""
-    toks = tokenized(docs, text_col, id_col).cache()
+    Deliberately LAZY (r11 measured tradeoff): the tokenize appears as
+    two plan subtrees (window-hash pipeline + n_tokens projection),
+    but a cache+eager-materialize rewrite that shared it regressed the
+    common partial-consumption path 0.35→1.94s in the bench — eager
+    materialization forces every column of every row, while the lazy
+    form lets Catalyst elide work a given consumer never reads. A
+    caller that DOES consume everything can pass its own cached frame
+    through ``duplicate_spans(toks=...)``."""
+    toks = tokenized(docs, text_col, id_col)
     spans = duplicate_spans(docs, text_col, id_col, w, toks=toks)
     per_doc = spans.groupBy("doc_id").agg(
         F.sum(F.col("e") - F.col("s")).cast("long").alias("dup_tokens"),
         F.count("*").cast("long").alias("n_spans"),
     )
-    out = (
+    return (
         toks.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
         .join(per_doc, "doc_id", "left")
         .fillna(0, subset=["dup_tokens", "n_spans"])
-        .localCheckpoint(eager=True)
     )
-    toks.unpersist()
-    return out
 
 
 def cut_duplicate_spans(
