@@ -909,14 +909,19 @@ def connected_components(
     """
     if small_graph_max_edges is None:
         small_graph_max_edges = SMALL_GRAPH_MAX_EDGES
-    # Materialize the pair list first: it either collects (small path)
-    # or fans into two plan branches (symmetric union), and callers
-    # hand in un-cached, often expensive pipelines.
+    # Cache the pair list: it either collects (small path) or fans
+    # into two plan branches (symmetric union), and callers hand in
+    # un-cached, often expensive pipelines. The tier gate and the
+    # small-path collect are ONE bounded action — collect at most
+    # gate+1 rows; ≤ gate means we already hold the complete edge
+    # list, > gate falls to the distributed tier without ever
+    # collecting more (r11: the previous count()-then-collect() ran
+    # the pair pipeline and a full cache scan as two actions).
     pairs = pairs.cache()
-    n_edges = pairs.count()
+    probe = pairs.select("id_a", "id_b").limit(small_graph_max_edges + 1).collect()
 
-    if n_edges <= small_graph_max_edges:
-        rows = pairs.select("id_a", "id_b").collect()
+    if len(probe) <= small_graph_max_edges:
+        rows = probe
         parent: dict = {}
 
         def find(x):

@@ -67,12 +67,20 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    if max_edges_local is not None and edges.count() <= max_edges_local:
-        out = _pagerank_local(
-            pairs.sparkSession, edges, damping, max_iter, tol, check_every
-        )
-        edges.unpersist()
-        return out
+    if max_edges_local is not None:
+        # Tier gate and small-path edge fetch as ONE bounded action
+        # (the connected_components probe pattern, r11): collect at
+        # most gate+1 rows off the checkpointed edge list — ≤ gate
+        # means we already hold the complete graph; > gate falls to
+        # the distributed loop (the rare path; the probe's bounded
+        # collect is then the cost of one gate check).
+        probe = edges.limit(max_edges_local + 1).collect()
+        if len(probe) <= max_edges_local:
+            out = _pagerank_local(
+                pairs.sparkSession, probe, damping, max_iter, tol, check_every
+            )
+            edges.unpersist()
+            return out
     degrees = edges.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(
         eager=True
     )
@@ -122,7 +130,7 @@ def pagerank(
 
 def _pagerank_local(
     spark,
-    edges: DataFrame,
+    rows: list,
     damping: float,
     max_iter: int,
     tol: float,
@@ -130,11 +138,11 @@ def _pagerank_local(
 ) -> DataFrame:
     """The gated small-graph path: identical update rule and
     convergence schedule to the distributed loop, run as one numpy
-    power iteration on the driver. Bounded by ``max_edges_local``
-    rows collected (the connected_components union-find precedent)."""
+    power iteration on the driver over the already-collected edge
+    rows. Bounded by ``max_edges_local`` rows (the
+    connected_components union-find precedent)."""
     import numpy as np
 
-    rows = edges.collect()
     if not rows:
         return spark.createDataFrame([], "_id long, rank double")
     ids = sorted({r.src for r in rows})
