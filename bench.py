@@ -29,6 +29,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # ~1.8x-loaded box vs 32.18s quiet on identical code), so BENCH_rN
 # artifacts compare across rounds without forensics.
 REFERENCE_CALIBRATION_SEC = 0.30
+# Pinned reference for the IO/shuffle probe (round-11 verdict ask #7:
+# make value_norm two-probe). Quiet-host samples on the record: 1.53,
+# 1.90, 2.09, 2.21 across the four r11 builder runs (host-variance
+# ledger in OPTIMIZATION_r11.md) vs 6.50 on the degraded r11 driver
+# host and 34.66 on the pathological session-1 box. Reference = the
+# median-ish 1.9; value_norm_io deflates by this probe the way
+# value_norm deflates by the CPU probe. A CPU-linear deflation
+# under-corrects IO-degraded runs, so artifacts now carry BOTH.
+REFERENCE_CALIBRATION_IO_SEC = 1.9
 
 HEADLINE = [
     "event_changes",
@@ -471,11 +480,20 @@ def main() -> None:
         if calibration_sec > 0
         else None
     )
+    # Two-probe normalization (r11 verdict ask #7): the r11 driver run
+    # was IO-degraded (probe 6.50 vs ~1.9 quiet) while its CPU probe
+    # only read 2.6x — a CPU-only deflation under-corrects such runs.
+    value_norm_io = (
+        round(total * (REFERENCE_CALIBRATION_IO_SEC / calibration_io_sec), 3)
+        if calibration_io_sec > 0
+        else None
+    )
     line = json.dumps(
         {
             "metric": "headline_query_wall_seconds",
             "value": total,
             "value_norm": value_norm,
+            "value_norm_io": value_norm_io,
             "unit": "sec",
             "queries": timings,
             "queries_p50": p50,
@@ -485,6 +503,7 @@ def main() -> None:
             "calibration_sec": calibration_sec,
             "calibration_io_sec": calibration_io_sec,
             "reference_calibration_sec": REFERENCE_CALIBRATION_SEC,
+            "reference_calibration_io_sec": REFERENCE_CALIBRATION_IO_SEC,
             "sf": sf,
         }
     )
@@ -543,23 +562,35 @@ def _wrapper() -> int:
     # Final stdout bytes: a COMPACT summary. Round 9 measured the
     # actual failure mode — the driver's tail capture is 2,000 chars
     # and the full per-query line is >5,000, so the tail started
-    # mid-line and could not parse. Strip the per-query dicts down to
-    # the headline fields (~150 bytes); the full detail remains the
-    # first stdout line and BENCH_LOCAL.json.
+    # mid-line and could not parse. Round 11's verdict measured the
+    # cost of the fix: dropping the per-query dict left PERF_r11 with
+    # per_query:{} and an empty scaling table. The compact line now
+    # carries a slim {"queries": {name: best_sec}} map (42 rows at 2
+    # decimals ~= 1.3 KB, inside the 2,000-char tail alongside the
+    # headline fields), degrading to 1-decimal and then to no map if
+    # a future query census would push the line past the capture.
     try:
         full = json.loads(summary)
-        compact = json.dumps(
-            {
-                "metric": full.get("metric", "headline_query_wall_seconds"),
-                "value": full.get("value"),
-                "value_norm": full.get("value_norm"),
-                "unit": full.get("unit", "sec"),
-                "sf": full.get("sf"),
-                "calibration_sec": full.get("calibration_sec"),
-                "calibration_io_sec": full.get("calibration_io_sec"),
-                "n_queries": len(full.get("queries", {})) or None,
-            }
-        )
+        base = {
+            "metric": full.get("metric", "headline_query_wall_seconds"),
+            "value": full.get("value"),
+            "value_norm": full.get("value_norm"),
+            "value_norm_io": full.get("value_norm_io"),
+            "unit": full.get("unit", "sec"),
+            "sf": full.get("sf"),
+            "calibration_sec": full.get("calibration_sec"),
+            "calibration_io_sec": full.get("calibration_io_sec"),
+            "n_queries": len(full.get("queries", {})) or None,
+        }
+        queries = full.get("queries") or {}
+        compact = json.dumps(base)
+        for nd in (2, 1):
+            cand = json.dumps(
+                dict(base, queries={k: round(v, nd) for k, v in queries.items()})
+            )
+            if len(cand) <= 1900:
+                compact = cand
+                break
     except (ValueError, TypeError):
         compact = summary
     print(compact, flush=True)

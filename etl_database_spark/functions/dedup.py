@@ -916,12 +916,19 @@ def connected_components(
     # gate+1 rows; ≤ gate means we already hold the complete edge
     # list, > gate falls to the distributed tier without ever
     # collecting more (r11: the previous count()-then-collect() ran
-    # the pair pipeline and a full cache scan as two actions).
+    # the pair pipeline and a full cache scan as two actions). The
+    # probe crosses to the driver as TWO Arrow columns (toPandas),
+    # not gate+1 pickled Row objects — at the 1M-edge gate that is
+    # ~16 MB of flat arrays vs hundreds of MB of Row overhead (r11
+    # advice). On the >gate path the probe's limit scan populates the
+    # cache only partially, so the distributed tier re-materializes
+    # the remaining partitions of the pair pipeline — bounded, and
+    # the small path (the common one at dedup's reduced pair counts)
+    # is where the probe saves the expensive full materialization.
     pairs = pairs.cache()
-    probe = pairs.select("id_a", "id_b").limit(small_graph_max_edges + 1).collect()
+    probe = pairs.select("id_a", "id_b").limit(small_graph_max_edges + 1).toPandas()
 
     if len(probe) <= small_graph_max_edges:
-        rows = probe
         parent: dict = {}
 
         def find(x):
@@ -933,8 +940,8 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for r in rows:
-            ra, rb = find(r.id_a), find(r.id_b)
+        for ra0, rb0 in zip(probe["id_a"].tolist(), probe["id_b"].tolist()):
+            ra, rb = find(ra0), find(rb0)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         out = [(x, find(x)) for x in parent]

@@ -68,14 +68,14 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     if max_edges_local is not None:
-        # Tier gate and small-path edge fetch as ONE bounded action
-        # (the connected_components probe pattern, r11): collect at
-        # most gate+1 rows off the checkpointed edge list — ≤ gate
-        # means we already hold the complete graph; > gate falls to
-        # the distributed loop (the rare path; the probe's bounded
-        # collect is then the cost of one gate check).
-        probe = edges.limit(max_edges_local + 1).collect()
-        if len(probe) <= max_edges_local:
+        # Tier gate: edges is already eagerly checkpointed, so count()
+        # is one trivial action over materialized blocks. Collect the
+        # edge rows ONLY when the count says the graph fits the local
+        # tier (r11 advice: the previous limit(gate+1).collect() probe
+        # deserialized up to 1M+1 full Rows on the driver on EVERY
+        # call, even on the large-graph path where they were discarded).
+        if edges.count() <= max_edges_local:
+            probe = edges.collect()
             out = _pagerank_local(
                 pairs.sparkSession, probe, damping, max_iter, tol, check_every
             )

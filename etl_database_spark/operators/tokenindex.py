@@ -51,6 +51,10 @@ class TokenIndexStore(BatchStore):
     def __init__(self, spark: SparkSession, path: str):
         super().__init__(spark, path)
         self._check_config()
+        # Frames persisted by the PREVIOUS bm25_serve call, released on
+        # the next serve (r11 advice: per-call eager localCheckpoints
+        # with no unpersist leaked executor storage on every serve).
+        self._serve_frames: list[DataFrame] = []
 
     def _config(self) -> dict:
         # the tokenizer rule is the store identity: an index built
@@ -176,12 +180,22 @@ class TokenIndexStore(BatchStore):
         aggregate AND the scoring join inside bm25_from_stats — each
         consumer would otherwise re-run the parquet scan + sign-fold
         groupBy (r11: 2 doclen folds + 2 posting folds per serve → 1
-        each; both frames are bounded — doc-count and |Q| posting
-        lists)."""
-        dl = self.doclens().localCheckpoint(eager=True)
+        each). r12 (advice): the shared frames are lazy ``persist()``
+        — the scalar agg materializes dl's cache, the caller's own
+        action materializes tf's on first touch and the second
+        consumer reads cached blocks — instead of per-call eager
+        localCheckpoints that were never released (leaked executor
+        storage per serve; dl is corpus-row-count-sized) and, being
+        lineage-cut, could not recompute after an executor loss. The
+        previous serve's frames are unpersisted here, so a long-lived
+        store instance holds at most one serve's cache."""
+        for f in self._serve_frames:
+            f.unpersist()
+        dl = self.doclens().persist()
         stats = dl.agg(F.count("*").alias("n"), F.sum("dl").alias("t")).first()
         n_docs, total_toks = int(stats["n"]), int(stats["t"] or 0)
-        tf = self.postings(toks=list(query_terms)).localCheckpoint(eager=True)
+        tf = self.postings(toks=list(query_terms)).persist()
+        self._serve_frames = [dl, tf]
         return B.bm25_from_stats(tf, dl, n_docs, total_toks, k1=k1, b=b)
 
     # -- maintenance ------------------------------------------------------

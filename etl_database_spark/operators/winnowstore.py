@@ -148,19 +148,29 @@ class WinnowStore(BatchStore):
         winnow_pairs_from_postings math as the one-shot path, with the
         skew cap evaluated against CURRENT merged bucket sizes.
 
-        The merged postings are materialized ONCE before the pair
-        math: winnow_pairs_from_postings fans its input into four plan
+        The merged postings are materialized ONCE for the pair math:
+        winnow_pairs_from_postings fans its input into four plan
         branches (doc sizes, bucket sizes, both self-join sides), and
         each branch would otherwise re-run the parquet scan + sign-fold
         groupBy — four full passes over the store per serve (r11: plan
-        shows 4 scan+fold subtrees → 1)."""
-        folded = self.postings().localCheckpoint(eager=True)
-        return D.winnow_pairs_from_postings(
+        shows 4 scan+fold subtrees → 1). r12 (advice): the shared
+        frame is a lazy ``persist()`` — the serve's own materializing
+        action computes the fold once and the other branches read the
+        cached blocks — instead of an eager localCheckpoint of the
+        index-sized postings that was never unpersisted (leaked
+        executor storage per serve) and, being lineage-cut, could not
+        recompute after an executor loss. The bounded post-threshold
+        pair list is finished eagerly so the cache can be released
+        before returning (the _finish_eager discipline)."""
+        folded = self.postings().persist()
+        out = D.winnow_pairs_from_postings(
             folded,
             min_shared=min_shared,
             min_containment_bp=min_containment_bp,
             max_bucket=max_bucket,
-        )
+        ).localCheckpoint(eager=True)
+        folded.unpersist()
+        return out
 
     # -- maintenance ------------------------------------------------------
 
