@@ -429,7 +429,8 @@ def jaccard_verify(
     release: list[DataFrame] | None = None,
     sets_df: DataFrame | None = None,
     sets_df_pruned: bool = False,
-) -> DataFrame:
+    finish: bool = True,
+):
     """Exact Jaccard on candidate pairs via per-document shingle sets:
     join each pair to its two shingle-set arrays, |A∩B| =
     size(array_intersect), |A∪B| = |A|+|B|−|A∩B|.
@@ -458,7 +459,15 @@ def jaccard_verify(
     from a pair-id semi-join itself), so the internal pair-id
     union+distinct+semi-join re-prune is skipped — it was a no-op
     re-filter costing one distinct exchange and one broadcast join
-    per call (r11)."""
+    per call (r11).
+
+    ``finish``: by default the verified pair list is materialized
+    eagerly and every cache released (returns a DataFrame). A caller
+    whose NEXT step is itself a materializing action (EdgeStore's
+    edge write) passes ``finish=False`` and gets
+    ``(lazy_verified, caches)`` back — it runs its one action and
+    unpersists the caches itself, skipping a full extra
+    materialize+re-read round-trip of the result (r12, guide §5)."""
     if n_pairs is None and not (sets_df is not None and sets_df_pruned):
         n_pairs = pairs.count()
     pair_ids = None
@@ -503,6 +512,8 @@ def jaccard_verify(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if not finish:
+        return verified, [sets, *(release or [])]
     return _finish_eager(verified, [sets, *(release or [])])
 
 

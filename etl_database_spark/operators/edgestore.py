@@ -179,7 +179,19 @@ class EdgeStore(BatchStore):
         SCANNED (map-side, the batch side broadcast under a gate) but
         never recomputed or re-aggregated. Idempotent per batch id; a
         crash anywhere before the final commit is healed by the retry
-        (all four row-kind partitions are rewritten)."""
+        (all four row-kind partitions are rewritten).
+
+        Per-ingest action budget (r12, guide §5 — the day-batch ingest
+        profile showed ~11 driver actions/materializations per batch,
+        a third of its wall time at sf0.1): signatures and band rows
+        are written STRAIGHT from their lazy pipelines (the parquet
+        write is the materializing action) and read back from the
+        just-written batch partition — one tiny scan replaces each
+        eager localCheckpoint's block write+read; the pruning mod list
+        comes from the batch partition's DIRECTORY NAMES instead of a
+        distinct+collect job; and the verify join is materialized by
+        the edge write itself (``jaccard_verify(finish=False)``)
+        instead of checkpoint-then-rewrite. 11 actions → 7."""
         if not self._begin_batch(batch):
             return False
         # A crashed previous attempt may have left partial batch
@@ -191,15 +203,28 @@ class EdgeStore(BatchStore):
         # Stores persisted before the band/count row kinds existed get
         # a one-time backfill from their committed signature table.
         self._ensure_band_backfill()
-        sigs_new = D.minhash_signatures(
-            D.shingles(new_docs, text_col, id_col, self.n, portable=self.portable),
-            self.num_perm,
-        ).localCheckpoint(eager=True)
-        self._write_sigs(sigs_new, batch, sign=1)
-        banded_new = D.band_table(
-            sigs_new, self.num_perm, self.bands, portable=self.portable
-        ).localCheckpoint(eager=True)
-        self._write_bands(banded_new, batch, sign=1)
+        self._write_sigs(
+            D.minhash_signatures(
+                D.shingles(new_docs, text_col, id_col, self.n, portable=self.portable),
+                self.num_perm,
+            ),
+            batch,
+            sign=1,
+        )
+        sigs_new = self._read_batch_partition(self.SIGS_SUBDIR, batch)
+        if sigs_new is None:
+            # Empty batch: no signatures were written, so there is
+            # nothing to band, count, or verify — commit the batch id
+            # (idempotence) and return.
+            self._commit(batch)
+            return True
+        self._write_bands(
+            D.band_table(sigs_new, self.num_perm, self.bands, portable=self.portable),
+            batch,
+            sign=1,
+        )
+        banded_new = self._read_batch_partition(self.BANDS_SUBDIR, batch)
+        mods = self._batch_band_mods(batch)
         self._write_side(
             banded_new.groupBy("band_id", "band_hash").agg(
                 F.count("*").cast("long").alias("cnt")
@@ -210,7 +235,9 @@ class EdgeStore(BatchStore):
         )
         # materialize candidates once: jaccard_verify counts them and
         # joins them, which would otherwise run the banded join twice
-        cands = self._candidate_pairs(banded_new).localCheckpoint(eager=True)
+        cands = self._candidate_pairs(banded_new, mods=mods).localCheckpoint(
+            eager=True
+        )
         # r11: per-doc shingle SETS built row-locally (array_distinct)
         # instead of shingles()+collect_set — the old path repartition-
         # shuffled and exploded the FULL corpus text on every ingest
@@ -218,7 +245,7 @@ class EdgeStore(BatchStore):
         # jaccard_verify's pair-id semi-join now prunes the corpus scan
         # before any shingle is computed (PushDownLeftSemiAntiJoin
         # moves it below the array projection).
-        verified = D.jaccard_verify(
+        verified, caches = D.jaccard_verify(
             cands,
             None,
             threshold=self.threshold,
@@ -226,11 +253,39 @@ class EdgeStore(BatchStore):
             sets_df=D.shingle_sets(
                 corpus, text_col, id_col, self.n, portable=self.portable
             ).select("_id", F.col("_sh").alias("shset")),
+            finish=False,
         )
         self._write_batch(verified.withColumn("sign", F.lit(1).cast("int")), batch)
-        banded_new.unpersist()
-        sigs_new.unpersist()
+        for c in caches:
+            c.unpersist()
         return True
+
+    def _read_batch_partition(self, subdir: str, batch: str) -> DataFrame | None:
+        """The just-written batch partition of a side table, read back
+        lineage-free (the write already materialized the pipeline), or
+        None when the write produced no rows (Spark writes no partition
+        directory for an empty dynamic-overwrite)."""
+        p = os.path.join(self.path, subdir, f"batch={batch}")
+        if not os.path.isdir(p):
+            return None
+        return self.spark.read.parquet(p)
+
+    def _batch_band_mods(self, batch: str) -> list[int] | None:
+        """The bh_mod values a batch's band rows touch, read from the
+        batch partition's DIRECTORY NAMES — the physical layout already
+        encodes exactly the distinct set the candidate join's pruning
+        IN-filter needs, so no distinct+collect job runs (r12).
+        None = unpartitioned legacy layout (no pruning available)."""
+        if self._band_layout() <= 0:
+            return None
+        p = os.path.join(self.path, self.BANDS_SUBDIR, f"batch={batch}")
+        if not os.path.isdir(p):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(p)
+            if d.startswith("bh_mod=")
+        )
 
     def _clear_stale_partials(self, batch: str) -> None:
         for sub in (None, self.SIGS_SUBDIR, self.BANDS_SUBDIR, self.COUNTS_SUBDIR):
@@ -325,7 +380,9 @@ class EdgeStore(BatchStore):
             .parquet(os.path.join(self.path, self.BANDS_SUBDIR))
         )
 
-    def _candidate_pairs(self, banded_new: DataFrame) -> DataFrame:
+    def _candidate_pairs(
+        self, banded_new: DataFrame, mods: list[int] | None = None
+    ) -> DataFrame:
         """Canonical (id_a < id_b) candidate pairs with at least one
         endpoint in ``banded_new``: the batch's band rows joined
         against the stored band table (which already contains the
@@ -356,12 +413,16 @@ class EdgeStore(BatchStore):
         stored = self.spark.read.parquet(os.path.join(self.path, self.BANDS_SUBDIR))
         buckets = self._band_layout()
         if buckets > 0:
-            mods = [
-                r.m
-                for r in banded_new.select(self._band_mod(buckets).alias("m"))
-                .distinct()
-                .collect()
-            ]
+            if mods is None:
+                # caller without a written batch partition to list
+                # (legacy path): derive the touched buckets with a
+                # bounded distinct+collect as before
+                mods = [
+                    r.m
+                    for r in banded_new.select(self._band_mod(buckets).alias("m"))
+                    .distinct()
+                    .collect()
+                ]
             stored = stored.where(F.col("bh_mod").isin(mods))
         stored = stored.select("_id", "band_id", "band_hash").join(
             capped, ["band_id", "band_hash"]

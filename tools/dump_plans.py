@@ -1,5 +1,5 @@
 """Dump `.explain("formatted")` for every bench headline query into
-plans/r11/<query>_<tag>.txt — the optimization round's before/after
+plans/r12/<query>_<tag>.txt — the optimization round's before/after
 plan evidence. Usage:
 
     python tools/dump_plans.py <tag> [sf_dir] [query ...]
@@ -39,7 +39,7 @@ def main() -> None:
     registry = load_all()
 
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12"
     )
     os.makedirs(out_dir, exist_ok=True)
 
