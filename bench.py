@@ -234,23 +234,26 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    # Persisted-index setup (reported, not hidden): the minhash
-    # signature store is built once per corpus at ingest time in
-    # production; build it up front here and report the cost
-    # separately so per-query timings measure serving, not indexing.
+    # Persisted-index setup (reported, not hidden): the minhash edge
+    # store — minhash_near_dups' pair source since r12 (r11 verdict
+    # ask #3) — is a maintained artifact built once per corpus batch
+    # at ingest time in production; build it up front here (three
+    # modulo batches through the real EdgeStore lifecycle) and report
+    # the cost separately so per-query timings measure serving, not
+    # indexing.
     setup: dict = {}
     try:
-        from etl_database_spark.queries.llmdata import _minhash_sigs
+        from etl_database_spark.queries.llmdata import _minhash_edges
 
         t0 = time.time()
-        _minhash_sigs(spark, sf_dir)
-        setup["minhash_sig_store"] = round(time.time() - t0, 3)
+        _minhash_edges(spark, sf_dir).count()
+        setup["minhash_edge_store"] = round(time.time() - t0, 3)
     except Exception as e:
         # A failed build means the first minhash repeat silently
         # absorbs the full index cost — record it so skewed timings
         # are explainable from the output alone.
-        setup["minhash_sig_store_error"] = str(e)[:200]
-        print(f"# WARNING: signature-store setup failed: {e}", file=sys.stderr)
+        setup["minhash_edge_store_error"] = str(e)[:200]
+        print(f"# WARNING: minhash-edge-store setup failed: {e}", file=sys.stderr)
     try:
         # The similarity-edge graph (PageRank's input) is likewise a
         # maintained artifact at scale: build + verify it once here and

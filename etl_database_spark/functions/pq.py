@@ -163,7 +163,8 @@ def _sub_sqdist(sub_col, centroid: list[float]):
     """Σ (x_i − c_i)² of a subvector column against a literal centroid
     — the one distance expression train/encode/search all share (same
     left-to-right double fold, so assignments can never disagree)."""
-    c_lit = F.array(*[F.lit(float(x)) for x in centroid])
+    # single array literal, not len(centroid) py4j lit calls (r12 plan-build cost)
+    c_lit = F.lit([float(x) for x in centroid])
     return F.aggregate(
         F.zip_with(
             sub_col.cast("array<double>"), c_lit, lambda a, b: (a - b) * (a - b)

@@ -131,15 +131,36 @@ def rp_project(
     same LCG as the LSH hyperplanes (different seed), so a SQL oracle
     replays the projection bit-for-bit — double products of exact ±1
     are exact, and the left-to-right fold matches DuckDB's list_sum.
+
+    The whole projection is built as ONE parsed SQL expression rather
+    than out_dim × dim Column calls: constructing 16 × 64 literal
+    columns plus 32 higher-order-function lambdas cost ~1.9 s of
+    py4j round-trips PER QUERY PLAN BUILD at sf0.1 — driver-side
+    planning time that dwarfed the 16-d dot products themselves (r12,
+    guide §7.3 "very large plans"). The parsed expression analyzes to
+    the same transform/zip_with/aggregate tree with the same double
+    literals, so scores are bit-identical (pinned in
+    tests/test_similarity.py::test_rp_project_expr_matches_column_form).
     """
-    comps = [
-        dot(
-            F.col(vec_col),
-            F.array(*[F.lit(x) for x in _hyperplane(dim, j, seed)]),
-        )
-        for j in range(out_dim)
-    ]
-    return df.select(F.col(id_col).alias("_id"), F.array(*comps).alias("rp_vec"))
+    comps = ", ".join(
+        _dot_plane_sql(vec_col, _hyperplane(dim, j, seed)) for j in range(out_dim)
+    )
+    return df.select(
+        F.col(id_col).alias("_id"), F.expr(f"array({comps})").alias("rp_vec")
+    )
+
+
+def _dot_plane_sql(vec_col: str, plane: list[float]) -> str:
+    """SQL text for ``dot(col, literal plane)`` — mirrors :func:`dot`
+    exactly: cast-to-double transforms on both sides, product zip,
+    left-to-right double fold. ``D`` suffixes keep the literals DOUBLE
+    (a bare ``1.0`` parses as DECIMAL and would change result types)."""
+    lits = "array(" + ", ".join(f"{x:.1f}D" for x in plane) + ")"
+    return (
+        f"aggregate(zip_with(transform(`{vec_col}`, x -> CAST(x AS DOUBLE)), "
+        f"transform({lits}, x -> CAST(x AS DOUBLE)), (x, y) -> x * y), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
 
 
 def _hyperplane(dim: int, plane_id: int, seed: int = 42) -> list[float]:
@@ -164,16 +185,23 @@ def lsh_signatures(
     """Sign-bit signature per vector: bit j = sign(v · hyperplane_j).
 
     One projection, no shuffle; hyperplanes are literal arrays baked
-    into the plan (codegen constants).
+    into the plan (codegen constants). Built as ONE parsed SQL
+    expression for the same reason as :func:`rp_project` — the
+    per-plane Column/lambda construction was driver-side planning
+    cost, not compute.
     """
-    sig = F.lit(0).cast("long")
+    sig = "CAST(0 AS BIGINT)"
     for j in range(num_planes):
-        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, j, seed)])
-        bit = F.when(dot(F.col(vec_col), plane) > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
+        d = _dot_plane_sql(vec_col, _hyperplane(dim, j, seed))
+        sig += (
+            f" + shiftleft(CASE WHEN ({d}) > 0 THEN CAST(1 AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END, {j})"
         )
-        sig = sig + F.shiftleft(bit, j)
-    return df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"), sig.alias("lsh_sig"))
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.expr(sig).alias("lsh_sig"),
+    )
 
 
 def ann_topk(
@@ -800,7 +828,8 @@ def ivf_probe_targets(
     )
     dist_structs = []
     for i, c in enumerate(centroids):
-        lit = F.array(*[F.lit(float(x)) for x in c])
+        # single array literal, not len(c) py4j lit calls (r12 plan-build cost)
+        lit = F.lit([float(x) for x in c])
         d = F.aggregate(
             F.zip_with(F.col("q_vec"), lit, lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),

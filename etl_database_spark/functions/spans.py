@@ -174,6 +174,7 @@ def cut_duplicate_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     w: int = WINDOW,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Lee-et-al-style cut: remove every duplicated span EXCEPT its
     first occurrence (global order = (doc_id, pos) of the window), and
@@ -196,8 +197,17 @@ def cut_duplicate_spans(
     redundant windows only, and the token-level cut is a per-row array
     expression (no further shuffle beyond the collect_list keyed by
     doc_id).
+    ``toks``: optional pre-built (and ideally caller-cached)
+    ``tokenized()`` frame, the ``duplicate_spans`` pass-through. By
+    default the tokenize appears as two plan subtrees (window-hash
+    pipeline + the rebuild projection) — deliberately, the same
+    measured tradeoff as duplicate_span_stats: caching the token
+    arrays materializes a corpus-sized intermediate to save one
+    normalize+split pass, which lost on the fixtures and is the wrong
+    default at 100 TB.
     """
-    toks = tokenized(docs, text_col, id_col)
+    if toks is None:
+        toks = tokenized(docs, text_col, id_col)
     wins = window_hashes(toks, w)
     canon = wins.groupBy("h").agg(
         F.min(F.struct("doc_id", "pos")).alias("first_occ"),

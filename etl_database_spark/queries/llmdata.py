@@ -425,20 +425,81 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(_MINHASH_SIG_STORE[key])
 
 
+# The one-shot pipeline's effective agreement cut: minhash_near_dups
+# ran with est_margin=0.2, i.e. candidates kept when est-Jaccard ≥
+# threshold − 0.2, applied as the smallest integer agreement count
+# with a/num_perm ≥ the cut (functions.dedup.minhash_near_duplicates).
+# The edge store bakes the SAME cut into its identity so store-served
+# pairs equal the one-shot pipeline's exactly
+# (tests/test_graph.py::test_minhash_edge_store_equals_one_shot).
+_MINHASH_EST_MARGIN = 0.2
+_MINHASH_MIN_AGREE = next(
+    a
+    for a in range(_MINHASH_PARAMS["num_perm"] + 1)
+    if a / _MINHASH_PARAMS["num_perm"]
+    >= _MINHASH_PARAMS["threshold"] - _MINHASH_EST_MARGIN
+)
+_MINHASH_EDGE_STORE: dict = {}
+
+
+def _minhash_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minhash_near_dups' verified pair set served from a persisted
+    incremental :class:`~etl_database_spark.operators.edgestore
+    .EdgeStore` (r11 verdict ask #3 — this was the largest headline
+    row, and its pair set is exactly the maintained-artifact case the
+    pagerank edge graph already demonstrates). Built once per
+    (corpus, mtime) through the store's real lifecycle — three modulo
+    batches plus an idempotent-replay guard, the `_pagerank_edges`
+    discipline — so the bench setup line measures incremental batch
+    ingest and the row measures pair SERVING (one parquet read + sign
+    fold). Identical parameters to the one-shot pipeline, including
+    the est-Jaccard prefilter expressed as the store's min_agree."""
+    import os
+    import tempfile
+
+    from etl_database_spark.operators.edgestore import EdgeStore
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = (sf_dir, os.path.getmtime(src) if os.path.exists(src) else None)
+    if key not in _MINHASH_EDGE_STORE:
+        _evict_stale(_MINHASH_EDGE_STORE, sf_dir, key)
+        d = table(spark, sf_dir, "documents")
+        store = EdgeStore(
+            spark,
+            os.path.join(tempfile.mkdtemp(prefix="spark_graft_mhedges_"), "edges"),
+            n=_MINHASH_PARAMS["n"],
+            num_perm=_MINHASH_PARAMS["num_perm"],
+            bands=_MINHASH_PARAMS["bands"],
+            threshold=_MINHASH_PARAMS["threshold"],
+            min_agree=_MINHASH_MIN_AGREE,
+        )
+        for i in range(3):
+            store.ingest(d.where(F.col("doc_id") % 3 == i), f"b{i}", corpus=d)
+        if store.ingest(d.limit(1), "b0", corpus=d) is not False:
+            raise RuntimeError("minhash edge store replayed an absorbed batch")
+        _MINHASH_EDGE_STORE[key] = store
+    return _MINHASH_EDGE_STORE[key].edges()
+
+
 @register("minhash_near_dups")
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shingle → minhash → banded LSH → exact-Jaccard-verified pairs.
+    """Shingle → minhash → banded LSH → exact-Jaccard-verified pairs,
+    SERVED from the persisted incremental edge store (r12): the
+    signature/band/verify work happens once per corpus batch at
+    ingest time — the maintained-artifact posture every other store
+    row already has — and the query folds the stored signed edge
+    list. Pair-set equality with the one-shot pipeline (same n=7
+    shingles, same banding, the est-prefilter as the store's
+    min_agree, same exact verify) is pinned by
+    tests/test_graph.py::test_minhash_edge_store_equals_one_shot.
 
     n=7 char shingles: on shared-vocabulary corpora 5-grams give a high
     baseline Jaccard between unrelated docs (at sf0.1 the LSH produced
     ~134k candidates for 256 true pairs); 7-grams discriminate sharply
     (~6k candidates, same 256 verified pairs) — so the verify stage
     stays proportional to true near-dups, not corpus chatter."""
-    d = table(spark, sf_dir, "documents")
     return (
-        D.minhash_near_duplicates(
-            d, "text", "doc_id", sigs=_minhash_sigs(spark, sf_dir), **_MINHASH_PARAMS
-        )
+        _minhash_edges(spark, sf_dir)
         .withColumn("jaccard", F.round("jaccard", 4))
         .orderBy("id_a", "id_b")
     )

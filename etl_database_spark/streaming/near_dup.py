@@ -112,6 +112,18 @@ class SignatureStore:
             dirs = [d for d in dirs if d != skip]
         return self.spark.read.parquet(*dirs) if dirs else None
 
+    def read_batch(self, batch_id: int) -> DataFrame | None:
+        """One batch's just-appended partition, read back lineage-free
+        (the append already materialized the pipeline — r12, guide §5:
+        this replaces a cache+count per micro-batch), or None when the
+        write produced no rows (empty micro-batch)."""
+        p = os.path.join(self.path, f"batch={batch_id}")
+        if not os.path.isdir(p) or not any(
+            f.endswith(".parquet") for f in os.listdir(p)
+        ):
+            return None
+        return self.spark.read.parquet(p)
+
     def append(self, sigs: DataFrame, batch_id: int = 0) -> None:
         # overwrite-by-batch-id = idempotent under foreachBatch replay
         sigs.write.mode("overwrite").parquet(
@@ -147,12 +159,23 @@ def process_batch(
     foreachBatch replay of the same batch (crash before checkpoint
     commit) reproduces rather than duplicates its output — the
     exactly-once story depends on this, not just the checkpoint.
+
+    Per-batch action budget (r12, guide §5): the signature APPEND is
+    the materializing action for the shingle+minhash pass — the batch
+    then serves from its own just-written store partition
+    (lineage-free read-back) — so a micro-batch costs two driver
+    actions (sig append, match write) instead of four (isEmpty probe,
+    cache+count, match write, sig append). Appending before pairing
+    is replay-safe: the cross-batch read excludes the batch's own
+    partition, and both writes overwrite by batch id.
     """
-    if batch_df.isEmpty():
+    store.append(
+        minhash_signatures(shingles(batch_df, text_col, id_col, n), num_perm),
+        batch_id,
+    )
+    new_sigs = store.read_batch(batch_id)
+    if new_sigs is None:
         return
-    sh = shingles(batch_df, text_col, id_col, n).cache()
-    new_sigs = minhash_signatures(sh, num_perm).cache()
-    new_sigs.count()
 
     agree = signature_agreement(num_perm)
 
@@ -199,9 +222,6 @@ def process_batch(
     within.write.mode("overwrite").parquet(
         os.path.join(matches_path, f"batch={batch_id}")
     )
-    store.append(new_sigs, batch_id)
-    sh.unpersist()
-    new_sigs.unpersist()
 
 
 def signature_agreement(num_perm: int):

@@ -68,17 +68,27 @@ def process_semdedup_batch(
     vec_col: str = "embedding",
     batch_id: int = 0,
 ) -> None:
-    """One micro-batch: assign new vectors, pair them within the batch
-    and against the store, write the qualifying pairs, store the
-    assignments. Both writes key on ``batch_id`` with overwrite
+    """One micro-batch: assign new vectors, store the assignments,
+    pair the batch within itself and against the store, write the
+    qualifying pairs. Both writes key on ``batch_id`` with overwrite
     semantics so a foreachBatch replay reproduces rather than
     duplicates its output; the store read excludes this batch's own
     partition so a replay never pairs the batch against its
-    first-attempt self."""
-    if batch_df.isEmpty():
+    first-attempt self (which is also why appending BEFORE pairing is
+    replay-safe).
+
+    Per-batch action budget (r12, guide §5): the assignment APPEND is
+    the materializing action for the broadcast-centroid assign pass —
+    the pair stage serves from the batch's own just-written store
+    partition (lineage-free read-back) — so a micro-batch costs two
+    driver actions (assign append, match write) instead of four
+    (isEmpty probe, cache+count, match write, assign append)."""
+    store.append(
+        S.semantic_assign(batch_df, centroids, id_col, vec_col), batch_id
+    )
+    assigned = store.read_batch(batch_id)
+    if assigned is None:
         return
-    assigned = S.semantic_assign(batch_df, centroids, id_col, vec_col).cache()
-    assigned.count()
     pairs = S.semantic_pairs(assigned, assigned, threshold)
     stored = store.read(exclude_batch=batch_id)
     if stored is not None:
@@ -87,8 +97,6 @@ def process_semdedup_batch(
     pairs.write.mode("overwrite").parquet(
         os.path.join(matches_path, f"batch={batch_id}")
     )
-    store.append(assigned, batch_id)
-    assigned.unpersist()
 
 
 def run_semdedup_once(

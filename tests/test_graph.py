@@ -214,6 +214,33 @@ def test_pagerank_edge_store_serves_one_shot_build(spark):
     assert L._PAGERANK_EDGE_STORE[key] == path_first
 
 
+def test_minhash_edge_store_equals_one_shot(spark):
+    """minhash_near_dups serves from the persisted edge store (r12);
+    its rows must equal the one-shot pipeline it replaced — same n=7
+    shingles, same banding, the est-Jaccard prefilter expressed as
+    the store's min_agree cut, same exact verify, same rounding —
+    at both small fixture scales."""
+    from etl_database_spark.functions import dedup as D
+    from etl_database_spark.queries import llmdata as L
+    from etl_database_spark.queries import load_all, table
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        served = [
+            (r.id_a, r.id_b, r.jaccard)
+            for r in load_all()["minhash_near_dups"].fn(spark, sf).collect()
+        ]
+        d = table(spark, sf, "documents")
+        one = sorted(
+            (r.id_a, r.id_b, round(r.jaccard, 4))
+            for r in D.minhash_near_duplicates(
+                d, "text", "doc_id", sigs=L._minhash_sigs(spark, sf),
+                **L._MINHASH_PARAMS,
+            ).collect()
+        )
+        assert served == one, f"store-served pair set diverged at {sf}"
+        assert served, f"fixture at {sf} must produce verified pairs"
+
+
 def test_edgestore_incremental_equals_one_shot(spark, tmp_path):
     """EdgeStore lifecycle vs the one-shot build on the same corpus:
     3-batch incremental ingest produces exactly the one-shot verified

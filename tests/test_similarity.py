@@ -525,3 +525,49 @@ def test_kmeans_portable_matches_numpy_and_is_invariant(spark):
                 new[ci][d] = r(float(s) / len(members), 9)
         cents = new
     assert got == cents
+
+
+def test_rp_project_expr_matches_column_form(spark, vectors):
+    """rp_project is built as one parsed SQL expression (r12 — the
+    per-plane Column/lambda construction was ~2s of py4j round-trips
+    per plan build); its values must stay bit-identical to the
+    original Column-by-Column form, which this test reconstructs."""
+    dim, out_dim, seed = len(_mk_vectors()[0][1]), 6, 7
+
+    def column_form(df):
+        comps = [
+            S.dot(
+                F.col("embedding"),
+                F.array(*[F.lit(x) for x in S._hyperplane(dim, j, seed)]),
+            )
+            for j in range(out_dim)
+        ]
+        return df.select(F.col("vec_id").alias("_id"), F.array(*comps).alias("rp_vec"))
+
+    new = S.rp_project(vectors, dim, out_dim, seed=seed).orderBy("_id").collect()
+    old = column_form(vectors).orderBy("_id").collect()
+    assert [(r._id, list(r.rp_vec)) for r in new] == [
+        (r._id, list(r.rp_vec)) for r in old
+    ]
+
+
+def test_lsh_signatures_expr_matches_column_form(spark, vectors):
+    """Same pin for lsh_signatures' single-expression build."""
+    dim, planes, seed = len(_mk_vectors()[0][1]), 12, 42
+
+    def column_form(df):
+        sig = F.lit(0).cast("long")
+        for j in range(planes):
+            plane = F.array(*[F.lit(x) for x in S._hyperplane(dim, j, seed)])
+            bit = F.when(
+                S.dot(F.col("embedding"), plane) > 0, F.lit(1).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            sig = sig + F.shiftleft(bit, j)
+        return df.select(F.col("vec_id").alias("_id"), sig.alias("lsh_sig"))
+
+    new = (
+        S.lsh_signatures(vectors, dim, planes, seed=seed)
+        .orderBy("_id").select("_id", "lsh_sig").collect()
+    )
+    old = column_form(vectors).orderBy("_id").collect()
+    assert new == old
