@@ -86,12 +86,22 @@ def shingles(
     else:
         hash_fn = F.xxhash64
 
+    from etl_database_spark.functions.partitioning import spread_scan
+
     norm = normalize_text(F.col(text_col))
     return (
-        df.select(F.col(id_col).alias("_id"), norm.alias("_norm"))
-        # Spread docs across the cluster before the ~Nx explode: a
-        # small/single-file input would otherwise shingle in one task.
-        .repartition(F.col("_id"))
+        # Spread docs across the cluster before the ~Nx explode with
+        # the size-proportional scan guard — a NO-OP whenever the scan
+        # already carries enough splits (the normal case at scale).
+        # r12 (guide §2.3 "shuffle keys, not payloads"): this was an
+        # unconditional repartition(col(_id)) — a full shuffle of the
+        # normalized TEXT on every signature build, bought only to
+        # save the minhash aggregate's exchange, which map-side
+        # partial-combines to ~num_perm longs per doc per task anyway.
+        # Every consumer is partitioning-insensitive (MIN aggregates,
+        # distincts keyed on (_id, shingle) that exchanged regardless).
+        spread_scan(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col).alias("_id"), norm.alias("_norm"))
         .where(F.length("_norm") >= n)
         .select(
             "_id",
